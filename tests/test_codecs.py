@@ -1,0 +1,177 @@
+"""Codec round-trip tests — port of the reference's kernel-test style
+(supersonic/base/infrastructure/copy_column_test.cc,
+types_infrastructure_test.cc; edge cases from file_io.cc:127-147).
+
+For every codec × fixture × chunk size: decode(encode(x)) == x
+bit-identically — values AND validity AND the NULL-vs-empty-string
+distinction. Chunk sweep {1, 2, 5, 20, 1000, full} mirrors the
+reference's view-size sweep (testing/operation_testing.cc:350-352).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from supersonic_ray.codecs import (
+    BACKEND_IDS,
+    by_name,
+    choose_codec,
+    codec_names,
+    decode_array,
+    encode_array,
+)
+
+CHUNK_SIZES = [1, 2, 5, 20, 1000, None]
+
+RNG = np.random.RandomState(7)
+
+
+def fixtures() -> dict[str, pa.Array]:
+    big = np.iinfo(np.int64)
+    return {
+        "int_ramp": pa.array(np.arange(1000, dtype=np.int64)),
+        "int32_ramp": pa.array(np.arange(1000, dtype=np.int32)),
+        "uint32": pa.array(RNG.randint(0, 2**32, 500, dtype=np.uint64).astype(np.uint32)),
+        "int_const": pa.array(np.full(777, -3, dtype=np.int64)),
+        "int_random_full_range": pa.array(
+            np.concatenate(
+                [
+                    RNG.randint(big.min, big.max, 500, dtype=np.int64),
+                    [big.min, big.max, 0, -1, 1],
+                ]
+            )
+        ),
+        "uint64_full_range": pa.array(
+            np.concatenate(
+                [
+                    RNG.randint(0, 2**62, 100).astype(np.uint64),
+                    np.array([0, 2**64 - 1, 2**63], dtype=np.uint64),
+                ]
+            ),
+            type=pa.uint64(),
+        ),
+        "int_with_nulls_alternating": pa.array(
+            [None if i % 2 else i for i in range(500)], type=pa.int64()
+        ),
+        "int_all_null": pa.array([None] * 100, type=pa.int64()),
+        "int_leading_trailing_null_runs": pa.array(
+            [None] * 50 + list(range(100)) + [None] * 50, type=pa.int64()
+        ),
+        "int_single_null": pa.array([1, 2, None, 4, 5], type=pa.int64()),
+        "ts_deltas_sorted": pa.array(
+            1_700_000_000_000_000 + np.cumsum(RNG.choice([1_000_000, 2_000_000, 86_400_000_000], 800)),
+            type=pa.timestamp("us"),
+        ),
+        "ts_unsorted": pa.array(
+            RNG.permutation(1_700_000_000_000_000 + np.arange(500) * 1_000_000),
+            type=pa.timestamp("us"),
+        ),
+        "date32": pa.array(np.arange(300, dtype=np.int32) - 100, type=pa.date32()),
+        "float64": pa.array(RNG.randn(400)),
+        "float_with_nulls": pa.array([1.5, None, float("inf"), float("-inf"), 0.0, -0.0]),
+        "str_low_card": pa.array(RNG.choice(["aa", "bb", "cc"], 600).tolist()),
+        "str_runs": pa.array(sorted(RNG.choice(["aaa", "bbb", "ccc", "ddd"], 500).tolist())),
+        "str_high_card": pa.array([f"slug-{i:08x}-{i * 2654435761 % 997}" for i in range(400)]),
+        "str_empty_vs_null": pa.array(["x", "", None, "y", "", None, ""], type=pa.string()),
+        "large_string": pa.array(["hello " * 50, "", "world"], type=pa.large_string()),
+        "bin_blob": pa.array(
+            [b"<html><body>" + bytes(RNG.randint(97, 122, 200, dtype=np.uint8).tolist()) * 3 + b"</body></html>" for _ in range(50)]
+            + [b"\x00\xff\xfe binary \x00"],
+            type=pa.binary(),
+        ),
+        "bool_col": pa.array([True, False, None, True, None, False] * 40, type=pa.bool_()),
+        "bool_no_null": pa.array([True, False] * 100, type=pa.bool_()),
+        "unicode": pa.array(["héllo", "wörld", "日本語テキスト", "é combining", "🎉🎊", ""]),
+        "empty_int": pa.array([], type=pa.int64()),
+        "empty_str": pa.array([], type=pa.string()),
+    }
+
+
+@pytest.mark.parametrize("codec_name", ["plain", "for_bitpack", "dict", "rle", "fsst"])
+def test_round_trip_all_fixtures(codec_name):
+    codec = by_name(codec_name)
+    for fname, arr in fixtures().items():
+        if not codec.supports(arr.type):
+            continue
+        for chunk in CHUNK_SIZES:
+            n = len(arr)
+            step = chunk or max(n, 1)
+            pieces = []
+            for start in range(0, max(n, 1), step):
+                sl = arr.slice(start, step)
+                blob = encode_array(sl, codec_name)
+                out = decode_array(blob, arr.type)
+                assert out.equals(sl), f"{codec_name}/{fname} chunk={chunk} at {start}"
+                pieces.append(out)
+            whole = pa.concat_arrays([p.cast(arr.type) for p in pieces]) if pieces else arr
+            assert whole.equals(arr), f"{codec_name}/{fname} reassembly chunk={chunk}"
+
+
+@pytest.mark.parametrize("backend", ["zlib", "bz2", "lzma"])
+def test_backend_wraps(backend):
+    arr = pa.array(["the quick brown fox"] * 100 + [None, ""])
+    for codec_name in ("plain", "dict", "rle", "fsst"):
+        blob = encode_array(arr, codec_name, BACKEND_IDS[backend])
+        assert decode_array(blob, arr.type).equals(arr)
+
+
+def test_empty_vs_null_distinction():
+    """file_io.cc:127-147: empty strings and NULLs both have length 0 and
+    must survive round trips distinctly."""
+    arr = pa.array(["", None, "", None, "a"], type=pa.string())
+    for codec_name in ("plain", "dict", "rle", "fsst"):
+        out = decode_array(encode_array(arr, codec_name), arr.type)
+        assert out.null_count == 2
+        assert out.to_pylist() == ["", None, "", None, "a"]
+
+
+def test_dictionary_type_round_trip():
+    """ENUM analog (tuple_schema.h:42-75): pa.dictionary round trips."""
+    dt = pa.dictionary(pa.int32(), pa.string())
+    arr = pa.array(["red", "green", "red", None, "blue"], type=dt)
+    blob = encode_array(arr, "dict")
+    out = decode_array(blob, dt)
+    assert out.to_pylist() == arr.to_pylist()
+    assert out.type == dt
+
+
+def test_selector_rule_table():
+    """FIXTURES.md §3 expectations."""
+    langs = pa.array((["en"] * 600 + ["de"] * 300 + ["fr"] * 100))
+    c, _ = choose_codec(langs)
+    assert c in ("dict", "rle")
+    sorted_langs = pa.array(sorted(langs.to_pylist()))
+    c, _ = choose_codec(sorted_langs)
+    assert c == "rle"
+    ts = pa.array(1_700_000_000_000_000 + np.cumsum(np.full(5000, 1_000_000)), type=pa.timestamp("us"))
+    c, _ = choose_codec(ts)
+    assert c == "for_bitpack"
+
+
+def test_selector_never_inflates():
+    incompressible = pa.array([bytes(RNG.randint(0, 256, 64, dtype=np.uint8).tolist()) for _ in range(200)], type=pa.binary())
+    codec, backend = choose_codec(incompressible)
+    chosen = len(encode_array(incompressible, codec, BACKEND_IDS[backend] if backend else 0))
+    plain = len(encode_array(incompressible, "plain"))
+    assert chosen <= plain * 1.01 + 64
+
+
+def test_fsst_symbol_table_reuse():
+    from supersonic_ray.codecs import FsstCodec
+    from supersonic_ray.codecs.fsst import train_symbols
+    from supersonic_ray.codecs.base import var_len_to_buffers, register
+
+    arr = pa.array(["the quick brown fox jumps"] * 200)
+    _, data = var_len_to_buffers(arr)
+    table = train_symbols(data)
+    pretrained = FsstCodec(pretrained=table)
+    blob_payload = pretrained.encode_values(arr)
+    fresh = FsstCodec()
+    out = fresh.decode_values(blob_payload, pa.string(), len(arr))
+    assert out.equals(arr)
+
+
+def test_codec_registry_complete():
+    assert set(codec_names()) >= {"plain", "for_bitpack", "dict", "rle", "fsst"}
