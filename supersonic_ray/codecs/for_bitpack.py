@@ -64,14 +64,33 @@ class ForBitpackCodec(Codec):
         span = hi_i - lo_i
         for_width = bit_width(span) if span else 0
 
-        # DELTA candidate: safe whenever the value span fits in int64.
+        # DELTA candidates: safe whenever the value span fits in int64.
         if n > 1 and span < 1 << 62 and hi_i <= np.iinfo(np.int64).max and lo_i >= np.iinfo(np.int64).min:
             deltas = np.diff(raw.astype(np.int64))
             dlo, dhi = int(deltas.min()), int(deltas.max())
             d_width = bit_width(dhi - dlo) if dhi > dlo else 0
+            # DELTA_DICT: few distinct deltas (regular cadence with rare
+            # jumps — warc_ts) → dictionary of deltas + narrow codes.
+            uniq, codes = np.unique(deltas, return_inverse=True)
+            best_mode, best_bits = 0, n * for_width
             if d_width < for_width:
+                best_mode, best_bits = 1, (n - 1) * d_width
+            if len(uniq) <= 4096:
+                c_width = bit_width(len(uniq) - 1) if len(uniq) > 1 else 0
+                ddict_bits = len(uniq) * 64 + (n - 1) * c_width
+                if ddict_bits < best_bits:
+                    best_mode, best_bits = 2, ddict_bits
+            if best_mode == 1:
                 packed = pack_bits((deltas - dlo).view(np.uint64), d_width)
                 return _HDR.pack(1, d_width, int(raw[0]), dlo) + packed
+            if best_mode == 2:
+                c_width = bit_width(len(uniq) - 1) if len(uniq) > 1 else 0
+                packed = pack_bits(codes.astype(np.uint64), c_width)
+                return (
+                    _HDR.pack(2, c_width, int(raw[0]), len(uniq))
+                    + uniq.astype("<i8").tobytes()
+                    + packed
+                )
 
         ref_u = np.uint64(lo_i & _MASK)
         shifted = u - ref_u  # wraps mod 2**64; result in [0, span]
@@ -86,7 +105,13 @@ class ForBitpackCodec(Codec):
         if mode == 0:
             out_u = unpack_bits(body, width, n) + np.uint64(ref & _MASK)
         else:
-            deltas = unpack_bits(body, width, n - 1).view(np.int64) + min_delta
+            if mode == 2:
+                n_dict = min_delta
+                uniq = np.frombuffer(body, dtype="<i8", count=n_dict)
+                codes = unpack_bits(body[8 * n_dict :], width, n - 1).astype(np.int64)
+                deltas = uniq[codes]
+            else:
+                deltas = unpack_bits(body, width, n - 1).view(np.int64) + min_delta
             acc = np.empty(n, dtype=np.int64)
             acc[0] = ref
             np.cumsum(deltas, out=acc[1:])

@@ -88,9 +88,13 @@ def _candidates(dtype: pa.DataType, st: ColumnStats) -> list[tuple[str, str]]:
         if st.distinct_ratio < 0.3:
             cands += [("dict", ""), ("dict", "zlib")]
         if st.distinct_ratio > 0.05 and st.entropy_bits > 2.0:
-            cands += [("fsst", ""), ("fsst", "zlib"), ("plain", "zlib"), ("plain", "bz2")]
-        elif st.entropy_bits > 6.5:
-            cands += [("plain", "zlib")]
+            cands += [
+                ("fsst", ""),
+                ("fsst", "zlib"),
+                ("fsst", "bz2"),
+                ("plain", "zlib"),
+                ("plain", "bz2"),
+            ]
         else:
             cands += [("plain", "zlib")]
     elif pa.types.is_floating(dtype):

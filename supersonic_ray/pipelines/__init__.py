@@ -1,0 +1,10 @@
+from .encode import (  # noqa: F401
+    BatchEncoder,
+    ShardEncoder,
+    decode_blob,
+    decode_partitions,
+    encode_dataset,
+    encode_parquet,
+    encode_table_to_blob,
+    plan_shards,
+)

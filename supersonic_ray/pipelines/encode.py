@@ -1,0 +1,402 @@
+"""The encode/decode pipelines — the flagship Ray Data workload.
+
+Layout of one encoded partition (``part-<id>.rsb``)::
+
+    b"RSB1"
+    u32 schema_len + pa.Schema IPC bytes
+    u32 n_chunks
+    per chunk: u32 row_count ; per column: u32 blob_len + codec blob
+
+Chunks are ≤ ``chunk_rows`` rows (default 8192, the reference's file
+chunk size, supersonic/cursor/infrastructure/file_io.cc:71).  Codec
+choice happens ONCE per (partition, column) on a sample of the first
+chunk and is reused for every chunk — the reference's bind-time kernel
+resolution pattern (SURVEY.md §3.2); FSST symbol tables likewise are
+trained once per (partition, column) and embedded per blob so each
+partition decodes standalone.
+
+Two pipeline shapes:
+
+- ``encode_parquet``: shard-planned — the driver lists row groups from
+  parquet metadata only, builds a Dataset of shard descriptors, and an
+  actor pool (``map_batches(ShardEncoder, concurrency=N)``) reads,
+  encodes and writes each shard independently with a lineage manifest.
+  Deterministic part ids → checkpoint resume (a re-run skips shards
+  whose manifest matches) and idempotent retries.  This is the shape
+  that scales to 10^12 docs: no driver-side data movement, no shuffle,
+  bounded memory per actor, one output file + manifest per shard.
+
+- ``encode_dataset``: streaming — any ray.data.Dataset is encoded via
+  ``map_batches`` with content-addressed partition ids; used when the
+  input is already a Dataset mid-pipeline.
+
+Decode is the mirror image: a Dataset of .rsb paths → ``map_batches``
+read+decode → Arrow tables stream out.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+import time
+from typing import Any, Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from supersonic_ray.codecs import BACKEND_IDS, FsstCodec, encode_array
+from supersonic_ray.codecs import base as codec_base
+from supersonic_ray.codecs.fsst import train_symbols
+from supersonic_ray.codecs.selector import choose_codec
+from supersonic_ray.state import (
+    PartitionManifest,
+    content_hash,
+    data_path,
+    is_complete,
+    load_manifest,
+    save_manifest,
+    write_atomic,
+)
+
+MAGIC = b"RSB1"
+CHUNK_ROWS = 8192
+
+METRICS_SCHEMA = pa.schema(
+    [
+        ("part_id", pa.string()),
+        ("n_rows", pa.int64()),
+        ("bytes_in", pa.int64()),
+        ("bytes_out", pa.int64()),
+        ("wall_sec", pa.float64()),
+        ("skipped", pa.bool_()),
+        ("codecs", pa.string()),
+    ]
+)
+
+
+# ------------------------------------------------------------------ encoding
+
+
+def resolve_column_plans(
+    table: pa.Table, overrides: dict[str, tuple[str, str]] | None = None
+) -> dict[str, tuple[Any, int]]:
+    """Bind-time codec resolution: per column pick (codec_instance,
+    backend_id) from a sample; FSST gets a pretrained symbol table."""
+    plans: dict[str, tuple[Any, int]] = {}
+    sample = table.slice(0, min(table.num_rows, CHUNK_ROWS))
+    for name in table.column_names:
+        col = sample.column(name).combine_chunks()
+        if overrides and name in overrides:
+            codec_name, backend = overrides[name]
+        else:
+            codec_name, backend = choose_codec(col)
+        backend_id = BACKEND_IDS[backend] if backend else 0
+        if codec_name == "fsst":
+            _, data = codec_base.var_len_to_buffers(codec_base.canonicalize_nulls(col))
+            codec: Any = FsstCodec(pretrained=train_symbols(data))
+        else:
+            from supersonic_ray.codecs import by_name
+
+            codec = by_name(codec_name)
+        plans[name] = (codec, backend_id)
+    return plans
+
+
+def encode_table_to_blob(
+    table: pa.Table,
+    chunk_rows: int = CHUNK_ROWS,
+    plans: dict[str, tuple[Any, int]] | None = None,
+) -> tuple[bytes, dict[str, dict[str, Any]]]:
+    if plans is None:
+        plans = resolve_column_plans(table)
+    schema_bytes = table.schema.serialize().to_pybytes()
+    out = io.BytesIO()
+    out.write(MAGIC)
+    out.write(struct.pack("<I", len(schema_bytes)))
+    out.write(schema_bytes)
+    n_chunks = max(1, -(-table.num_rows // chunk_rows)) if table.num_rows else 0
+    out.write(struct.pack("<I", n_chunks))
+    col_metrics: dict[str, dict[str, Any]] = {
+        name: {
+            "codec": plans[name][0].name,
+            "backend": codec_base.BACKEND_NAMES[plans[name][1]],
+            "bytes_in": 0,
+            "bytes_out": 0,
+        }
+        for name in table.column_names
+    }
+    for start in range(0, table.num_rows, chunk_rows):
+        chunk = table.slice(start, chunk_rows)
+        out.write(struct.pack("<I", chunk.num_rows))
+        for name in table.column_names:
+            col = chunk.column(name).combine_chunks()
+            codec, backend_id = plans[name]
+            blob = encode_array(col, codec, backend_id)
+            out.write(struct.pack("<I", len(blob)))
+            out.write(blob)
+            col_metrics[name]["bytes_in"] += col.nbytes
+            col_metrics[name]["bytes_out"] += len(blob)
+    return out.getvalue(), col_metrics
+
+
+def decode_blob(data: bytes) -> pa.Table:
+    from supersonic_ray.codecs import decode_array
+
+    assert data[:4] == MAGIC, "not an RSB file"
+    pos = 4
+    (schema_len,) = struct.unpack_from("<I", data, pos)
+    pos += 4
+    schema = pa.ipc.read_schema(pa.py_buffer(data[pos : pos + schema_len]))
+    pos += schema_len
+    (n_chunks,) = struct.unpack_from("<I", data, pos)
+    pos += 4
+    tables = []
+    for _ in range(n_chunks):
+        (n_rows,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        cols = {}
+        for field in schema:
+            (blen,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            cols[field.name] = decode_array(data[pos : pos + blen], field.type)
+            pos += blen
+        tables.append(pa.table(cols, schema=schema))
+    return pa.concat_tables(tables) if tables else schema.empty_table()
+
+
+# ------------------------------------------------- shard-planned encode
+
+
+def plan_shards(parquet_path: str, target_rows: int = 4 * CHUNK_ROWS) -> list[dict[str, Any]]:
+    """Shard plan from parquet METADATA only (never reads data on the
+    driver).  Shards align to row-group boundaries; part ids are the
+    shard ordinal, stable across runs of the same input."""
+    paths: list[str]
+    if os.path.isdir(parquet_path):
+        paths = sorted(
+            os.path.join(parquet_path, f)
+            for f in os.listdir(parquet_path)
+            if f.endswith(".parquet")
+        )
+    else:
+        paths = [parquet_path]
+    shards: list[dict[str, Any]] = []
+    ordinal = 0
+    for path in paths:
+        meta = pq.read_metadata(path)
+        group: list[int] = []
+        group_rows = 0
+        for rg in range(meta.num_row_groups):
+            group.append(rg)
+            group_rows += meta.row_group(rg).num_rows
+            if group_rows >= target_rows:
+                shards.append(
+                    {
+                        "part_id": f"{ordinal:06d}",
+                        "path": path,
+                        "row_groups": list(group),
+                        "n_rows": group_rows,
+                    }
+                )
+                ordinal += 1
+                group, group_rows = [], 0
+        if group:
+            shards.append(
+                {"part_id": f"{ordinal:06d}", "path": path, "row_groups": list(group), "n_rows": group_rows}
+            )
+            ordinal += 1
+    return shards
+
+
+def shard_content_hash(shard: dict[str, Any]) -> str:
+    return content_hash(os.path.basename(str(shard["path"])), shard["row_groups"], shard["n_rows"])
+
+
+class ShardEncoder:
+    """Actor-pool encode stage: reads its shard's row groups, encodes
+    with per-partition bind-time codec plans, writes data + manifest
+    atomically, and emits one metrics row.  Stateful setup (none heavy
+    here beyond imports) happens once per actor; FSST tables are per
+    partition by design (embedded in blobs)."""
+
+    def __init__(self, out_dir: str, chunk_rows: int = CHUNK_ROWS, overrides: dict | None = None):
+        self.out_dir = out_dir
+        self.chunk_rows = chunk_rows
+        self.overrides = overrides
+        os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        metrics = []
+        for shard in rows:
+            metrics.append(self.encode_shard(shard))
+        return pa.Table.from_pylist(metrics, schema=METRICS_SCHEMA)
+
+    def encode_shard(self, shard: dict[str, Any]) -> dict[str, Any]:
+        t0 = time.monotonic()
+        chash = shard_content_hash(shard)
+        pid = shard["part_id"]
+        if is_complete(self.out_dir, pid, chash):
+            m = load_manifest(self.out_dir, pid)
+            return {
+                "part_id": pid,
+                "n_rows": m.n_rows,
+                "bytes_in": m.bytes_in,
+                "bytes_out": m.bytes_out,
+                "wall_sec": 0.0,
+                "skipped": True,
+                "codecs": ",".join(f"{k}={v['codec']}" for k, v in m.columns.items()),
+            }
+        pf = pq.ParquetFile(shard["path"])
+        table = pf.read_row_groups(shard["row_groups"])
+        blob, col_metrics = encode_table_to_blob(table, self.chunk_rows, plans=None if not self.overrides else resolve_column_plans(table, self.overrides))
+        write_atomic(data_path(self.out_dir, pid), blob)
+        wall = time.monotonic() - t0
+        manifest = PartitionManifest(
+            part_id=pid,
+            content_hash=chash,
+            n_rows=table.num_rows,
+            n_chunks=max(1, -(-table.num_rows // self.chunk_rows)),
+            bytes_in=table.nbytes,
+            bytes_out=len(blob),
+            wall_sec=wall,
+            columns=col_metrics,
+            lineage={
+                "input_path": shard["path"],
+                "row_groups": shard["row_groups"],
+                "engine": "ray-sonic-0.1",
+            },
+        )
+        save_manifest(self.out_dir, manifest)
+        return {
+            "part_id": pid,
+            "n_rows": table.num_rows,
+            "bytes_in": table.nbytes,
+            "bytes_out": len(blob),
+            "wall_sec": wall,
+            "skipped": False,
+            "codecs": ",".join(f"{k}={v['codec']}" for k, v in col_metrics.items()),
+        }
+
+
+def encode_parquet(
+    input_path: str,
+    out_dir: str,
+    target_rows: int = 4 * CHUNK_ROWS,
+    concurrency: int | tuple[int, int] | None = None,
+    chunk_rows: int = CHUNK_ROWS,
+    overrides: dict | None = None,
+):
+    """Shard-planned encode: returns the (lazy) Dataset of per-partition
+    metrics rows; consume it (e.g. ``.to_pandas()``) to run the job."""
+    import ray.data as rd
+
+    shards = plan_shards(input_path, target_rows)
+    ds = rd.from_items(shards)
+    if concurrency is None:
+        import ray
+
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    return ds.map_batches(
+        ShardEncoder,
+        fn_constructor_kwargs={"out_dir": out_dir, "chunk_rows": chunk_rows, "overrides": overrides},
+        batch_size=1,
+        concurrency=concurrency,
+        num_cpus=1,
+        batch_format="pyarrow",
+    )
+
+
+# ------------------------------------------------- streaming dataset encode
+
+
+class BatchEncoder:
+    """Content-addressed streaming encode for arbitrary Datasets: each
+    incoming Arrow batch becomes one partition file."""
+
+    def __init__(self, out_dir: str, chunk_rows: int = CHUNK_ROWS):
+        self.out_dir = out_dir
+        self.chunk_rows = chunk_rows
+        os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t0 = time.monotonic()
+        first = {c: str(batch.column(c)[0]) for c in batch.column_names[:1]} if batch.num_rows else {}
+        pid = content_hash(batch.num_rows, first, batch.schema.names)
+        chash = pid
+        if not is_complete(self.out_dir, pid, chash):
+            blob, col_metrics = encode_table_to_blob(batch, self.chunk_rows)
+            write_atomic(data_path(self.out_dir, pid), blob)
+            save_manifest(
+                self.out_dir,
+                PartitionManifest(
+                    part_id=pid,
+                    content_hash=chash,
+                    n_rows=batch.num_rows,
+                    n_chunks=max(1, -(-batch.num_rows // self.chunk_rows)),
+                    bytes_in=batch.nbytes,
+                    bytes_out=len(blob),
+                    wall_sec=time.monotonic() - t0,
+                    columns=col_metrics,
+                    lineage={"source": "dataset-stream"},
+                ),
+            )
+            skipped = False
+            bytes_out = len(blob)
+        else:
+            skipped = True
+            bytes_out = os.path.getsize(data_path(self.out_dir, pid))
+        return pa.Table.from_pylist(
+            [
+                {
+                    "part_id": pid,
+                    "n_rows": batch.num_rows,
+                    "bytes_in": batch.nbytes,
+                    "bytes_out": bytes_out,
+                    "wall_sec": time.monotonic() - t0,
+                    "skipped": skipped,
+                    "codecs": "",
+                }
+            ],
+            schema=METRICS_SCHEMA,
+        )
+
+
+def encode_dataset(ds, out_dir: str, batch_size: int = 4 * CHUNK_ROWS, concurrency=None, chunk_rows: int = CHUNK_ROWS):
+    if concurrency is None:
+        import ray
+
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    return ds.map_batches(
+        BatchEncoder,
+        fn_constructor_kwargs={"out_dir": out_dir, "chunk_rows": chunk_rows},
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------- decoding
+
+
+def _decode_path_batch(batch: pa.Table) -> Iterator[pa.Table]:
+    for path in batch.column("path").to_pylist():
+        with open(path, "rb") as f:
+            yield decode_blob(f.read())
+
+
+def decode_partitions(out_dir: str, concurrency: int | None = None):
+    """Streaming decode: Dataset over all .rsb partition files."""
+    import ray.data as rd
+
+    paths = sorted(
+        os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".rsb")
+    )
+    ds = rd.from_items([{"path": p} for p in paths])
+    kwargs = {}
+    if concurrency:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(_decode_path_batch, batch_size=1, batch_format="pyarrow", **kwargs)

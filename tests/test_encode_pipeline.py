@@ -1,0 +1,107 @@
+"""End-to-end encode/decode pipeline tests (FIXTURES.md §5 resume/lineage).
+
+The invariant: decoded output is bit-identical per url to the input —
+values AND validity AND empty-vs-null — after a full Ray Data
+encode → files+manifests → decode cycle, at any shard/chunk geometry.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from supersonic_ray.fixtures import generate_webpages
+from supersonic_ray.pipelines import decode_partitions, encode_parquet, plan_shards
+from supersonic_ray.pipelines.encode import ShardEncoder, shard_content_hash
+from supersonic_ray.state import load_all_manifests, data_path
+
+
+@pytest.fixture(scope="module")
+def webpages_parquet(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("input") / "webpages.parquet")
+    t = generate_webpages(4000)
+    pq.write_table(t, path, row_group_size=500)
+    return path, t
+
+
+def _sorted_by_url(t: pa.Table) -> pa.Table:
+    return t.sort_by("url")
+
+
+def test_plan_shards_aligns_row_groups(webpages_parquet):
+    path, t = webpages_parquet
+    shards = plan_shards(path, target_rows=1000)
+    assert sum(s["n_rows"] for s in shards) == t.num_rows
+    assert len(shards) == 4
+    assert [s["part_id"] for s in shards] == [f"{i:06d}" for i in range(4)]
+
+
+def test_encode_decode_bit_identical(ray_session, webpages_parquet, tmp_path):
+    path, t = webpages_parquet
+    out_dir = str(tmp_path / "enc")
+    metrics = encode_parquet(path, out_dir, target_rows=1000, concurrency=2).to_pandas()
+    assert not metrics["skipped"].any()
+    assert metrics["n_rows"].sum() == t.num_rows
+    assert metrics["bytes_out"].sum() < metrics["bytes_in"].sum()
+
+    decoded = decode_partitions(out_dir).take_all()
+    dt = pa.Table.from_pylist(decoded, schema=t.schema)
+    assert _sorted_by_url(dt).equals(_sorted_by_url(t))
+
+
+def test_manifests_record_lineage(ray_session, webpages_parquet, tmp_path):
+    path, _ = webpages_parquet
+    out_dir = str(tmp_path / "enc")
+    encode_parquet(path, out_dir, target_rows=1000, concurrency=2).materialize()
+    manifests = load_all_manifests(out_dir)
+    assert len(manifests) == 4
+    for m in manifests:
+        assert m.lineage["input_path"] == path
+        assert set(m.columns) == {"url", "warc_ts", "html", "text", "lang"}
+        assert m.bytes_out > 0 and m.ratio > 1.0
+
+
+def test_resume_skips_completed_partitions(ray_session, webpages_parquet, tmp_path):
+    path, t = webpages_parquet
+    out_dir = str(tmp_path / "enc")
+    encode_parquet(path, out_dir, target_rows=1000, concurrency=2).materialize()
+    # simulate a killed run: partitions 2,3 lost their data files
+    for pid in ("000002", "000003"):
+        os.remove(data_path(out_dir, pid))
+    kept_mtimes = {pid: os.path.getmtime(data_path(out_dir, pid)) for pid in ("000000", "000001")}
+
+    metrics = encode_parquet(path, out_dir, target_rows=1000, concurrency=2).to_pandas()
+    skipped = dict(zip(metrics["part_id"], metrics["skipped"]))
+    assert skipped == {"000000": True, "000001": True, "000002": False, "000003": False}
+    for pid, mt in kept_mtimes.items():
+        assert os.path.getmtime(data_path(out_dir, pid)) == mt
+
+    decoded = pa.Table.from_pylist(decode_partitions(out_dir).take_all(), schema=t.schema)
+    assert _sorted_by_url(decoded).equals(_sorted_by_url(t))
+
+
+def test_retry_idempotent(webpages_parquet, tmp_path):
+    """Same shard encoded twice → byte-identical output (FIXTURES.md §5)."""
+    path, _ = webpages_parquet
+    shards = plan_shards(path, target_rows=1000)
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    ShardEncoder(d1).encode_shard(shards[0])
+    ShardEncoder(d2).encode_shard(shards[0])
+    with open(data_path(d1, "000000"), "rb") as f1, open(data_path(d2, "000000"), "rb") as f2:
+        assert f1.read() == f2.read()
+    assert shard_content_hash(shards[0]) != shard_content_hash(shards[1])
+
+
+@pytest.mark.parametrize("chunk_rows", [1, 7, 100, 8192])
+def test_chunk_size_sweep(chunk_rows):
+    """Reference batch-size sweep (operation_testing.cc:350-352) over the
+    file chunk geometry."""
+    from supersonic_ray.pipelines import decode_blob, encode_table_to_blob
+
+    t = generate_webpages(223)
+    blob, _ = encode_table_to_blob(t, chunk_rows=chunk_rows)
+    assert decode_blob(blob).equals(t)
