@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Headline benchmark: webpages encode/decode throughput + operator queries.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+--scaling: runs the headline encode twice in fresh processes
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs plus efficiency = (T_32/T_8)/4  (BASELINE.md §3).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32).  The webpages input itself is generated deterministically
+(seed 42) into /tmp/ray_sonic_bench once and reused.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32") or 32)
+BENCH_ROOT = "/tmp/ray_sonic_bench"
+ROWS_PER_SF = 1_000_000  # sf0.1 -> 100k webpages rows
+ROW_GROUP = 8192
+
+
+def sf_of(d: str) -> float:
+    tail = d.rstrip("/").split("sf")[-1]
+    try:
+        return float(tail)
+    except ValueError:
+        return 0.1
+
+
+def prepare_webpages(sf: float) -> str:
+    """Deterministic webpages parquet dir (generated in parallel, cached)."""
+    import ray.data as rd
+
+    n_rows = max(2000, int(ROWS_PER_SF * sf))
+    out_dir = os.path.join(BENCH_ROOT, f"webpages_sf{sf}")
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    shard_rows = 16384
+    ranges = [
+        {"start": s, "n": min(shard_rows, n_rows - s), "ordinal": i}
+        for i, s in enumerate(range(0, n_rows, shard_rows))
+    ]
+
+    def gen(batch):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from supersonic_ray.fixtures import generate_webpages
+
+        for row in batch.to_pylist():
+            t = generate_webpages(row["n"], start_row=row["start"], html_tail=True)
+            pq.write_table(
+                t, os.path.join(out_dir, f"input-{row['ordinal']:05d}.parquet"), row_group_size=ROW_GROUP
+            )
+        return pa.table({"ordinal": [r["ordinal"] for r in batch.to_pylist()]})
+
+    rd.from_items(ranges).map_batches(gen, batch_size=1, batch_format="pyarrow").materialize()
+    with open(marker, "w") as f:
+        f.write(str(n_rows))
+    return out_dir
+
+
+def run_bench(ncpu: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sf = sf_of(SF_DIR)
+    queries: dict[str, float] = {}
+    extra: dict[str, object] = {}
+
+    input_dir = prepare_webpages(sf)
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    import pyarrow.parquet as pq_mod
+
+    for f in sorted(os.listdir(input_dir)):
+        if f.endswith(".parquet"):
+            pq_mod.read_metadata(os.path.join(input_dir, f))
+            with open(os.path.join(input_dir, f), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+
+    from supersonic_ray.pipelines import decode_partitions, encode_parquet
+
+    enc_dir = os.path.join(BENCH_ROOT, f"encoded_sf{sf}_cpu{ncpu}")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+
+    t0 = time.monotonic()
+    metrics = encode_parquet(
+        input_dir, enc_dir, target_rows=4 * ROW_GROUP, concurrency=max(2, ncpu - 2)
+    ).to_pandas()
+    t_enc = time.monotonic() - t0
+    bytes_in = int(metrics["bytes_in"].sum())
+    bytes_out = int(metrics["bytes_out"].sum())
+    queries["encode"] = round(t_enc, 3)
+    extra.update(
+        {
+            "encode_bytes_in": bytes_in,
+            "encode_bytes_out": bytes_out,
+            "encode_GBps": round(bytes_in / t_enc / 1e9, 4),
+            "compression_ratio": round(bytes_in / bytes_out, 3),
+            "n_partitions": len(metrics),
+        }
+    )
+
+    t0 = time.monotonic()
+    n_decoded = decode_partitions(enc_dir).count()
+    queries["decode"] = round(time.monotonic() - t0, 3)
+    extra["decoded_rows"] = n_decoded
+
+    # operator-layer queries at the sf dir (added as the layer grows)
+    try:
+        import __ray_entry__ as entry_mod
+
+        q = entry_mod.queries()
+        for name in ("q1_pricing_summary", "join_customer_orders", "topk_revenue"):
+            if name in q:
+                t0 = time.monotonic()
+                res = q[name](SF_DIR)
+                if hasattr(res, "to_pandas"):
+                    res.to_pandas() if not hasattr(res, "materialize") else res.materialize()
+                queries[name] = round(time.monotonic() - t0, 3)
+    except Exception:
+        pass
+
+    ray.shutdown()
+    return {
+        "metric": "webpages encode wall time (headline) + per-query seconds",
+        "value": queries["encode"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": ncpu,
+        **extra,
+    }
+
+
+def run_scaling() -> dict:
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8 = results[8]["encode_GBps"]
+    t32 = results[32]["encode_GBps"]
+    return {
+        "metric": "encode scaling efficiency (8 -> 32 CPUs)",
+        "value": round((t32 / t8) / 4.0, 3),
+        "unit": "efficiency",
+        "GBps_8": t8,
+        "GBps_32": t32,
+        "sec_8": results[8]["queries"]["encode"],
+        "sec_32": results[32]["queries"]["encode"],
+        "sf": results[32]["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench(NCPU)))

@@ -26,3 +26,32 @@ Nothing in this package calls ray.init(); sessions are owned by callers
 """
 
 __version__ = "0.1.0"
+
+
+def _tune_malloc() -> None:
+    """Keep large freed buffers in the process heap instead of
+    mmap/munmap-ing them per allocation.
+
+    Virtualized hosts charge ~100µs of fault-in per fresh 4 KiB page,
+    which turns every big numpy temporary into a ~30 MB/s wall.  Raising
+    the glibc mmap/trim thresholds means pages are faulted once per
+    worker and reused for every subsequent batch — the same reasoning as
+    the reference's reusable per-cursor Blocks and arenas
+    (supersonic/base/memory/memory.h, block.h:404-411).  Runs in every
+    process that imports this package, including Ray workers.
+    """
+    try:
+        import ctypes
+        import ctypes.util
+
+        libc = ctypes.CDLL(ctypes.util.find_library("c") or "libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_TOP_PAD, M_MMAP_THRESHOLD = -1, -2, -3
+        one_gib = 1 << 30
+        libc.mallopt(M_MMAP_THRESHOLD, one_gib)
+        libc.mallopt(M_TRIM_THRESHOLD, one_gib)
+        libc.mallopt(M_TOP_PAD, 1 << 26)
+    except Exception:
+        pass
+
+
+_tune_malloc()

@@ -15,11 +15,14 @@ compression at all — its strings live uncompressed in arenas
 (supersonic/base/memory/arena.h) and compression is delegated to a
 wrapping compressed file (cursor/infrastructure/file_io.h:60-63).
 
-Scale notes: a production deployment would swap the encode inner loop
-for the C FSST kernel; here the loop is Python but (a) tables are
-trained once per column-chunk on a bounded sample, (b) decode is fully
-vectorized via numpy fancy indexing, and (c) the codec composes with a
-zlib/bz2 backend wrap so the selector can trade speed for ratio.
+Scale notes: the byte-level inner loops compile to a tiny C kernel at
+first import (fsst_kernel.c via the system cc, ~60 MB/s/core encode);
+numpy-vectorized and scalar Python paths remain as verified fallbacks
+(tests assert byte-identical output across all three).  Tables are
+trained once per column-chunk on a bounded sample and can be reused
+across batches via ``FsstCodec(pretrained=...)`` in encoder actors;
+the codec composes with a zlib/bz2 backend wrap so the selector can
+trade speed for ratio.
 Row boundaries need not align with symbol boundaries: the whole
 concatenated buffer is encoded as one stream and original row lengths
 are stored (for_bitpack) for the split after decode.
@@ -90,7 +93,8 @@ def train_symbols(sample: bytes, iters: int = TRAIN_ITERS) -> list[bytes]:
     return symbols
 
 
-def encode_buffer(data: bytes, symbols: list[bytes]) -> bytes:
+def _encode_buffer_scalar(data: bytes, symbols: list[bytes]) -> bytes:
+    """Reference scalar encoder (greedy longest match, byte at a time)."""
     code_of = {s: i for i, s in enumerate(symbols)}
     by_first = _bucket_by_first(symbols)
     out = bytearray()
@@ -110,12 +114,116 @@ def encode_buffer(data: bytes, symbols: list[bytes]) -> bytes:
     return bytes(out)
 
 
-def decode_buffer(encoded: bytes, symbols: list[bytes]) -> bytes:
+_SLAB = 1 << 22  # 4 MiB slabs bound temporary memory
+
+
+def encode_buffer(data: bytes, symbols: list[bytes]) -> bytes:
+    """Vectorized greedy longest-match encode.
+
+    Per slab: build the 8-byte prefix window of every position once
+    (u64), then for each symbol length L resolve matches for ALL
+    positions with one searchsorted against that length's sorted key
+    table — best (len, code) per position falls out fully vectorized.
+    Only the greedy walk (pos += best_len[pos]) is a Python loop, and
+    it does one list-index + add per emitted token. Emission is a
+    vectorized scatter.  Same output semantics as the scalar encoder:
+    greedy longest match, escapes for uncovered bytes.
+    """
+    n = len(data)
+    if n == 0:
+        return b""
+    if not symbols or n < 64:
+        return _encode_buffer_scalar(data, symbols)
+    from ._native import LIB, NativeTable
+
+    if LIB is not None:
+        return NativeTable(symbols).encode(data)
+
+    # per-length sorted key tables
+    by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    single_code = np.full(256, 256, dtype=np.int64)  # 256 = escape marker
+    for code, s in enumerate(symbols):
+        if len(s) == 1:
+            single_code[s[0]] = code
+        else:
+            key = int.from_bytes(s, "big") << (8 * (MAX_SYM_LEN - len(s)))
+            by_len.setdefault(len(s), ([], []))[0].append(key)
+            by_len[len(s)][1].append(code)
+    tables = {}
+    for L, (keys, codes_l) in by_len.items():
+        k = np.array(keys, dtype=np.uint64)
+        c = np.array(codes_l, dtype=np.int64)
+        order = np.argsort(k)
+        tables[L] = (k[order], c[order])
+
+    d = np.frombuffer(data, dtype=np.uint8)
+    out_chunks: list[bytes] = []
+    slab_start = 0
+    while slab_start < n:
+        slab_end = min(slab_start + _SLAB, n)
+        m = slab_end - slab_start
+        # 8-byte big-endian window per position; pad reaches up to 8
+        # bytes past the slab so matches may cross the slab boundary
+        pad = np.zeros(m + MAX_SYM_LEN, dtype=np.uint8)
+        pad[:m] = d[slab_start:slab_end]
+        tail = d[slab_end : slab_end + MAX_SYM_LEN]
+        pad[m : m + len(tail)] = tail
+        w = np.zeros(m, dtype=np.uint64)
+        for j in range(MAX_SYM_LEN):
+            w |= pad[j : j + m].astype(np.uint64) << np.uint64(8 * (MAX_SYM_LEN - 1 - j))
+        best_len = np.ones(m, dtype=np.int64)
+        best_code = single_code[pad[:m]].copy()
+        for L in sorted(tables):
+            keys, codes_l = tables[L]
+            shift = np.uint64(8 * (MAX_SYM_LEN - L))
+            wl = (w >> shift) << shift
+            idx = np.searchsorted(keys, wl)
+            idx[idx == len(keys)] = 0
+            hit = keys[idx] == wl
+            # positions whose match would run past the end of DATA
+            limit = n - slab_start - L + 1  # first invalid position
+            if limit < m:
+                hit[max(limit, 0) :] = False
+            best_len[hit] = L
+            best_code[hit] = codes_l[idx[hit]]
+
+        # greedy walk (the only scalar loop: one list index + add per token)
+        bl = best_len.tolist()
+        positions = []
+        app = positions.append
+        pos = 0
+        while pos < m:
+            app(pos)
+            pos += bl[pos]
+
+        pos_arr = np.array(positions, dtype=np.int64)
+        codes_at = best_code[pos_arr]
+        esc = codes_at == 256
+        sizes = np.where(esc, 2, 1)
+        offs = np.zeros(len(pos_arr) + 1, dtype=np.int64)
+        np.cumsum(sizes, out=offs[1:])
+        out = np.empty(offs[-1], dtype=np.uint8)
+        out[offs[:-1][~esc]] = codes_at[~esc]
+        eo = offs[:-1][esc]
+        out[eo] = ESCAPE
+        out[eo + 1] = pad[pos_arr[esc]]
+        out_chunks.append(out.tobytes())
+        slab_start += pos  # pos may exceed m when a symbol crossed the boundary
+    return b"".join(out_chunks)
+
+
+def decode_buffer(encoded: bytes, symbols: list[bytes], out_size_hint: int | None = None) -> bytes:
     """Vectorized decode: classify escape/literal/code positions via the
     255-run parity trick, then splat each code's expansion with fancy
     indexing — one numpy op per distinct code, not per byte."""
     if not encoded:
         return b""
+    from ._native import LIB, NativeTable
+
+    if LIB is not None and out_size_hint is not None:
+        out = NativeTable(symbols).decode(encoded, out_size_hint)
+        if out is not None:
+            return out
     codes = np.frombuffer(encoded, dtype=np.uint8)
     n = len(codes)
     is255 = codes == ESCAPE
@@ -149,12 +257,15 @@ def decode_buffer(encoded: bytes, symbols: list[bytes]) -> bytes:
         sym_mat = np.zeros((256, MAX_SYM_LEN), dtype=np.uint8)
         for i, s in enumerate(symbols):
             sym_mat[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
-        rows = sym_mat[code_vals]  # (M, 8)
         lens = sym_len[code_vals]
-        col = np.arange(MAX_SYM_LEN)
-        mask = col < lens[:, None]
-        targets = out_off[code_pos][:, None] + col
-        out[targets[mask]] = rows[mask]
+        code_offs = out_off[code_pos]
+        # one scatter pass per symbol-byte position (≤8) — keeps peak
+        # temporary memory O(M) instead of O(8M) int64
+        for j in range(MAX_SYM_LEN):
+            sel = np.flatnonzero(lens > j)
+            if len(sel) == 0:
+                break
+            out[code_offs[sel] + j] = sym_mat[code_vals[sel], j]
     return out.tobytes()
 
 
@@ -207,7 +318,7 @@ class FsstCodec(Codec):
         pos += llen
         (elen,) = struct.unpack_from("<Q", payload, pos)
         pos += 8
-        data = decode_buffer(payload[pos : pos + elen], symbols)
+        data = decode_buffer(payload[pos : pos + elen], symbols, out_size_hint=int(lengths.sum()))
         return buffers_to_var_len(lengths, data, dtype)
 
 

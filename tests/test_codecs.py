@@ -175,3 +175,30 @@ def test_fsst_symbol_table_reuse():
 
 def test_codec_registry_complete():
     assert set(codec_names()) >= {"plain", "for_bitpack", "dict", "rle", "fsst"}
+
+
+def test_fsst_native_matches_python_paths():
+    """The C kernel, the numpy path and the scalar path produce the same
+    byte stream and all decode back to the original."""
+    from supersonic_ray.codecs import _native
+    from supersonic_ray.codecs.fsst import (
+        _encode_buffer_scalar,
+        decode_buffer,
+        encode_buffer,
+        train_symbols,
+    )
+
+    data = (b"<html><body>the quick brown fox " * 400)[:10000] + bytes(range(256)) * 4
+    syms = train_symbols(data)
+    scalar = _encode_buffer_scalar(data, syms)
+    if _native.LIB is not None:
+        native = _native.NativeTable(syms).encode(data)
+        assert native == scalar
+        assert _native.NativeTable(syms).decode(scalar, len(data)) == data
+    lib, _native.LIB = _native.LIB, None  # force the numpy path
+    try:
+        vec = encode_buffer(data, syms)
+        assert vec == scalar
+        assert decode_buffer(scalar, syms) == data
+    finally:
+        _native.LIB = lib
