@@ -76,13 +76,36 @@ def _bucket_by_first(symbols: list[bytes]) -> list[list[bytes]]:
     return by_first
 
 
+def _parse_pieces(sample: bytes, symbols: list[bytes]) -> list[bytes]:
+    """Greedy parse into pieces, via the C kernel when available."""
+    if not symbols:
+        return [sample[i : i + 1] for i in range(len(sample))]
+    from ._native import LIB, NativeTable
+
+    if LIB is None:
+        return _greedy_pieces(sample, _bucket_by_first(symbols))
+    enc = NativeTable(symbols).encode(sample)
+    pieces: list[bytes] = []
+    append = pieces.append
+    i, n = 0, len(enc)
+    while i < n:
+        c = enc[i]
+        if c == ESCAPE:
+            append(enc[i + 1 : i + 2])
+            i += 2
+        else:
+            append(symbols[c])
+            i += 1
+    return pieces
+
+
 def train_symbols(sample: bytes, iters: int = TRAIN_ITERS) -> list[bytes]:
     sample = sample[:TRAIN_SAMPLE_BYTES]
     if not sample:
         return []
     symbols: list[bytes] = []
     for _ in range(iters):
-        pieces = _greedy_pieces(sample, _bucket_by_first(symbols))
+        pieces = _parse_pieces(sample, symbols)
         cnt: Counter[bytes] = Counter(pieces)
         for a, b in zip(pieces, pieces[1:]):
             cat = a + b

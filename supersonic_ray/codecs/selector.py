@@ -29,7 +29,7 @@ SAMPLE_ROWS = 1024
 # speed penalty multipliers per backend: prefer cheap stacks unless the
 # heavyweight one genuinely wins on size
 _BACKEND_PENALTY = {"": 1.0, "zlib": 1.02, "bz2": 1.08, "lzma": 1.12}
-_CODEC_PENALTY = {"fsst": 1.02}
+_CODEC_PENALTY = {"fsst": 1.0}
 
 
 @dataclass
@@ -120,27 +120,58 @@ def _candidates(dtype: pa.DataType, st: ColumnStats) -> list[tuple[str, str]]:
     return uniq
 
 
+# The trial window must exceed one bz2 block (900 KB): below that,
+# compose-with-backend signals (e.g. fsst+bz2 vs plain+bz2) invert
+# relative to full-scale behavior.
+SAMPLE_BYTES_MIN = 1_300_000
+SAMPLE_BYTES_MAX = 4 << 20
+
+
+def _sample_slice(arr: pa.Array, sample_rows: int) -> pa.Array:
+    n = min(len(arr), sample_rows)
+    sample = arr.slice(0, n)
+    if not is_var_len(arr.type):
+        return sample
+    while sample.nbytes < SAMPLE_BYTES_MIN and n < len(arr):
+        n = min(len(arr), n * 2)
+        sample = arr.slice(0, n)
+    while n > 64 and sample.nbytes > SAMPLE_BYTES_MAX:
+        n //= 2
+        sample = arr.slice(0, n)
+    return sample
+
+
 def choose_codec(
     arr: pa.Array, stats: ColumnStats | None = None, sample_rows: int = SAMPLE_ROWS
 ) -> tuple[str, str]:
     """Pick (codec_name, backend_name) for this column chunk by trial-
-    encoding a sample of each rule-table candidate."""
+    encoding a sample.  Each candidate codec encodes the sample ONCE;
+    backend variants just compress that body — so e.g. fsst trains a
+    single trial symbol table regardless of how many backends compete."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     st = stats or column_stats(arr, sample_rows)
     if st.n == 0:
         return ("plain", "")
-    sample = arr.slice(0, min(len(arr), sample_rows))
-    best: tuple[float, int, tuple[str, str]] = (float("inf"), 0, ("plain", ""))
-    for i, (codec, backend) in enumerate(_candidates(arr.type, st)):
+    sample = _sample_slice(arr, sample_rows)
+    by_codec: dict[str, list[str]] = {}
+    for codec, backend in _candidates(arr.type, st):
+        by_codec.setdefault(codec, []).append(backend)
+    best: tuple[float, tuple[str, str]] = (float("inf"), ("plain", ""))
+    for codec, backends in by_codec.items():
         try:
-            size = len(encode_array(sample, codec, BACKEND_IDS[backend]))
+            body = encode_array(sample, codec, 0)
         except Exception:
             continue
-        score = size * _BACKEND_PENALTY[backend] * _CODEC_PENALTY.get(codec, 1.0)
-        if score < best[0]:
-            best = (score, i, (codec, backend))
-    return best[2]
+        for backend in backends:
+            if backend:
+                size = len(base._BACKEND_COMPRESS[BACKEND_IDS[backend]](body))
+            else:
+                size = len(body)
+            score = size * _BACKEND_PENALTY[backend] * _CODEC_PENALTY.get(codec, 1.0)
+            if score < best[0]:
+                best = (score, (codec, backend))
+    return best[1]
 
 
 def encode_auto(arr: pa.Array) -> tuple[bytes, str, str]:

@@ -225,6 +225,12 @@ class ShardEncoder:
         self.out_dir = out_dir
         self.chunk_rows = chunk_rows
         self.overrides = overrides
+        # per-actor codec-plan cache: selector trials + FSST symbol-table
+        # training run once per (actor, column), then every subsequent
+        # shard reuses the resolved kernels (north star: tables cached in
+        # stateful actor pools; reference analog: bind-once resolution,
+        # copy_column.h:47-66)
+        self._plans: dict[str, tuple[Any, int]] | None = None
         os.makedirs(out_dir, exist_ok=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -251,7 +257,9 @@ class ShardEncoder:
             }
         pf = pq.ParquetFile(shard["path"])
         table = pf.read_row_groups(shard["row_groups"])
-        blob, col_metrics = encode_table_to_blob(table, self.chunk_rows, plans=None if not self.overrides else resolve_column_plans(table, self.overrides))
+        if self._plans is None:
+            self._plans = resolve_column_plans(table, self.overrides)
+        blob, col_metrics = encode_table_to_blob(table, self.chunk_rows, plans=self._plans)
         write_atomic(data_path(self.out_dir, pid), blob)
         wall = time.monotonic() - t0
         manifest = PartitionManifest(
