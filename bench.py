@@ -26,8 +26,8 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32") or 32)
 BENCH_ROOT = "/tmp/ray_sonic_bench"
-ROWS_PER_SF = 1_000_000  # sf0.1 -> 100k webpages rows
-ROW_GROUP = 8192
+ROWS_PER_SF = 10_000_000  # sf0.1 -> 1M webpages rows (~2.4 GB)
+ROW_GROUP = 4096
 
 
 def sf_of(d: str) -> float:
@@ -43,7 +43,7 @@ def prepare_webpages(sf: float) -> str:
     import ray.data as rd
 
     n_rows = max(2000, int(ROWS_PER_SF * sf))
-    out_dir = os.path.join(BENCH_ROOT, f"webpages_sf{sf}")
+    out_dir = os.path.join(BENCH_ROOT, f"webpages_sf{sf}_r{n_rows}")
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):
         return out_dir
@@ -110,7 +110,7 @@ def run_bench(ncpu: int) -> dict:
 
     t0 = time.monotonic()
     metrics = encode_parquet(
-        input_dir, enc_dir, target_rows=4 * ROW_GROUP, concurrency=max(2, ncpu - 2)
+        input_dir, enc_dir, target_rows=2 * ROW_GROUP, concurrency=max(2, ncpu - 2)
     ).to_pandas()
     t_enc = time.monotonic() - t0
     bytes_in = int(metrics["bytes_in"].sum())

@@ -221,16 +221,23 @@ class ShardEncoder:
     here beyond imports) happens once per actor; FSST tables are per
     partition by design (embedded in blobs)."""
 
-    def __init__(self, out_dir: str, chunk_rows: int = CHUNK_ROWS, overrides: dict | None = None):
+    def __init__(
+        self,
+        out_dir: str,
+        chunk_rows: int = CHUNK_ROWS,
+        overrides: dict | None = None,
+        plans: dict[str, tuple[Any, int]] | None = None,
+    ):
         self.out_dir = out_dir
         self.chunk_rows = chunk_rows
         self.overrides = overrides
-        # per-actor codec-plan cache: selector trials + FSST symbol-table
-        # training run once per (actor, column), then every subsequent
-        # shard reuses the resolved kernels (north star: tables cached in
-        # stateful actor pools; reference analog: bind-once resolution,
+        # codec-plan cache: either driver-resolved global plans shipped
+        # in (plan_scope="global"), or resolved once per actor on its
+        # first shard — selector trials + FSST symbol-table training are
+        # never repeated per batch (north star: tables cached in stateful
+        # actor pools; reference analog: bind-once kernel resolution,
         # copy_column.h:47-66)
-        self._plans: dict[str, tuple[Any, int]] | None = None
+        self._plans: dict[str, tuple[Any, int]] | None = plans
         os.makedirs(out_dir, exist_ok=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -296,9 +303,20 @@ def encode_parquet(
     concurrency: int | tuple[int, int] | None = None,
     chunk_rows: int = CHUNK_ROWS,
     overrides: dict | None = None,
+    plan_scope: str = "global",
 ):
     """Shard-planned encode: returns the (lazy) Dataset of per-partition
-    metrics rows; consume it (e.g. ``.to_pandas()``) to run the job."""
+    metrics rows; consume it (e.g. ``.to_pandas()``) to run the job.
+
+    plan_scope="global" (default): codec selection + FSST symbol-table
+    training run ONCE on the driver against a sample shard, and the
+    resolved plans ship to every encoder actor — selector/training cost
+    is O(1) instead of O(actors), and output bytes are deterministic
+    under retries regardless of shard→actor assignment.  Right for
+    homogeneous corpora (a web crawl).  plan_scope="partition" resolves
+    per partition inside the actors for heterogeneous inputs; manifests
+    record the choice either way.
+    """
     import ray.data as rd
 
     shards = plan_shards(input_path, target_rows)
@@ -307,9 +325,20 @@ def encode_parquet(
         import ray
 
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    plans = None
+    if plan_scope == "global" and shards:
+        sample = pq.ParquetFile(shards[0]["path"]).read_row_groups(
+            shards[0]["row_groups"][:1]
+        )
+        plans = resolve_column_plans(sample, overrides)
     return ds.map_batches(
         ShardEncoder,
-        fn_constructor_kwargs={"out_dir": out_dir, "chunk_rows": chunk_rows, "overrides": overrides},
+        fn_constructor_kwargs={
+            "out_dir": out_dir,
+            "chunk_rows": chunk_rows,
+            "overrides": overrides,
+            "plans": plans,
+        },
         batch_size=1,
         concurrency=concurrency,
         num_cpus=1,
