@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() per operator, oracle_sql().
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — no
+ray.init()/shutdown() anywhere in here or the library.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each queries() entry exercises one operator family from SURVEY.md §2
+through the supersonic_ray stages/functions layers; the matching
+oracle_sql() is ANSI SQL for DuckDB over the same parquet views.
+Column names match exactly (driver hashes values with columns sorted by
+name); float aggregates are rounded on BOTH sides so partial-sum
+ordering cannot flip the hash.
 """
 
 from __future__ import annotations
@@ -18,27 +16,776 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _ld(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _pq(sf_dir: str, table: str) -> pa.Table:
+    import pyarrow.parquet as pqm
+
+    return pqm.read_table(f"{sf_dir}/{table}.parquet")
+
+
+# --------------------------------------------------------------- pipelines
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 flavor: filter → compute → partial+final group aggregate
+    (SURVEY.md §2.6 GroupAggregate / BestEffort partial contract)."""
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
+    from supersonic_ray.stages.ops import compute, filter_expr
+
+    ds = _ld(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])
+    ds = filter_expr(ds, lambda t: pc.less_equal(t.column("l_shipdate"), pa.scalar(pd.Timestamp("1998-09-02"))))
+    ds = compute(ds, {"disc_price": lambda t: pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))})
+    out = group_aggregate(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        [
+            AggSpec("sum", "l_quantity", "sum_qty"),
+            AggSpec("sum", "disc_price", "sum_disc_price"),
+            AggSpec("count", None, "count_order"),
+        ],
+    ).to_pandas()
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_disc_price"] = out["sum_disc_price"].round(2)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q3_top_orders(sf_dir: str):
+    """Broadcast hash join chain + group aggregate + top-k."""
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
+    from supersonic_ray.stages.joins import broadcast_hash_join
+
+    cust = _pq(sf_dir, "customer").select(["c_custkey", "c_mktsegment"])
+    cust = cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+    orders = _ld(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = broadcast_hash_join(orders, cust, ["o_custkey"], ["c_custkey"])
+    li = _pq(sf_dir, "lineitem").select(["l_orderkey", "l_extendedprice", "l_discount"])
+    from supersonic_ray.stages.joins import semi_join
+
+    li_ds = _ld(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    okeys = joined.to_pandas()[["o_orderkey"]]
+    import ray
+
+    li_f = semi_join(li_ds, pa.table({"k": okeys["o_orderkey"]}), ["l_orderkey"])
+    from supersonic_ray.stages.ops import compute
+
+    li_f = compute(li_f, {"revenue": lambda t: pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))})
+    rev = group_aggregate(li_f, ["l_orderkey"], [AggSpec("sum", "revenue", "revenue")]).to_pandas()
+    rev["revenue"] = rev["revenue"].round(2)
+    out = rev.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    return out.reset_index(drop=True)
+
+
+def q5_region_revenue(sf_dir: str):
+    """Multi-way broadcast join through the star schema + group."""
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
+    from supersonic_ray.stages.joins import broadcast_hash_join
+    from supersonic_ray.stages.ops import compute
+
+    region = _pq(sf_dir, "region")
+    nation = _pq(sf_dir, "nation")
+    cust = _pq(sf_dir, "customer").select(["c_custkey", "c_nationkey"])
+    orders = _ld(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    nr = nation.join(region, keys=["n_regionkey"], right_keys=["r_regionkey"])
+    o_n = broadcast_hash_join(orders, cust, ["o_custkey"], ["c_custkey"])
+    o_n = broadcast_hash_join(o_n, nr.select(["n_nationkey", "n_name", "r_name"]), ["c_nationkey"], ["n_nationkey"])
+    li = _ld(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    li = compute(li, {"revenue": lambda t: pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))})
+    omap = o_n.to_pandas()[["o_orderkey", "r_name"]]
+    li_pd = li.to_pandas().merge(omap, left_on="l_orderkey", right_on="o_orderkey")
+    out = li_pd.groupby("r_name", as_index=False)["revenue"].sum().rename(columns={"revenue": "revenue"})
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+def agg_scalar(sf_dir: str):
+    from supersonic_ray.stages.aggregates import AggSpec, scalar_aggregate
+
+    ds = _ld(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_suppkey"])
+    t = scalar_aggregate(
+        ds,
+        [
+            AggSpec("sum", "l_quantity", "sum_qty"),
+            AggSpec("min", "l_extendedprice", "min_price"),
+            AggSpec("max", "l_extendedprice", "max_price"),
+            AggSpec("count", None, "n_rows"),
+            AggSpec("count", "l_suppkey", "n_supp", distinct=True),
+        ],
+    ).to_pandas()
+    t["sum_qty"] = t["sum_qty"].round(2)
+    return t
+
+
+def agg_distinct(sf_dir: str):
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
+
+    ds = _ld(sf_dir, "lineitem", ["l_returnflag", "l_suppkey", "l_partkey"])
+    out = group_aggregate(
+        ds,
+        ["l_returnflag"],
+        [
+            AggSpec("count", "l_suppkey", "n_supp", distinct=True),
+            AggSpec("count", "l_partkey", "n_part", distinct=True),
+        ],
+    ).to_pandas()
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def agg_concat(sf_dir: str):
+    """CONCAT aggregate (supersonic.proto:91-99) with explicit order."""
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
+
+    ds = _ld(sf_dir, "nation", ["n_regionkey", "n_name"])
+    out = group_aggregate(
+        ds,
+        ["n_regionkey"],
+        [AggSpec("concat", "n_name", "names", order_by="n_name")],
+    ).to_pandas()
+    return out.sort_values("n_regionkey").reset_index(drop=True)
+
+
+def agg_first_last(sf_dir: str):
+    """FIRST/LAST with explicit order (deterministic variant)."""
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
+
+    ds = _ld(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    out = group_aggregate(
+        ds,
+        ["o_custkey"],
+        [
+            AggSpec("first", "o_totalprice", "first_price", order_by="o_orderkey"),
+            AggSpec("last", "o_totalprice", "last_price", order_by="o_orderkey"),
+        ],
+    ).to_pandas()
+    out[["first_price", "last_price"]] = out[["first_price", "last_price"]].round(2)
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def expr_arithmetic(sf_dir: str):
+    """Arithmetic with the Nulling error policy (SURVEY.md §2.3)."""
+    from supersonic_ray.functions import expressions as E
+    from supersonic_ray.stages.ops import compute, filter_expr, project
+
+    ds = _ld(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"])
+    ds = compute(
+        ds,
+        {
+            "qd": lambda t: E.divide(t.column("l_quantity"), t.column("l_discount"), E.NULLING),
+            "txq": lambda t: E.multiply(t.column("l_tax"), t.column("l_quantity")),
+            "odd_line": lambda t: E.is_odd(t.column("l_linenumber")),
+        },
+    )
+    ds = filter_expr(ds, lambda t: pc.less(t.column("l_orderkey"), 1000))
+    out = project(ds, ["l_orderkey", "l_linenumber", "qd", "txq", "odd_line"]).to_pandas()
+    out["qd"] = out["qd"].round(4)
+    out["txq"] = out["txq"].round(4)
+    return out.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
+def expr_case_in(sf_dir: str):
+    from supersonic_ray.functions import expressions as E
+    from supersonic_ray.stages.ops import compute, project
+
+    ds = _ld(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderpriority"])
+    ds = compute(
+        ds,
+        {
+            "status_rank": lambda t: E.case(t.column("o_orderstatus"), [("F", 1), ("O", 2), ("P", 3)], 0),
+            "is_urgent": lambda t: E.in_(t.column("o_orderpriority"), ["1-URGENT", "2-HIGH"]),
+        },
+    )
+    return project(ds, ["o_orderkey", "status_rank", "is_urgent"]).to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+
+
+def expr_string(sf_dir: str):
+    from supersonic_ray.functions import expressions as E
+    from supersonic_ray.stages.ops import compute, project
+
+    ds = _ld(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    ds = compute(
+        ds,
+        {
+            "upper_name": lambda t: E.to_upper(t.column("c_name")),
+            "lower_seg": lambda t: E.to_lower(t.column("c_mktsegment")),
+            "name_len": lambda t: pc.cast(E.length(t.column("c_name")), pa.int64()),
+            "name_prefix": lambda t: E.substring(t.column("c_name"), 1, 8),
+            "tagged": lambda t: E.concat(t.column("c_mktsegment"), pc.cast(t.column("c_custkey"), pa.string())),
+            "has_zero": lambda t: E.string_contains(t.column("c_name"), "0"),
+        },
+    )
+    return (
+        project(ds, ["c_custkey", "upper_name", "lower_seg", "name_len", "name_prefix", "tagged", "has_zero"])
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+
+
+def expr_regexp(sf_dir: str):
+    """RE2-style regexp ops (regexp_expressions.h:34-76)."""
+    from supersonic_ray.functions import expressions as E
+    from supersonic_ray.stages.ops import compute, project
+
+    ds = _ld(sf_dir, "events", ["event_id", "props"])
+    ds = compute(
+        ds,
+        {
+            "has_digit_pair": lambda t: E.regexp_partial_match(t.column("props"), r"[0-9]{2}"),
+            "cleaned": lambda t: E.regexp_replace(t.column("props"), r"[0-9]+", "#"),
+        },
+    )
+    return project(ds, ["event_id", "has_digit_pair", "cleaned"]).to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+def expr_math(sf_dir: str):
+    from supersonic_ray.functions import expressions as E
+    from supersonic_ray.stages.ops import compute, project
+
+    ds = _ld(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+    ds = compute(
+        ds,
+        {
+            "price_sqrt": lambda t: E.sqrt(t.column("p_retailprice"), E.NULLING),
+            "price_ln": lambda t: E.ln(t.column("p_retailprice"), E.NULLING),
+            "size_abs": lambda t: pc.cast(E.abs_(t.column("p_size")), pa.int32()),
+            "price_round": lambda t: E.round_(t.column("p_retailprice")),
+        },
+    )
+    out = project(ds, ["p_partkey", "price_sqrt", "price_ln", "size_abs", "price_round"]).to_pandas()
+    out["price_sqrt"] = out["price_sqrt"].round(6)
+    out["price_ln"] = out["price_ln"].round(6)
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def expr_date(sf_dir: str):
+    """Date field extractors (date_expressions.h:31-175) + group."""
+    from supersonic_ray.functions import expressions as E
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
+    from supersonic_ray.stages.ops import compute
+
+    ds = _ld(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+    ds = compute(
+        ds,
+        {
+            "yr": lambda t: pc.cast(E.year(t.column("o_orderdate")), pa.int64()),
+            "mo": lambda t: pc.cast(E.month(t.column("o_orderdate")), pa.int64()),
+        },
+    )
+    out = group_aggregate(
+        ds, ["yr", "mo"], [AggSpec("count", None, "n_orders"), AggSpec("sum", "o_totalprice", "total")]
+    ).to_pandas()
+    out["total"] = out["total"].round(2)
+    return out.sort_values(["yr", "mo"]).reset_index(drop=True)
+
+
+def expr_fingerprint(sf_dir: str):
+    """Hashing expressions analog, oracle-checkable via md5."""
+    from supersonic_ray.stages.text import md5_fingerprint
+
+    ds = _ld(sf_dir, "region", ["r_regionkey", "r_name"])
+    out = md5_fingerprint(ds, "r_name", alias="fp").to_pandas()
+    return out.sort_values("r_regionkey").reset_index(drop=True)
+
+
+def sort_multikey(sf_dir: str):
+    from supersonic_ray.stages.ops import sort
+
+    ds = _ld(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"])
+    out = sort(ds, ["l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber"], [False, True, False, False]).limit(100)
+    return out.to_pandas()
+
+
+def topk_orders(sf_dir: str):
+    from supersonic_ray.stages.ops import top_k
+
+    ds = _ld(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    from supersonic_ray.stages.ops import compute
+
+    # deterministic tiebreak on o_orderkey ascending
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(15)
+    return out.to_pandas()
+
+
+def limit_offset_orders(sf_dir: str):
+    from supersonic_ray.stages.ops import limit_offset, sort
+
+    ds = sort(_ld(sf_dir, "orders", ["o_orderkey", "o_totalprice"]), ["o_orderkey"])
+    return limit_offset(ds, limit=20, offset=50).to_pandas()
+
+
+def merge_union(sf_dir: str):
+    """MergeUnionAll of two sorted same-schema streams."""
+    from supersonic_ray.stages.ops import merge_union_all, filter_expr, sort
+
+    ds = _ld(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    a = sort(filter_expr(ds, lambda t: pc.equal(pc.bit_wise_and(t.column("o_orderkey"), 1), 0)), ["o_orderkey"])
+    ds2 = _ld(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    b = sort(filter_expr(ds2, lambda t: pc.equal(pc.bit_wise_and(t.column("o_orderkey"), 1), 1)), ["o_orderkey"])
+    return merge_union_all(a, b, ["o_orderkey"]).to_pandas()
+
+
+def dedup_exact_docs(sf_dir: str):
+    """Exact dedup on text content, keep min doc_id."""
+    from supersonic_ray.stages.text import exact_dedup
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = exact_dedup(ds, "text", "doc_id").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def semi_join_customers(sf_dir: str):
+    from supersonic_ray.stages.joins import semi_join
+
+    cust = _ld(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _pq(sf_dir, "orders").select(["o_custkey"])
+    out = semi_join(cust, pa.table({"k": orders.column("o_custkey")}), ["c_custkey"]).to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def anti_join_customers(sf_dir: str):
+    from supersonic_ray.stages.joins import anti_join
+
+    cust = _ld(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _pq(sf_dir, "orders").select(["o_custkey"])
+    out = anti_join(cust, pa.table({"k": orders.column("o_custkey")}), ["c_custkey"]).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"), "c_name": pd.Series([], dtype="object")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def left_outer_join(sf_dir: str):
+    """LEFT_OUTER hash join with null padding (hash_join.h:37-38)."""
+    from supersonic_ray.stages.joins import LEFT_OUTER, broadcast_hash_join
+
+    supp = _ld(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    nation = _pq(sf_dir, "nation").select(["n_nationkey", "n_name"])
+    nation = nation.filter(pc.less(nation.column("n_nationkey"), 10))
+    out = broadcast_hash_join(supp, nation, ["s_nationkey"], ["n_nationkey"], LEFT_OUTER).to_pandas()
+    out = out[["s_suppkey", "s_name", "n_name"]]
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+def running_sum_events(sf_dir: str):
+    """RunningSum per ordered partition (stateful_expressions.h:39-69)."""
+    from supersonic_ray.stages.stateful import apply_running, running_sum
+
+    ds = _ld(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = apply_running(
+        ds, ["user_id"], ["ts", "event_id"], {"run_value": lambda g: running_sum(g["value"])}
+    ).to_pandas()
+    out["run_value"] = out["run_value"].round(4)
+    out = out[["event_id", "user_id", "run_value"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def stateful_changed(sf_dir: str):
+    from supersonic_ray.stages.stateful import apply_running, changed
+
+    ds = _ld(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    out = apply_running(
+        ds, ["user_id"], ["ts", "event_id"], {"type_changed": lambda g: changed(g["event_type"])}
+    ).to_pandas()
+    out = out[["event_id", "type_changed"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def smudge_events(sf_dir: str):
+    """Smudge (LOCF) over values nulled below a threshold."""
+    from supersonic_ray.stages.ops import compute
+    from supersonic_ray.stages.stateful import apply_running, smudge
+
+    ds = _ld(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    ds = compute(ds, {"v": lambda t: pc.if_else(pc.less(t.column("value"), 0.5), pa.nulls(t.num_rows, pa.float64()), t.column("value"))})
+    out = apply_running(ds, ["user_id"], ["ts", "event_id"], {"v_filled": lambda g: smudge(g["v"])}).to_pandas()
+    out["v_filled"] = out["v_filled"].round(4)
+    out = out[["event_id", "v_filled"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def window_tumbling(sf_dir: str):
+    """Tumbling 5-minute windows per user (streaming-shaped workload)."""
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
+    from supersonic_ray.stages.ops import compute
+
+    ds = _ld(sf_dir, "events", ["user_id", "ts", "value"])
+    ds = compute(
+        ds,
+        {"win": lambda t: pc.cast(pc.floor(pc.divide(pc.cast(pc.cast(t.column("ts"), pa.int64()), pa.float64()), 300_000_000.0)), pa.int64())},
+    )
+    out = group_aggregate(ds, ["user_id", "win"], [AggSpec("count", None, "n_events"), AggSpec("sum", "value", "sum_value")]).to_pandas()
+    out["sum_value"] = out["sum_value"].round(4)
+    return out.sort_values(["user_id", "win"]).reset_index(drop=True)
+
+
+def token_count_docs(sf_dir: str):
+    from supersonic_ray.stages.text import token_count
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "text"])
+    out = token_count(ds, "text", "n_tokens").to_pandas()
+    out = out[["doc_id", "n_tokens"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def quality_docs(sf_dir: str):
+    """Quality scoring (rows-only check: Python text heuristics)."""
+    from supersonic_ray.stages.text import TextQuality
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(TextQuality, batch_format="pandas", concurrency=2).to_pandas()
+    out = out[["doc_id", "n_chars_q", "n_tokens", "stopword_ratio", "punct_ratio"]].round(6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def lang_id_docs(sf_dir: str):
+    from supersonic_ray.stages.text import LangId
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = ds.map_batches(LangId, batch_format="pandas", concurrency=2).to_pandas()
+    return out[["doc_id", "lang", "lang_pred"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def minhash_dedup_docs(sf_dir: str):
+    from supersonic_ray.stages.text import minhash_lsh_dedup
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "text"])
+    out = minhash_lsh_dedup(ds, "text", "doc_id").to_pandas()
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def simhash_dedup_docs(sf_dir: str):
+    from supersonic_ray.stages.text import simhash_dedup
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "text"])
+    out = simhash_dedup(ds, "text", "doc_id").to_pandas()
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def ngram_jaccard_docs(sf_dir: str):
+    from supersonic_ray.stages.text import ngram_jaccard_pairs
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, "text", "doc_id", k=3, threshold=0.5).to_pandas()
+    out["jaccard"] = out["jaccard"].round(4)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def ann_topk_embeddings(sf_dir: str):
+    from supersonic_ray.stages.vectors import ann_brute_force_topk
+
+    emb = _pq(sf_dir, "embeddings")
+    queries = np.array(emb.column("embedding").to_pylist()[:3], dtype=np.float32)
+    ds = _ld(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann_brute_force_topk(ds, "embedding", "vec_id", queries, k=5).to_pandas()
+    return out[["query_id", "vec_id"]].sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
+def ann_lsh_embeddings(sf_dir: str):
+    from supersonic_ray.stages.vectors import ann_lsh_topk
+
+    emb = _pq(sf_dir, "embeddings")
+    queries = np.array(emb.column("embedding").to_pylist()[:3], dtype=np.float32)
+    ds = _ld(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann_lsh_topk(ds, "embedding", "vec_id", queries, k=5).to_pandas()
+    return out[["query_id", "vec_id"]].sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
+def embedding_neardup(sf_dir: str):
+    from supersonic_ray.stages.vectors import embedding_neardup_pairs
+
+    ds = _ld(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.92).to_pandas()
+    if out.empty or "id_a" not in out.columns:
+        out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")})
+    return out[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def multimodal_decode(sf_dir: str):
+    """Multimodal plumbing: binary blobs through an actor-pool decoder
+    (deterministic fake decode — real decoder documented as stub)."""
+    from supersonic_ray.stages.multimodal import decode_images
+    from supersonic_ray.stages.ops import compute
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "text"])
+    ds = compute(
+        ds,
+        {"blob": lambda t: pc.cast(pc.fill_null(t.column("text"), ""), pa.binary())},
+    ).select_columns(["doc_id", "blob"])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["media_id", "blob"])
+
+    ds = ds.map_batches(rename, batch_format="pyarrow")
+    out = decode_images(ds, "blob", "media_id", decoder="fake", concurrency=2).to_pandas()
+    return out[["media_id", "width", "height", "channels"]].sort_values("media_id").reset_index(drop=True)
+
+
+def encode_roundtrip_docs(sf_dir: str):
+    """The flagship invariant as a query: documents → RSB encode →
+    decode → identical table (oracle: SELECT * FROM documents)."""
+    import tempfile
+
+    from supersonic_ray.pipelines import decode_partitions, encode_dataset
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ds = _ld(sf_dir, "documents")
+        encode_dataset(ds, tmp, batch_size=4096, concurrency=2).materialize()
+        out = decode_partitions(tmp, concurrency=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def encode_roundtrip_lineitem(sf_dir: str):
+    import tempfile
+
+    from supersonic_ray.pipelines import decode_partitions, encode_dataset
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ds = _ld(sf_dir, "lineitem")
+        encode_dataset(ds, tmp, batch_size=16384, concurrency=2).materialize()
+        out = decode_partitions(tmp, concurrency=2).to_pandas()
+    return out.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: encode → decode round trip over the
+    documents table; returns the decoded Dataset-equivalent table."""
+    return encode_roundtrip_docs("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q5_region_revenue": q5_region_revenue,
+        "agg_scalar": agg_scalar,
+        "agg_distinct": agg_distinct,
+        "agg_concat": agg_concat,
+        "agg_first_last": agg_first_last,
+        "expr_arithmetic": expr_arithmetic,
+        "expr_case_in": expr_case_in,
+        "expr_string": expr_string,
+        "expr_regexp": expr_regexp,
+        "expr_math": expr_math,
+        "expr_date": expr_date,
+        "expr_fingerprint": expr_fingerprint,
+        "sort_multikey": sort_multikey,
+        "topk_orders": topk_orders,
+        "limit_offset_orders": limit_offset_orders,
+        "merge_union": merge_union,
+        "dedup_exact_docs": dedup_exact_docs,
+        "semi_join_customers": semi_join_customers,
+        "anti_join_customers": anti_join_customers,
+        "left_outer_join": left_outer_join,
+        "running_sum_events": running_sum_events,
+        "stateful_changed": stateful_changed,
+        "smudge_events": smudge_events,
+        "window_tumbling": window_tumbling,
+        "token_count_docs": token_count_docs,
+        "quality_docs": quality_docs,
+        "lang_id_docs": lang_id_docs,
+        "minhash_dedup_docs": minhash_dedup_docs,
+        "simhash_dedup_docs": simhash_dedup_docs,
+        "ngram_jaccard_docs": ngram_jaccard_docs,
+        "ann_topk_embeddings": ann_topk_embeddings,
+        "ann_lsh_embeddings": ann_lsh_embeddings,
+        "embedding_neardup": embedding_neardup,
+        "multimodal_decode": multimodal_decode,
+        "encode_roundtrip_docs": encode_roundtrip_docs,
+        "encode_roundtrip_lineitem": encode_roundtrip_lineitem,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT l_orderkey AS l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders JOIN customer ON o_custkey = c_custkey
+                WHERE c_mktsegment = 'BUILDING')
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "q5_region_revenue": """
+            SELECT r_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "agg_scalar": """
+            SELECT round(sum(l_quantity), 2) AS sum_qty,
+                   min(l_extendedprice) AS min_price,
+                   max(l_extendedprice) AS max_price,
+                   count(*) AS n_rows,
+                   count(DISTINCT l_suppkey) AS n_supp
+            FROM lineitem
+        """,
+        "agg_distinct": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_suppkey) AS n_supp,
+                   count(DISTINCT l_partkey) AS n_part
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "agg_concat": """
+            SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+            FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+        """,
+        "agg_first_last": """
+            SELECT o_custkey,
+                   round(arg_min(o_totalprice, o_orderkey), 2) AS first_price,
+                   round(arg_max(o_totalprice, o_orderkey), 2) AS last_price
+            FROM orders GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        "expr_arithmetic": """
+            SELECT l_orderkey, l_linenumber,
+                   round(CASE WHEN l_discount = 0 THEN NULL ELSE l_quantity / l_discount END, 4) AS qd,
+                   round(l_tax * l_quantity, 4) AS txq,
+                   (l_linenumber % 2) = 1 AS odd_line
+            FROM lineitem WHERE l_orderkey < 1000
+            ORDER BY l_orderkey, l_linenumber
+        """,
+        "expr_case_in": """
+            SELECT o_orderkey,
+                   CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2 WHEN 'P' THEN 3 ELSE 0 END AS status_rank,
+                   o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_urgent
+            FROM orders ORDER BY o_orderkey
+        """,
+        "expr_string": """
+            SELECT c_custkey,
+                   upper(c_name) AS upper_name,
+                   lower(c_mktsegment) AS lower_seg,
+                   length(c_name) AS name_len,
+                   substring(c_name, 1, 8) AS name_prefix,
+                   c_mktsegment || CAST(c_custkey AS VARCHAR) AS tagged,
+                   contains(c_name, '0') AS has_zero
+            FROM customer ORDER BY c_custkey
+        """,
+        "expr_regexp": """
+            SELECT event_id,
+                   regexp_matches(props, '[0-9]{2}') AS has_digit_pair,
+                   regexp_replace(props, '[0-9]+', '#', 'g') AS cleaned
+            FROM events ORDER BY event_id
+        """,
+        "expr_math": """
+            SELECT p_partkey,
+                   round(sqrt(p_retailprice), 6) AS price_sqrt,
+                   round(ln(p_retailprice), 6) AS price_ln,
+                   abs(p_size) AS size_abs,
+                   round(p_retailprice) AS price_round
+            FROM part ORDER BY p_partkey
+        """,
+        "expr_date": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   CAST(month(o_orderdate) AS BIGINT) AS mo,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY yr, mo ORDER BY yr, mo
+        """,
+        "expr_fingerprint": """
+            SELECT r_regionkey, r_name, md5(r_name) AS fp
+            FROM region ORDER BY r_regionkey
+        """,
+        "sort_multikey": """
+            SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate
+            FROM lineitem
+            ORDER BY l_returnflag ASC, l_shipdate DESC, l_orderkey ASC, l_linenumber ASC
+            LIMIT 100
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15
+        """,
+        "limit_offset_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_orderkey LIMIT 20 OFFSET 50
+        """,
+        "merge_union": """
+            SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey
+        """,
+        "dedup_exact_docs": """
+            SELECT doc_id, text, lang FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+            ORDER BY doc_id
+        """,
+        "semi_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "left_outer_join": """
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 10)
+                 ON s_nationkey = n_nationkey
+            ORDER BY s_suppkey
+        """,
+        "running_sum_events": """
+            SELECT event_id, user_id,
+                   round(sum(coalesce(value, 0)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING), 4) AS run_value
+            FROM events ORDER BY event_id
+        """,
+        "stateful_changed": """
+            SELECT event_id,
+                   coalesce(event_type IS DISTINCT FROM
+                            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id), TRUE)
+                   AS type_changed
+            FROM events ORDER BY event_id
+        """,
+        "smudge_events": """
+            SELECT event_id,
+                   round(last_value(CASE WHEN value < 0.5 THEN NULL ELSE value END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING), 4) AS v_filled
+            FROM events ORDER BY event_id
+        """,
+        "window_tumbling": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 300) AS BIGINT) AS win,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY user_id, win ORDER BY user_id, win
+        """,
+        "token_count_docs": """
+            SELECT doc_id,
+                   CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                        ELSE length(regexp_extract_all(trim(text), '\\S+')) END AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "encode_roundtrip_docs": """
+            SELECT * FROM documents ORDER BY doc_id
+        """,
+        "encode_roundtrip_lineitem": """
+            SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber
+        """,
+    }

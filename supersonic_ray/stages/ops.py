@@ -1,0 +1,154 @@
+"""Relational operators over ray.data.Dataset (SURVEY.md §2.2, 2.7, 2.8).
+
+Each operator is a function Dataset → Dataset built from map_batches
+over zero-copy Arrow batches — the reference's Cursor tree re-expressed
+as Ray Data lineage.  Factory-style naming follows the reference
+(compute ≈ Compute, filter_expr ≈ Filter, project ≈ Project, …).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def compute(ds, exprs: dict[str, Callable[[pa.Table], pa.Array]], keep_input: bool = True):
+    """Compute(expr, child) (cursor/core/compute.h:32-40): evaluate named
+    expressions per batch; output schema = input (+/-) computed columns."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = batch if keep_input else batch.select([])
+        for name, expr in exprs.items():
+            col = expr(batch)
+            if name in out.column_names:
+                out = out.set_column(out.column_names.index(name), name, col)
+            else:
+                out = out.append_column(name, col)
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def project(ds, columns: list[str] | dict[str, str]):
+    """Project (cursor/core/project.h:30-38): select/reorder/rename —
+    pure pointer shuffling per batch, zero copy."""
+    if isinstance(columns, dict):
+
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({new: batch.column(old) for old, new in columns.items()})
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.select_columns(columns)
+
+
+def filter_expr(ds, pred: Callable[[pa.Table], pa.Array]):
+    """Filter (cursor/core/filter.h:35-48): vectorized predicate → gather
+    passing rows; Ray Data compacts blocks automatically."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = pred(batch)
+        return batch.filter(pc.fill_null(mask, False))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def coalesce_zip(ds_a, ds_b):
+    """Coalesce(children) (cursor/core/coalesce.h:33-40): zip columns of
+    equal-length streams into one wide stream; duplicate names error."""
+    a_names = set(ds_a.schema().names)
+    b_names = set(ds_b.schema().names)
+    dup = a_names & b_names
+    if dup:
+        raise ValueError(f"Coalesce: duplicate attribute names {sorted(dup)}")
+    return ds_a.zip(ds_b)
+
+
+def limit_offset(ds, limit: int | None = None, offset: int = 0):
+    """Limit(offset, limit, child) (cursor/core/limit.h:29-32)."""
+    if offset:
+        _, ds = tuple(ds.split_at_indices([offset]))
+    return ds.limit(limit) if limit is not None else ds
+
+
+def sort(ds, keys: list[str], descending: list[bool] | bool = False):
+    """Sort (cursor/core/sort.h:89): multi-key, per-key ASC/DESC.
+    Ray Data's range-partitioned distributed sort plays the reference's
+    external merge sort (spill via object store)."""
+    if isinstance(descending, bool):
+        descending = [descending] * len(keys)
+    return ds.sort(keys, descending=descending)
+
+
+def top_k(ds, keys: list[str], k: int, descending: list[bool] | bool = True):
+    """ExtendedSort with limit (sort.h:103, proto/specification.proto:12-30)."""
+    return sort(ds, keys, descending).limit(k)
+
+
+def sort_case_insensitive(ds, key: str, k: int | None = None, descending: bool = False):
+    """ExtendedSort case-insensitive key via computed lower-case column."""
+    tagged = compute(ds, {"__ci_key": lambda t: pc.utf8_lower(t.column(key))})
+    out = tagged.sort("__ci_key", descending=descending)
+    if k is not None:
+        out = out.limit(k)
+    return out.drop_columns(["__ci_key"])
+
+
+def merge_union_all(ds_a, ds_b, keys: list[str], descending: list[bool] | bool = False):
+    """MergeUnionAll (cursor/core/merge_union_all.h:39-45): deterministic
+    merge of same-schema sorted streams.  Ray Data union does not
+    interleave, so the merged order is re-established by a sort — same
+    output, shuffle instead of the reference's single-thread heap."""
+    if set(ds_a.schema().names) != set(ds_b.schema().names):
+        raise ValueError("MergeUnionAll: schemas differ")
+    return sort(ds_a.union(ds_b), keys, descending)
+
+
+def union_all(ds_a, ds_b):
+    return ds_a.union(ds_b)
+
+
+def dedup_by_key(ds, keys: list[str], order_by: str | None = None):
+    """Exact dedup: hash-partition on key, keep first per group
+    (reference: RowHashSet 'at most one row with a given key',
+    row_hash_set.h:61-65).  With order_by, 'first' is the minimal
+    order_by row — deterministic under any partitioning."""
+    import pandas as pd
+
+    def first_row(g: pd.DataFrame) -> pd.DataFrame:
+        if order_by:
+            g = g.sort_values(order_by, kind="mergesort")
+        return g.head(1)
+
+    return ds.groupby(keys).map_groups(first_row, batch_format="pandas")
+
+
+def distinct(ds, keys: list[str] | None = None):
+    """UNION-distinct analog (absent in the reference, SURVEY.md §2.8)."""
+    keys = keys or ds.schema().names
+    return dedup_by_key(ds, keys)
+
+
+def bernoulli_sample(ds, p: float, seed: int):
+    """Sampling via seeded RandomDouble + Filter (the reference's only
+    sampling story, terminal_expressions.h:69-71)."""
+    import numpy as np
+
+    def fn(batch: pa.Table) -> pa.Table:
+        # per-batch deterministic stream: seed mixed with batch content hash
+        h = hash((batch.num_rows, str(batch.slice(0, 1).to_pydict()))) & 0x7FFFFFFF
+        rng = np.random.RandomState((seed * 1_000_003 + h) & 0x7FFFFFFF)
+        return batch.filter(pa.array(rng.uniform(size=batch.num_rows) < p))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def spy(ds, listener: Callable[[pa.Table], None], label: str = "spy"):
+    """Spy (cursor/core/spy.h:40-80): pass-through observer."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        listener(batch)
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,355 @@
+"""Text analysis + deduplication for large-scale training-data pipelines.
+
+These are first-class engine components beyond the reference's operator
+set (the reference has no text ops): language-ID, quality scoring,
+token counting, fingerprinting, and dedup at four levels — exact,
+MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes: everything is map_batches (stateless, vectorized) or a
+shuffle keyed exactly once; per-doc work uses numpy/pandas kernels, and
+stages that need compiled state (regexes, stopword sets) are callable
+CLASSES used as actor pools so setup runs once per actor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _default_concurrency() -> int:
+    import ray
+
+    return max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+
+# ------------------------------------------------------------ analysis
+
+
+class TextQuality:
+    """Actor-pool stage: per-doc quality stats (length, token count,
+    punctuation/stopword/alpha ratios).  Regexes compile once per actor
+    (__init__), batches are pandas for string kernels."""
+
+    STOPWORDS = frozenset(
+        "the of and to in is was for that with as his on be at by had not are but from or have an they which one you were all her she there would their we him been has when who will no more if out so up said what its about than into them can only other time new some could these two may first then do".split()
+    )
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word_re = re.compile(r"[A-Za-z]+")
+        self.punct_re = re.compile(r"[^\w\s]")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        text = df[self.text_col].fillna("")
+        df = df.copy()
+        df["n_chars_q"] = text.str.len().astype("int64")
+        toks = text.map(lambda t: self.word_re.findall(t.lower()))
+        df["n_tokens"] = toks.map(len).astype("int64")
+        df["stopword_ratio"] = toks.map(
+            lambda ws: sum(w in self.STOPWORDS for w in ws) / len(ws) if ws else 0.0
+        )
+        df["punct_ratio"] = text.map(lambda t: len(self.punct_re.findall(t)) / len(t) if t else 0.0)
+        df["mean_token_len"] = toks.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+        return df
+
+
+def token_count(ds, text_col: str = "text", alias: str = "n_tokens"):
+    """Whitespace token count, pure Arrow kernels (no Python per row)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch.column(text_col), "")
+        trimmed = pc.utf8_trim_whitespace(t)
+        n = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+        n = pc.if_else(pc.equal(pc.utf8_length(trimmed), 0), pa.scalar(0, pa.int32()), n)
+        return batch.append_column(alias, pc.cast(n, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class LangId:
+    """Heuristic n-gram language ID over a small built-in profile set.
+    Stateful stage: profiles built once per actor.  (A real pipeline
+    would load fastText here — the Ray plumbing is identical.)"""
+
+    PROFILES = {
+        "en": " the and ing ion to of in is it",
+        "de": " der die und sch ein ich den cht",
+        "fr": " les de la ent une que des ait",
+        "es": " de la que el en los del una",
+        "it": " di che la il un per con del",
+        "nl": " de het een van en ij aan voor",
+    }
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.grams = {
+            lang: {p.strip() for p in prof.split() if p.strip()} for lang, prof in self.PROFILES.items()
+        }
+
+    def classify(self, t: str) -> str:
+        low = f" {t.lower()} "
+        best, best_score = "und", 0
+        for lang, grams in self.grams.items():
+            score = sum(low.count(f" {g} ") + low.count(g) for g in grams)
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["lang_pred"] = df[self.text_col].fillna("").map(self.classify)
+        return df
+
+
+def md5_fingerprint(ds, col: str, alias: str = "fingerprint"):
+    """Content fingerprint (md5 hex — SQL-oracle verifiable)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[alias] = df[col].map(
+            lambda v: hashlib.md5(str(v).encode()).hexdigest() if v is not None else None
+        )
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def rolling_fingerprint(ds, col: str, window: int = 16, alias: str = "rfp"):
+    """Document fingerprint: min of rolling polynomial hashes (winnowing
+    flavor) — detects shared long substrings across docs."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        B, M = np.uint64(257), np.uint64(0xFFFFFFFFFFFFFFC5)
+
+        def fp(t: str) -> int:
+            b = t.encode() if t else b""
+            if len(b) < window:
+                return int.from_bytes(hashlib.md5(b).digest()[:8], "little")
+            a = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+            h = np.zeros(len(a) - window + 1, dtype=np.uint64)
+            acc = np.uint64(0)
+            poww = B ** np.uint64(window - 1)
+            for i in range(window):
+                acc = acc * B + a[i]
+            h[0] = acc
+            for i in range(1, len(h)):
+                acc = (acc - a[i - 1] * poww) * B + a[i + window - 1]
+                h[i] = acc
+            return int(h.min())
+
+        df = df.copy()
+        df[alias] = df[col].map(lambda t: fp(t) if t is not None else None)
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+# ------------------------------------------------------------ dedup
+
+
+def exact_dedup(ds, content_col: str, id_col: str):
+    """Exact dedup: content-hash each row vectorized, hash-partition on
+    the hash, keep the min-id row per group (deterministic winner)."""
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__h"] = df[content_col].map(
+            lambda v: hashlib.sha1(str(v).encode()).hexdigest() if v is not None else ""
+        )
+        return df
+
+    hashed = ds.map_batches(add_hash, batch_format="pandas")
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col, kind="mergesort").head(1).drop(columns="__h")
+
+    return hashed.groupby("__h").map_groups(keep_first, batch_format="pandas")
+
+
+def _shingles(text: str, k: int = 5) -> np.ndarray:
+    toks = text.lower().split()
+    if len(toks) < k:
+        return np.array([hash(" ".join(toks)) & 0xFFFFFFFFFFFF], dtype=np.uint64)
+    joined = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    return np.array(
+        [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") for s in joined],
+        dtype=np.uint64,
+    )
+
+
+class MinHasher:
+    """Actor-pool stage: doc → minhash signature (n_hashes permutations
+    via affine transforms over 64-bit shingle hashes)."""
+
+    def __init__(self, text_col: str = "text", n_hashes: int = 64, k: int = 5, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, 2**61 - 1, n_hashes).astype(np.uint64) | np.uint64(1)
+        self.b = rng.randint(0, 2**61 - 1, n_hashes).astype(np.uint64)
+        self.text_col = text_col
+        self.k = k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(text or "", self.k)
+        # (n_sh, n_hash) affine then min — vectorized
+        vals = sh[:, None] * self.a[None, :] + self.b[None, :]
+        return vals.min(axis=0)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        # signatures as little-endian bytes: uint64 survives pandas→Arrow
+        df["__sig"] = df[self.text_col].map(lambda t: self.signature(t).astype("<u8").tobytes())
+        return df
+
+
+def minhash_lsh_dedup(
+    ds,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    concurrency: int | None = None,
+):
+    """MinHash + LSH near-dedup.
+
+    shingle→minhash per batch (actor pool) → explode to
+    (band_id, band_hash, doc) rows → groupby band bucket → per bucket
+    keep min-id, mark others as dup candidates → verified-union of
+    candidate losers → anti-join to drop them.  At 100 TB every step is
+    a map_batches or ONE groupby on the band key; no driver-side state.
+    """
+    rows_per_band = n_hashes // bands
+    signed = ds.map_batches(
+        MinHasher, fn_constructor_kwargs={"text_col": text_col, "n_hashes": n_hashes},
+        batch_format="pandas", concurrency=concurrency or _default_concurrency(),
+    )
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in df.iterrows():
+            sig = np.frombuffer(row["__sig"], dtype="<u8")
+            for b in range(bands):
+                band = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                bh = hashlib.md5(band.tobytes()).hexdigest()[:16]
+                out.append({"band_key": f"{b}:{bh}", id_col: row[id_col]})
+        return pd.DataFrame(out) if out else pd.DataFrame({"band_key": [], id_col: []})
+
+    pairs = signed.map_batches(explode, batch_format="pandas")
+
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({id_col: []}).astype({id_col: g[id_col].dtype})
+        ids = sorted(g[id_col].tolist())
+        return pd.DataFrame({id_col: ids[1:]})
+
+    dup_ids = pairs.groupby("band_key").map_groups(losers, batch_format="pandas")
+    dup_table = pa.Table.from_pandas(dup_ids.to_pandas().drop_duplicates(), preserve_index=False)
+
+    from .joins import anti_join
+
+    kept = anti_join(signed, dup_table, [id_col])
+    return kept.drop_columns(["__sig"])
+
+
+class SimHasher:
+    """SimHash (64-bit) over token features; near-dups share hash up to
+    a few flipped bits.  Dedup: exact match on rotated prefix buckets."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    @staticmethod
+    def simhash(text: str) -> int:
+        toks = (text or "").lower().split()
+        if not toks:
+            return 0
+        hashes = np.array(
+            [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") for t in toks],
+            dtype=np.uint64,
+        )
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        h = ((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
+        return int(h >> np.uint64(1))  # 63-bit: survives pandas/Arrow int64
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["simhash"] = df[self.text_col].map(self.simhash).astype("int64")
+        return df
+
+
+def simhash_dedup(ds, text_col: str, id_col: str, prefix_bits: int = 16):
+    """Bucket by 4 rotated prefixes of the simhash; within a bucket,
+    keep min-id among hashes within hamming distance ≤ 3."""
+    signed = ds.map_batches(
+        SimHasher, fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pandas", concurrency=_default_concurrency(),
+    )
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in df.iterrows():
+            h = int(row["simhash"])
+            for rot in range(4):
+                r = ((h << (16 * rot)) | (h >> (63 - 16 * rot))) & ((1 << 63) - 1)
+                out.append({"bucket": f"{rot}:{r >> (63 - prefix_bits)}", id_col: row[id_col], "simhash": h})
+        return pd.DataFrame(out)
+
+    pairs = signed.map_batches(explode, batch_format="pandas")
+
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].tolist()
+        hs = [int(x) for x in g["simhash"].tolist()]
+        lose = set()
+        for i in range(len(ids)):
+            if ids[i] in lose:
+                continue
+            for j in range(i + 1, len(ids)):
+                if bin(hs[i] ^ hs[j]).count("1") <= 3:
+                    lose.add(ids[j])
+        return pd.DataFrame({id_col: sorted(lose)}) if lose else pd.DataFrame({id_col: []}).astype({id_col: g[id_col].dtype})
+
+    dup_ids = pairs.groupby("bucket").map_groups(losers, batch_format="pandas")
+    dup_table = pa.Table.from_pandas(dup_ids.to_pandas().drop_duplicates(), preserve_index=False)
+    from .joins import anti_join
+
+    return anti_join(signed, dup_table, [id_col])
+
+
+def ngram_jaccard_pairs(ds, text_col: str, id_col: str, k: int = 3, threshold: float = 0.6):
+    """Exact n-gram Jaccard similarity for candidate pairs surfaced by a
+    single LSH band pass — returns (id_a, id_b, jaccard) rows."""
+    hasher = MinHasher(text_col=text_col, n_hashes=16, k=k)
+    signed = ds.map_batches(hasher, batch_format="pandas", concurrency=_default_concurrency())
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in df.iterrows():
+            sig = np.frombuffer(row["__sig"], dtype="<u8")
+            bh = hashlib.md5(sig[:4].tobytes()).hexdigest()[:12]
+            out.append({"bucket": bh, id_col: row[id_col], "text": row[text_col]})
+        return pd.DataFrame(out)
+
+    buckets = signed.map_batches(explode, batch_format="pandas")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        recs = g.sort_values(id_col).to_dict("records")
+        for i in range(len(recs)):
+            sa = set(_shingles(recs[i]["text"] or "", k).tolist())
+            for j in range(i + 1, len(recs)):
+                sb = set(_shingles(recs[j]["text"] or "", k).tolist())
+                if not sa and not sb:
+                    continue
+                jac = len(sa & sb) / len(sa | sb)
+                if jac >= threshold:
+                    rows.append({"id_a": recs[i][id_col], "id_b": recs[j][id_col], "jaccard": jac})
+        return pd.DataFrame(rows) if rows else pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+
+    return buckets.groupby("bucket").map_groups(verify, batch_format="pandas")

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (list<float>).
+
+- brute-force cosine top-k: numpy matmul per batch against a BROADCAST
+  query matrix (ray.put once, zero-copy plasma read per task) — the
+  baseline that is exact and embarrassingly parallel: each batch emits
+  its local top-k, a single small reduce takes the global top-k.
+- LSH-bucketed variant (random hyperplane signs) as the scale path:
+  candidate generation touches only matching buckets.
+- embedding near-dup: cosine > threshold pairs within LSH buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _default_concurrency() -> int:
+    import ray
+
+    return max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col).combine_chunks()
+    flat = np.asarray(arr.flatten(), dtype=np.float32)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def ann_brute_force_topk(ds, col: str, id_col: str, queries: np.ndarray, k: int = 10):
+    """Exact cosine top-k for each query row; returns
+    (query_id, id, score) — per-batch local top-k then global reduce."""
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    q_ref = ray.put(q)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch, col))
+        if m.shape[0] == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()), "score": pa.array([], pa.float64())})
+        sims = qm @ m.T  # (n_q, n_rows)
+        ids = np.asarray(batch.column(id_col))
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = {
+            "query_id": np.repeat(np.arange(len(qm), dtype=np.int64), kk),
+            id_col: ids[top.reshape(-1)],
+            "score": np.round(sims[np.arange(len(qm))[:, None], top].reshape(-1), 6),
+        }
+        return pa.table(rows)
+
+    local = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", id_col], ascending=[False, True], kind="mergesort").head(k)
+
+    return local.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+
+
+class LshBucketer:
+    """Random-hyperplane LSH: vector → sign-bit bucket id.  Planes are
+    generated once per actor from a fixed seed."""
+
+    def __init__(self, col: str, dim: int, n_planes: int = 12, seed: int = 11):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.randn(dim, n_planes).astype(np.float32)
+        self.col = col
+
+    def bucket_of(self, m: np.ndarray) -> np.ndarray:
+        signs = (m @ self.planes) > 0
+        return (signs.astype(np.uint32) << np.arange(self.planes.shape[1], dtype=np.uint32)).sum(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.col)
+        buckets = self.bucket_of(m) if m.shape[0] else np.array([], dtype=np.uint32)
+        return batch.append_column("__bucket", pa.array(buckets.astype(np.int64)))
+
+
+def ann_lsh_topk(ds, col: str, id_col: str, queries: np.ndarray, k: int = 10, n_planes: int = 8, seed: int = 11):
+    """Approximate top-k: only rows whose LSH bucket matches a query's
+    bucket are scored.  Same output schema as brute force."""
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    dim = q.shape[1]
+    bucketer = LshBucketer(col, dim, n_planes, seed)
+    q_buckets = bucketer.bucket_of(q)
+    q_ref = ray.put((q, q_buckets.astype(np.int64)))
+
+    bucketed = ds.map_batches(
+        LshBucketer, fn_constructor_kwargs={"col": col, "dim": dim, "n_planes": n_planes, "seed": seed},
+        batch_format="pyarrow", concurrency=_default_concurrency(),
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qm, qb = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch, col))
+        out = {"query_id": [], id_col: [], "score": []}
+        ids = np.asarray(batch.column(id_col))
+        bks = np.asarray(batch.column("__bucket"))
+        for qi in range(len(qm)):
+            sel = np.flatnonzero(bks == qb[qi])
+            if not len(sel):
+                continue
+            sims = m[sel] @ qm[qi]
+            kk = min(k, len(sel))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            out["query_id"].extend([qi] * kk)
+            out[id_col].extend(ids[sel[top]].tolist())
+            out["score"].extend(np.round(sims[top], 6).tolist())
+        return pa.table({"query_id": pa.array(out["query_id"], pa.int64()), id_col: pa.array(out[id_col], pa.int64()), "score": pa.array(out["score"], pa.float64())})
+
+    local = bucketed.map_batches(local_topk, batch_format="pyarrow")
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", id_col], ascending=[False, True], kind="mergesort").head(k)
+
+    return local.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+
+
+def embedding_neardup_pairs(ds, col: str, id_col: str, threshold: float = 0.95, n_planes: int = 10, seed: int = 11):
+    """Embedding-cosine near-dup: LSH bucket (shuffle once on bucket id)
+    → within-bucket pairwise cosine ≥ threshold → (id_a, id_b, cosine)."""
+    first = ds.take(1)
+    dim = len(first[0][col]) if first else 0
+    bucketed = ds.map_batches(
+        LshBucketer, fn_constructor_kwargs={"col": col, "dim": dim, "n_planes": n_planes, "seed": seed},
+        batch_format="pyarrow", concurrency=_default_concurrency(),
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        g = g.sort_values(id_col, kind="mergesort")
+        m = _normalize(np.array(g[col].tolist(), dtype=np.float32))
+        sims = m @ m.T
+        ids = g[id_col].to_numpy()
+        ia, ib = np.triu_indices(len(g), k=1)
+        keep = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": np.round(sims[ia[keep], ib[keep]], 6)}
+        )
+
+    return bucketed.groupby("__bucket").map_groups(pairs, batch_format="pandas")
