@@ -62,10 +62,9 @@ def broadcast_hash_join(
             how=how,
             suffixes=("", suffix),
         )
-        if join_type == LEFT_OUTER:
-            null_left = ldf[ldf[left_keys].isna().any(axis=1)]
-            if len(null_left):
-                merged = pd.concat([merged, null_left], ignore_index=True)
+        # LEFT_OUTER: null-key left rows stay unmatched (NaN keys never
+        # join once the RHS nulls are dropped) — pandas keeps them with
+        # null padding, which is exactly the reference's semantics.
         return pa.Table.from_pandas(merged, preserve_index=False)
 
     return ds_left.map_batches(probe, batch_format="pyarrow")
