@@ -52,6 +52,15 @@ def _tune_malloc() -> None:
         libc.mallopt(M_TOP_PAD, 1 << 26)
     except Exception:
         pass
+    try:
+        # Arrow's jemalloc returns dirty pages to the OS on a decay
+        # timer; every buffer allocation then re-faults fresh pages.
+        # Disabling decay keeps the arena resident — same rationale.
+        import pyarrow as pa
+
+        pa.jemalloc_set_decay_ms(-1)
+    except Exception:
+        pass
 
 
 _tune_malloc()
