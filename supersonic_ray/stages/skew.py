@@ -1,0 +1,79 @@
+"""Skew detection + mitigation (SURVEY.md §4 'Skew / stragglers').
+
+The reference has no skew story (single stream); at cluster scale every
+groupby/repartition keyed on url_host meets Zipf-hot keys (the fixture
+generator makes the hottest host ~30 % of rows on purpose).  Tools:
+
+- detect_hot_keys: sampled groupby-count — cheap pre-pass that returns
+  keys whose share exceeds a threshold.
+- salt_hot_keys: append a salt column `key_salted = key + ':' + h % k`
+  for hot keys only, so a downstream groupby/repartition spreads them
+  over k reducers; cold keys keep salt 0 (single group, no merge cost).
+- cluster_for_encode: the wide-step option for the encode pipeline —
+  a global sort by (lang, url_host) to maximize dict/RLE run lengths
+  (the reference's clustered-input contract, aggregate.h:278-291),
+  with hot hosts salted first so no sort partition explodes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def url_host(batch: pa.Table, url_col: str = "url") -> pa.Array:
+    """Vectorized host extraction: strip scheme, cut at first '/'."""
+    u = pc.replace_substring_regex(batch.column(url_col), r"^[a-z]+://", "")
+    return pc.replace_substring_regex(u, r"/.*$", "")
+
+
+def detect_hot_keys(ds, key_fn, sample_fraction: float = 0.05, hot_share: float = 0.05, seed: int = 17) -> dict[str, float]:
+    """Sampled key histogram → {key: share} for keys above hot_share.
+    One small shuffle over the sample only."""
+    sample = ds.random_sample(sample_fraction, seed=seed)
+
+    def keys_of(batch: pa.Table) -> pa.Table:
+        return pa.table({"__key": key_fn(batch)})
+
+    counts = sample.map_batches(keys_of, batch_format="pyarrow").groupby("__key").count().to_pandas()
+    total = counts["count()"].sum()
+    if not total:
+        return {}
+    counts["share"] = counts["count()"] / total
+    hot = counts[counts["share"] >= hot_share]
+    return dict(zip(hot["__key"], hot["share"]))
+
+
+def salt_hot_keys(ds, key_fn, hot_keys: dict[str, float], n_salts: int = 8, out_col: str = "__salted_key"):
+    """Hot keys get hash-salt suffixes 0..n_salts-1; cold keys suffix 0.
+    Downstream groupby(out_col) spreads hot groups over n_salts reducers;
+    the caller merges partials per true key afterwards."""
+    hot = set(hot_keys)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = key_fn(batch)
+        kl = keys.to_pylist()
+        salts = np.zeros(len(kl), dtype=np.int64)
+        if hot:
+            is_hot = np.array([k in hot for k in kl])
+            if is_hot.any():
+                h = np.arange(len(kl)) % n_salts  # deterministic round-robin
+                salts[is_hot] = h[is_hot]
+        salted = pa.array([f"{k}:{s}" for k, s in zip(kl, salts)])
+        return batch.append_column(out_col, salted)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def cluster_for_encode(ds, lang_col: str = "lang", url_col: str = "url"):
+    """Optional wide step before encode: global sort by (lang, host) so
+    dictionary/RLE codecs see long runs.  This IS an all-to-all shuffle
+    — use when the +ratio is worth one pass over the data (typically
+    yes for archival encode, no for one-shot ETL)."""
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__host", url_host(batch, url_col))
+
+    return ds.map_batches(add_host, batch_format="pyarrow").sort([lang_col, "__host"]).drop_columns(["__host"])
