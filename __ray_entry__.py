@@ -556,6 +556,65 @@ def encode_roundtrip_lineitem(sf_dir: str):
     return out.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
 
 
+def expr_cast_parse(sf_dir: str):
+    """CastTo / ParseStringNulling (cast_bound_expression.cc:49-137):
+    numeric→string→numeric round trip plus a failing parse → NULL."""
+    from supersonic_ray.functions import expressions as E
+    from supersonic_ray.stages.ops import compute, project
+
+    ds = _ld(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"])
+    ds = compute(
+        ds,
+        {
+            "key_str": lambda t: E.cast_to(t.column("o_orderkey"), pa.string()),
+            "key_back": lambda t: E.parse_string(E.cast_to(t.column("o_orderkey"), pa.string()), pa.int64()),
+            "prio_num": lambda t: E.parse_string(
+                pc.utf8_slice_codeunits(t.column("o_orderpriority"), 0, 1), pa.int64(), E.NULLING
+            ),
+            "price_int": lambda t: E.cast_to(pc.floor(t.column("o_totalprice")), pa.int64()),
+        },
+    )
+    return (
+        project(ds, ["o_orderkey", "key_str", "key_back", "prio_num", "price_int"])
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+
+def agg_clusters_sorted(sf_dir: str):
+    """AggregateClusters (aggregate.h:278-291): aggregation over input
+    clustered by key — identical results to hash grouping."""
+    from supersonic_ray.stages.aggregates import AggSpec, aggregate_clusters
+    from supersonic_ray.stages.ops import sort
+
+    ds = sort(_ld(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]), ["l_returnflag"])
+    out = aggregate_clusters(ds, ["l_returnflag"], [AggSpec("sum", "l_quantity", "sum_qty"), AggSpec("count", None, "n")]).to_pandas()
+    out["sum_qty"] = out["sum_qty"].round(2)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def group_with_limit(sf_dir: str):
+    """BoundGroupAggregateWithLimit (aggregate.h:266-277): first K keys
+    aggregated individually, remainder collapsed into one NULL-key row."""
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate_with_limit
+
+    ds = _ld(sf_dir, "nation", ["n_regionkey", "n_nationkey"])
+    out = group_with = group_aggregate_with_limit(
+        ds, ["n_regionkey"], [AggSpec("count", None, "n")], max_unique_keys=3
+    ).to_pandas()
+    return out.sort_values("n_regionkey", na_position="last").reset_index(drop=True)
+
+
+def sample_bernoulli(sf_dir: str):
+    """Seeded Bernoulli sampling (terminal_expressions.h:69-71 analog)."""
+    from supersonic_ray.stages.ops import bernoulli_sample
+
+    ds = _ld(sf_dir, "orders", ["o_orderkey"])
+    out = bernoulli_sample(ds, 0.1, seed=42).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: encode → decode round trip over the
     documents table; returns the decoded Dataset-equivalent table."""
@@ -600,6 +659,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_embeddings": ann_lsh_embeddings,
         "embedding_neardup": embedding_neardup,
         "multimodal_decode": multimodal_decode,
+        "expr_cast_parse": expr_cast_parse,
+        "agg_clusters_sorted": agg_clusters_sorted,
+        "group_with_limit": group_with_limit,
+        "sample_bernoulli": sample_bernoulli,
         "encode_roundtrip_docs": encode_roundtrip_docs,
         "encode_roundtrip_lineitem": encode_roundtrip_lineitem,
     }
@@ -781,6 +844,18 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN trim(coalesce(text, '')) = '' THEN 0
                         ELSE length(regexp_extract_all(trim(text), '\\S+')) END AS n_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "expr_cast_parse": """
+            SELECT o_orderkey,
+                   CAST(o_orderkey AS VARCHAR) AS key_str,
+                   CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_back,
+                   TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+                   CAST(floor(o_totalprice) AS BIGINT) AS price_int
+            FROM orders ORDER BY o_orderkey
+        """,
+        "agg_clusters_sorted": """
+            SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "encode_roundtrip_docs": """
             SELECT * FROM documents ORDER BY doc_id
