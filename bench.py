@@ -140,12 +140,12 @@ def run_bench(ncpu: int) -> dict:
         import __ray_entry__ as entry_mod
 
         q = entry_mod.queries()
-        for name in ("q1_pricing_summary", "join_customer_orders", "topk_revenue"):
+        for name in ("q1_pricing_summary", "q3_top_orders", "topk_orders", "minhash_dedup_docs"):
             if name in q:
                 t0 = time.monotonic()
                 res = q[name](SF_DIR)
-                if hasattr(res, "to_pandas"):
-                    res.to_pandas() if not hasattr(res, "materialize") else res.materialize()
+                if hasattr(res, "to_pandas") and not isinstance(res, __import__("pandas").DataFrame):
+                    res.to_pandas()
                 queries[name] = round(time.monotonic() - t0, 3)
     except Exception:
         pass

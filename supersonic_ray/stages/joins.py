@@ -70,13 +70,18 @@ def broadcast_hash_join(
     return ds_left.map_batches(probe, batch_format="pyarrow")
 
 
-def partitioned_hash_join(ds_left, ds_right, left_keys, right_keys, join_type: str = INNER):
-    """Both sides large: Ray Data hash-partitioned join (all-to-all)."""
+def partitioned_hash_join(ds_left, ds_right, left_keys, right_keys, join_type: str = INNER, num_partitions: int | None = None):
+    """Both sides large: Ray Data hash-partitioned join (all-to-all).
+    num_partitions sizes the exchange; default = cluster CPUs."""
+    import ray
+
     jt = {"inner": "inner", "left_outer": "left_outer"}[join_type]
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
     return ds_left.join(
         ds_right,
         join_type=jt,
-        num_partitions=max(ds_left.num_blocks(), 8),
+        num_partitions=num_partitions,
         on=tuple(left_keys),
         right_on=tuple(right_keys),
     )

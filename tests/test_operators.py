@@ -242,3 +242,68 @@ def test_expression_error_policies():
     assert E.sqrt(a, E.NULLING).to_pylist()[2] is None
     with pytest.raises(Exception):
         E.sqrt(a, E.SIGNALING)
+
+
+def test_coalesce_zip(ray_session):
+    from supersonic_ray.stages.ops import coalesce_zip
+
+    a = pa.table({"x": [1, 2, 3]})
+    b = pa.table({"y": ["a", "b", "c"]})
+    out = coalesce_zip(_ds(a), _ds(b)).to_pandas()
+    assert out["x"].tolist() == [1, 2, 3] and out["y"].tolist() == ["a", "b", "c"]
+    with pytest.raises(ValueError):
+        coalesce_zip(_ds(a), _ds(a))
+
+
+def test_partitioned_hash_join(ray_session):
+    from supersonic_ray.stages.joins import partitioned_hash_join
+
+    left = pa.table({"k": [1, 2, 3, 4], "a": ["w", "x", "y", "z"]})
+    right = pa.table({"k2": [2, 4, 6], "b": ["r2", "r4", "r6"]})
+    out = (
+        partitioned_hash_join(_ds(left, 2), _ds(right, 2), ["k"], ["k2"])
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert out["k"].tolist() == [2, 4] and out["b"].tolist() == ["r2", "r4"]
+
+
+def test_expression_batch_sweep(ray_session):
+    """Expression-harness port (§5 layer 3): same results at every
+    batch size for a composite expression pipeline."""
+    from supersonic_ray.functions import expressions as E
+    from supersonic_ray.stages.ops import compute
+
+    t = pa.table({"a": pa.array(np.arange(100, dtype=np.int64)), "b": pa.array((np.arange(100) % 7).astype(np.float64))})
+    expected = None
+    for bs in [1, 2, 5, 20, 1000]:
+        ds = _ds(t).map_batches(lambda x: x, batch_format="pyarrow", batch_size=bs)
+        out = compute(
+            ds,
+            {
+                "d": lambda x: E.divide(x.column("a"), x.column("b"), E.NULLING),
+                "m": lambda x: E.modulus(x.column("a"), pa.array([3] * x.num_rows), E.QUIET),
+                "c": lambda x: E.if_(E.is_even(x.column("a")), E.const("even", x.num_rows), E.const("odd", x.num_rows)),
+            },
+        ).to_pandas().sort_values("a").reset_index(drop=True)
+        if expected is None:
+            expected = out
+        else:
+            pd.testing.assert_frame_equal(out, expected)
+
+
+def test_bernoulli_sample_deterministic(ray_session):
+    from supersonic_ray.stages.ops import bernoulli_sample
+
+    t = pa.table({"x": list(range(1000))})
+    a = bernoulli_sample(_ds(t), 0.2, seed=9).to_pandas()["x"].tolist()
+    b = bernoulli_sample(_ds(t), 0.2, seed=9).to_pandas()["x"].tolist()
+    assert a == b and 100 < len(a) < 320
+
+
+def test_sort_case_insensitive(ray_session):
+    from supersonic_ray.stages.ops import sort_case_insensitive
+
+    t = pa.table({"s": ["b", "A", "C", "a"]})
+    out = sort_case_insensitive(_ds(t), "s").to_pandas()["s"].tolist()
+    assert [x.lower() for x in out] == ["a", "a", "b", "c"]
