@@ -135,8 +135,23 @@ def run_bench(ncpu: int) -> dict:
     queries["decode"] = round(time.monotonic() - t0, 3)
     extra["decoded_rows"] = n_decoded
 
-    # operator-layer queries at the sf dir (added as the layer grows)
+    # per-column codec choices + ratios from the lineage manifests
     try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from ratio_report import report as _ratio_report
+
+        cols = _ratio_report(enc_dir)["columns"]
+        extra["columns"] = {
+            name: {"ratio": c["ratio"], "codecs": c["codecs"]} for name, c in cols.items()
+        }
+    except Exception:
+        pass
+
+    # operator-layer queries at the sf dir (added as the layer grows);
+    # skipped inside --scaling legs (encode throughput is the metric)
+    try:
+        if os.environ.get("GRAFT_SKIP_QUERIES"):
+            raise StopIteration
         import __ray_entry__ as entry_mod
 
         q = entry_mod.queries()
@@ -179,7 +194,7 @@ def run_scaling() -> dict:
     for ncpu in (2, 8, 32):
         best = None
         for _ in range(repeat if ncpu > 2 else max(1, repeat - 1)):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,

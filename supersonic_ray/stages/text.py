@@ -23,9 +23,13 @@ import pyarrow.compute as pc
 
 
 def _default_concurrency() -> int:
+    """Actor-pool size leaving slack for task-pool stages in the same
+    pipeline — a pool that reserves every CPU starves the read/shuffle
+    stages and the pipeline livelocks (observed at num_cpus=2)."""
     import ray
 
-    return max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(1, cpus - max(1, cpus // 4))
 
 # ------------------------------------------------------------ analysis
 
@@ -171,15 +175,35 @@ def exact_dedup(ds, content_col: str, id_col: str):
     return hashed.groupby("__h").map_groups(keep_first, batch_format="pandas")
 
 
+_HASH_KEY = "raysonic-shingle"  # 16 bytes; fixed -> stable across workers
+
+
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    """Stable vectorized 64-bit token hashes (SipHash via pandas) —
+    NEVER Python hash(): its per-process seed would desync LSH buckets
+    across Ray workers."""
+    if not toks:
+        return np.zeros(0, dtype=np.uint64)
+    return pd.util.hash_array(np.array(toks, dtype=object), hash_key=_HASH_KEY)
+
+
 def _shingles(text: str, k: int = 5) -> np.ndarray:
+    """k-token shingle hashes via a vectorized polynomial roll over
+    per-token hashes (uint64 wraparound arithmetic)."""
     toks = text.lower().split()
+    tok_h = _token_hashes(toks)
+    B = np.uint64(1099511628211)
     if len(toks) < k:
-        return np.array([hash(" ".join(toks)) & 0xFFFFFFFFFFFF], dtype=np.uint64)
-    joined = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return np.array(
-        [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") for s in joined],
-        dtype=np.uint64,
-    )
+        h = np.uint64(0)
+        for x in tok_h:
+            h = h * B + np.uint64(x)
+        return np.array([h], dtype=np.uint64)
+    n = len(toks) - k + 1
+    out = np.zeros(n, dtype=np.uint64)
+    powers = B ** np.arange(k, dtype=np.uint64)
+    for j in range(k):
+        out += tok_h[j : j + n] * powers[k - 1 - j]
+    return out
 
 
 class MinHasher:
@@ -268,10 +292,7 @@ class SimHasher:
         toks = (text or "").lower().split()
         if not toks:
             return 0
-        hashes = np.array(
-            [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") for t in toks],
-            dtype=np.uint64,
-        )
+        hashes = _token_hashes(toks)
         bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
         v = (2 * bits - 1).sum(axis=0)
         h = ((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
