@@ -254,14 +254,23 @@ def minhash_lsh_dedup(
     )
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, row in df.iterrows():
-            sig = np.frombuffer(row["__sig"], dtype="<u8")
-            for b in range(bands):
-                band = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                bh = hashlib.md5(band.tobytes()).hexdigest()[:16]
-                out.append({"band_key": f"{b}:{bh}", id_col: row[id_col]})
-        return pd.DataFrame(out) if out else pd.DataFrame({"band_key": [], id_col: []})
+        n = len(df)
+        if not n:
+            return pd.DataFrame({"band_key": pd.Series([], dtype="int64"), id_col: pd.Series([], dtype="int64")})
+        sigs = np.frombuffer(b"".join(df["__sig"]), dtype="<u8").reshape(n, n_hashes)
+        B = np.uint64(1099511628211)
+        band_keys = np.empty((n, bands), dtype=np.uint64)
+        for b in range(bands):
+            bh = np.full(n, np.uint64(b + 1), dtype=np.uint64)
+            for j in range(rows_per_band):
+                bh = bh * B + sigs[:, b * rows_per_band + j]
+            band_keys[:, b] = bh
+        return pd.DataFrame(
+            {
+                "band_key": band_keys.reshape(-1).view(np.int64),
+                id_col: np.repeat(df[id_col].to_numpy(), bands),
+            }
+        )
 
     pairs = signed.map_batches(explode, batch_format="pandas")
 
@@ -313,13 +322,23 @@ def simhash_dedup(ds, text_col: str, id_col: str, prefix_bits: int = 16):
     )
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, row in df.iterrows():
-            h = int(row["simhash"])
-            for rot in range(4):
-                r = ((h << (16 * rot)) | (h >> (63 - 16 * rot))) & ((1 << 63) - 1)
-                out.append({"bucket": f"{rot}:{r >> (63 - prefix_bits)}", id_col: row[id_col], "simhash": h})
-        return pd.DataFrame(out)
+        n = len(df)
+        h = df["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+        rows = []
+        for rot in range(4):
+            r = ((h << np.uint64(16 * rot)) | (h >> np.uint64(63 - 16 * rot))) & np.uint64((1 << 63) - 1)
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "bucket": (np.uint64(rot) << np.uint64(48)) | (r >> np.uint64(63 - prefix_bits)),
+                        id_col: df[id_col].to_numpy(),
+                        "simhash": df["simhash"].to_numpy(),
+                    }
+                )
+            )
+        out = pd.concat(rows, ignore_index=True)
+        out["bucket"] = out["bucket"].astype("int64")
+        return out
 
     pairs = signed.map_batches(explode, batch_format="pandas")
 
@@ -350,12 +369,15 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, k: int = 3, threshold: f
     signed = ds.map_batches(hasher, batch_format="pandas", concurrency=_default_concurrency())
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, row in df.iterrows():
-            sig = np.frombuffer(row["__sig"], dtype="<u8")
-            bh = hashlib.md5(sig[:4].tobytes()).hexdigest()[:12]
-            out.append({"bucket": bh, id_col: row[id_col], "text": row[text_col]})
-        return pd.DataFrame(out)
+        n = len(df)
+        if not n:
+            return pd.DataFrame({"bucket": [], id_col: [], "text": []})
+        sigs = np.frombuffer(b"".join(df["__sig"]), dtype="<u8").reshape(n, -1)
+        B = np.uint64(1099511628211)
+        bh = np.zeros(n, dtype=np.uint64)
+        for j in range(4):
+            bh = bh * B + sigs[:, j]
+        return pd.DataFrame({"bucket": bh.view(np.int64), id_col: df[id_col].to_numpy(), "text": df[text_col].to_numpy()})
 
     buckets = signed.map_batches(explode, batch_format="pandas")
 
