@@ -114,23 +114,38 @@ def _group_aggregate_partial(ds, keys: list[str], specs: list[AggSpec]):
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        row = {k: [g[k].iloc[0]] for k in keys}
-        for s in specs:
-            p = f"__p_{s.alias}"
-            if s.fn == "count" and s.column is None:
-                row[s.alias] = [int(g["__p_rows"].sum())]
-            elif s.fn == "count":
-                row[s.alias] = [int(g[p].sum())]
-            elif s.fn == "sum":
-                row[s.alias] = [g[p].sum() if g[p].notna().any() else None]
-            elif s.fn == "min":
-                row[s.alias] = [g[p].min()]
-            elif s.fn == "max":
-                row[s.alias] = [g[p].max()]
-        return pd.DataFrame(row)
+    # final: native Ray Data aggregates over the (small) partials —
+    # vectorized hash aggregation instead of per-group Python
+    from ray.data.aggregate import Max, Min, Sum
 
-    return partials.groupby(keys).map_groups(final, batch_format="pandas")
+    aggs = []
+    int_counts = []
+    for s in specs:
+        p = f"__p_{s.alias}"
+        if s.fn == "count" and s.column is None:
+            aggs.append(Sum("__p_rows", alias_name=s.alias))
+            int_counts.append(s.alias)
+        elif s.fn == "count":
+            aggs.append(Sum(p, alias_name=s.alias))
+            int_counts.append(s.alias)
+        elif s.fn == "sum":
+            aggs.append(Sum(p, alias_name=s.alias))
+        elif s.fn == "min":
+            aggs.append(Min(p, alias_name=s.alias))
+        elif s.fn == "max":
+            aggs.append(Max(p, alias_name=s.alias))
+    out = partials.groupby(keys).aggregate(*aggs)
+    if int_counts:
+
+        def fix_counts(batch: pa.Table) -> pa.Table:
+            for alias in int_counts:
+                idx = batch.column_names.index(alias)
+                col = batch.column(alias)
+                batch = batch.set_column(idx, alias, col.cast(pa.int64()))
+            return batch
+
+        out = out.map_batches(fix_counts, batch_format="pyarrow")
+    return out
 
 
 def scalar_aggregate(ds, specs: list[AggSpec]) -> pa.Table:
