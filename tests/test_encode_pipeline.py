@@ -105,3 +105,36 @@ def test_chunk_size_sweep(chunk_rows):
     t = generate_webpages(223)
     blob, _ = encode_table_to_blob(t, chunk_rows=chunk_rows)
     assert decode_blob(blob).equals(t)
+
+
+def test_enum_dictionary_column_round_trip():
+    """ENUM analog end-to-end: a pa.dictionary column through the RSB
+    file format (tuple_schema.h:42-75)."""
+    import pyarrow.compute as pc
+
+    from supersonic_ray.pipelines import decode_blob, encode_table_to_blob
+
+    dt = pa.dictionary(pa.int32(), pa.string())
+    t = pa.table(
+        {
+            "id": pa.array(range(6), pa.int64()),
+            "color": pa.array(["red", "blue", "red", None, "green", "red"], type=dt),
+        }
+    )
+    blob, _ = encode_table_to_blob(t, chunk_rows=4)
+    out = decode_blob(blob)
+    assert out.schema.field("color").type == dt
+    assert out.column("color").to_pylist() == t.column("color").to_pylist()
+
+
+def test_clustered_encode_smaller(webpages_parquet):
+    """Clustering by (lang, url) flips lang to RLE and shrinks output
+    (FIXTURES.md §1 pre-sorted variant)."""
+    from supersonic_ray.pipelines import encode_table_to_blob
+
+    _, t = webpages_parquet
+    blob, m = encode_table_to_blob(t)
+    ts = t.sort_by([("lang", "ascending"), ("url", "ascending")])
+    blob_s, ms = encode_table_to_blob(ts)
+    assert len(blob_s) <= len(blob) * 1.01
+    assert ms["lang"]["codec"] in ("rle", "dict")
