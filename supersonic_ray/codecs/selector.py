@@ -45,6 +45,8 @@ class ColumnStats:
 def column_stats(arr: pa.Array, sample_rows: int = SAMPLE_ROWS) -> ColumnStats:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_dictionary(arr.type):
+        arr = arr.cast(arr.type.value_type)
     n = len(arr)
     if n == 0:
         return ColumnStats(0, 1.0, 1.0, True, 0.0, 8.0)
@@ -150,6 +152,8 @@ def choose_codec(
     single trial symbol table regardless of how many backends compete."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_dictionary(arr.type):
+        arr = arr.cast(arr.type.value_type)
     st = stats or column_stats(arr, sample_rows)
     if st.n == 0:
         return ("plain", "")
