@@ -251,7 +251,7 @@ def minhash_lsh_dedup(
     signed = ds.map_batches(
         MinHasher, fn_constructor_kwargs={"text_col": text_col, "n_hashes": n_hashes},
         batch_format="pandas", concurrency=concurrency or _default_concurrency(),
-    )
+    ).materialize()  # consumed by two branches (bucket pass + anti-join)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
@@ -319,7 +319,7 @@ def simhash_dedup(ds, text_col: str, id_col: str, prefix_bits: int = 16):
     signed = ds.map_batches(
         SimHasher, fn_constructor_kwargs={"text_col": text_col},
         batch_format="pandas", concurrency=_default_concurrency(),
-    )
+    ).materialize()  # consumed by two branches
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
