@@ -123,7 +123,7 @@ def var_len_to_buffers(arr: pa.Array) -> tuple[np.ndarray, bytes]:
     # buffers()[1] excludes the leading slice offset only via arr.offset handling:
     start, end = offsets[0], offsets[-1]
     databuf = big.buffers()[2]
-    data = databuf.to_pybytes()[start:end] if databuf is not None else b""
+    data = bytes(memoryview(databuf)[start:end]) if databuf is not None else b""
     lengths = np.diff(offsets)
     return lengths, data
 

@@ -419,21 +419,29 @@ def encode_dataset(ds, out_dir: str, batch_size: int = 4 * CHUNK_ROWS, concurren
 # ---------------------------------------------------------------- decoding
 
 
-def _decode_path_batch(batch: pa.Table) -> Iterator[pa.Table]:
-    for path in batch.column("path").to_pylist():
-        with open(path, "rb") as f:
-            yield decode_blob(f.read())
+class PartitionDecoder:
+    """Actor-pool decode stage: worker processes persist across
+    partitions so decompression/decode buffers reuse already-faulted
+    heap pages (same rationale as the encoder pool)."""
+
+    def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
+        for path in batch.column("path").to_pylist():
+            with open(path, "rb") as f:
+                yield decode_blob(f.read())
 
 
 def decode_partitions(out_dir: str, concurrency: int | None = None):
     """Streaming decode: Dataset over all .rsb partition files."""
+    import ray
     import ray.data as rd
 
     paths = sorted(
         os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".rsb")
     )
     ds = rd.from_items([{"path": p} for p in paths])
-    kwargs = {}
-    if concurrency:
-        kwargs["concurrency"] = concurrency
-    return ds.map_batches(_decode_path_batch, batch_size=1, batch_format="pyarrow", **kwargs)
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(1, min(len(paths), cpus - max(1, cpus // 8)))
+    return ds.map_batches(
+        PartitionDecoder, batch_size=1, batch_format="pyarrow", concurrency=concurrency
+    )
