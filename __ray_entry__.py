@@ -556,6 +556,72 @@ def encode_roundtrip_lineitem(sf_dir: str):
     return out.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
 
 
+def expr_null_handling(sf_dir: str):
+    """IsNull / IfNull / NullingIf (elementary_expressions.h:31-119)."""
+    from supersonic_ray.functions import expressions as E
+    from supersonic_ray.stages.ops import compute, project
+
+    ds = _ld(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"])
+    ds = compute(
+        ds,
+        {
+            "qd": lambda t: E.divide(t.column("l_quantity"), t.column("l_discount"), E.NULLING),
+        },
+    )
+    ds = compute(
+        ds,
+        {
+            "qd_is_null": lambda t: E.is_null(t.column("qd")),
+            "qd_or_zero": lambda t: E.if_null(t.column("qd"), pa.scalar(0.0)),
+            "qd_pos_only": lambda t: E.nulling_if(pc.greater(pc.fill_null(t.column("qd"), -1.0), pa.scalar(10.0)), t.column("qd")),
+        },
+    )
+    out = project(ds, ["l_orderkey", "l_linenumber", "qd_is_null", "qd_or_zero", "qd_pos_only"]).to_pandas()
+    out["qd_or_zero"] = out["qd_or_zero"].round(4)
+    out["qd_pos_only"] = out["qd_pos_only"].round(4)
+    return out.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
+def generate_sequence(sf_dir: str):
+    """Generate(count) + Sequence + Const (terminal expressions)."""
+    import ray.data as rd
+
+    from supersonic_ray.functions import expressions as E
+
+    def tag(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch.column("id")
+        return pa.table(
+            {
+                "i": ids,
+                "sq": pc.multiply(ids, ids),
+                "tag": E.const("row", n, pa.string()),
+            }
+        )
+
+    return rd.range(100).map_batches(tag, batch_format="pyarrow").to_pandas().sort_values("i").reset_index(drop=True)
+
+
+def expr_datetime_parse(sf_dir: str):
+    """DateFormat + ParseDateTime round trip (date_expressions.h)."""
+    from supersonic_ray.functions import expressions as E
+    from supersonic_ray.stages.ops import compute, project
+
+    ds = _ld(sf_dir, "events", ["event_id", "ts"])
+    ds = compute(
+        ds,
+        {
+            # Arrow's %S prints fractional seconds; truncate to second
+            # precision first so output matches SQL strftime semantics
+            "s": lambda t: E.date_format(pc.cast(pc.floor_temporal(t.column("ts"), unit="second"), pa.timestamp("s")), "%Y-%m-%d %H:%M:%S"),
+        },
+    )
+    ds = compute(ds, {"ts_back": lambda t: E.parse_datetime(t.column("s"), "%Y-%m-%d %H:%M:%S")})
+    return (
+        project(ds, ["event_id", "s", "ts_back"]).to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+
+
 def expr_cast_parse(sf_dir: str):
     """CastTo / ParseStringNulling (cast_bound_expression.cc:49-137):
     numeric→string→numeric round trip plus a failing parse → NULL."""
@@ -659,6 +725,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_embeddings": ann_lsh_embeddings,
         "embedding_neardup": embedding_neardup,
         "multimodal_decode": multimodal_decode,
+        "expr_null_handling": expr_null_handling,
+        "generate_sequence": generate_sequence,
+        "expr_datetime_parse": expr_datetime_parse,
         "expr_cast_parse": expr_cast_parse,
         "agg_clusters_sorted": agg_clusters_sorted,
         "group_with_limit": group_with_limit,
@@ -844,6 +913,27 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN trim(coalesce(text, '')) = '' THEN 0
                         ELSE length(regexp_extract_all(trim(text), '\\S+')) END AS n_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "expr_null_handling": """
+            WITH q AS (
+              SELECT l_orderkey, l_linenumber,
+                     CASE WHEN l_discount = 0 THEN NULL ELSE l_quantity / l_discount END AS qd
+              FROM lineitem)
+            SELECT l_orderkey, l_linenumber,
+                   qd IS NULL AS qd_is_null,
+                   round(coalesce(qd, 0.0), 4) AS qd_or_zero,
+                   round(CASE WHEN coalesce(qd, -1.0) > 10.0 THEN qd ELSE NULL END, 4) AS qd_pos_only
+            FROM q ORDER BY l_orderkey, l_linenumber
+        """,
+        "generate_sequence": """
+            SELECT range AS i, range * range AS sq, 'row' AS tag
+            FROM range(100) ORDER BY i
+        """,
+        "expr_datetime_parse": """
+            SELECT event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS s,
+                   strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_back
+            FROM events ORDER BY event_id
         """,
         "expr_cast_parse": """
             SELECT o_orderkey,

@@ -147,8 +147,9 @@ def if_(cond, then, else_):
 
 
 def nulling_if(cond, then):
-    """NullingIf: NULL where cond is false (elementary_expressions.h)."""
-    return pc.if_else(cond, then, pa.nulls(len(then) if isinstance(then, pa.Array) else 1, then.type))
+    """NullingIf: NULL where cond is false (elementary_expressions.h).
+    Accepts Array or ChunkedArray."""
+    return pc.if_else(pc.fill_null(cond, False), then, pa.nulls(len(then), then.type))
 
 
 def case(operand, cases: list[tuple], default=None):
