@@ -622,6 +622,17 @@ def expr_datetime_parse(sf_dir: str):
     )
 
 
+def session_windows_events(sf_dir: str):
+    """Gap-based sessionization (30-minute gap) per user."""
+    from supersonic_ray.stages.windows import session_window
+
+    ds = _ld(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = session_window(ds, "user_id", "ts", gap_us=30 * 60 * 1_000_000, agg_col="value", tiebreak="event_id").to_pandas()
+    out["sum_value"] = out["sum_value"].round(4)
+    out = out[["user_id", "session_id", "n_events", "sum_value"]]
+    return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
 def expr_cast_parse(sf_dir: str):
     """CastTo / ParseStringNulling (cast_bound_expression.cc:49-137):
     numeric→string→numeric round trip plus a failing parse → NULL."""
@@ -728,6 +739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expr_null_handling": expr_null_handling,
         "generate_sequence": generate_sequence,
         "expr_datetime_parse": expr_datetime_parse,
+        "session_windows_events": session_windows_events,
         "expr_cast_parse": expr_cast_parse,
         "agg_clusters_sorted": agg_clusters_sorted,
         "group_with_limit": group_with_limit,
@@ -934,6 +946,22 @@ def oracle_sql() -> dict[str, str]:
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS s,
                    strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_back
             FROM events ORDER BY event_id
+        """,
+        "session_windows_events": """
+            WITH marked AS (
+              SELECT user_id, ts, value, event_id,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT user_id, value,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM marked)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM sess GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
         """,
         "expr_cast_parse": """
             SELECT o_orderkey,

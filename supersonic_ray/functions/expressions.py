@@ -324,10 +324,18 @@ def concat_with_separator(sep: str, *arrays):
 
 
 def substring(a, pos, length_):
-    """Substring(str, pos, len) — 1-based pos like the reference."""
+    """Substring(str, pos, len) — 1-based pos like the reference.
+    Scalar pos/len use the Arrow kernel; per-row pos/len arrays fall
+    back to a pandas str op (the reference evaluates per row anyway)."""
     if isinstance(pos, int) and isinstance(length_, int):
         return pc.utf8_slice_codeunits(a, start=pos - 1, stop=pos - 1 + length_)
-    raise NotImplementedError("vectorized per-row positions: use pandas fallback")
+    import pandas as pd
+
+    s = pd.Series(pa.array(a).to_pandas())
+    p = pd.Series(np.asarray(pos)).astype("int64") - 1
+    ln = pd.Series(np.asarray(length_)).astype("int64")
+    out = [None if v is None else v[max(0, pp) : max(0, pp) + ll] for v, pp, ll in zip(s, p, ln)]
+    return pa.array(out, type=pa.string())
 
 
 def trailing_substring(a, pos: int):

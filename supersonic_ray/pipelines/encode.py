@@ -360,8 +360,11 @@ class BatchEncoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t0 = time.monotonic()
-        first = {c: str(batch.column(c)[0]) for c in batch.column_names[:1]} if batch.num_rows else {}
-        pid = content_hash(batch.num_rows, first, batch.schema.names)
+        ident = {}
+        if batch.num_rows:
+            c0 = batch.column_names[0]
+            ident = {"first": str(batch.column(c0)[0]), "last": str(batch.column(c0)[batch.num_rows - 1])}
+        pid = content_hash(batch.num_rows, ident, batch.schema.names)
         chash = pid
         if not is_complete(self.out_dir, pid, chash):
             blob, col_metrics = encode_table_to_blob(batch, self.chunk_rows)

@@ -1,1 +1,1 @@
-from . import aggregates, joins, multimodal, ops, skew, stateful, text, vectors  # noqa: F401
+from . import aggregates, joins, multimodal, ops, skew, stateful, text, vectors, windows  # noqa: F401

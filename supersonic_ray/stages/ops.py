@@ -14,6 +14,28 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def validate_schema(ds, expected: pa.Schema, strict_nullability: bool = False):
+    """Bind-time schema check (SURVEY.md §3.1): the reference surfaces
+    schema/type errors when the cursor tree is built; Ray Data defers
+    them to runtime, so pipelines validate explicitly up front."""
+    actual = ds.schema()
+    actual_types = dict(zip(actual.names, actual.types))
+    problems = []
+    for field in expected:
+        if field.name not in actual_types:
+            problems.append(f"missing column {field.name!r}")
+        elif actual_types[field.name] != field.type:
+            problems.append(
+                f"column {field.name!r}: expected {field.type}, got {actual_types[field.name]}"
+            )
+    extra = set(actual.names) - set(expected.names)
+    if extra:
+        problems.append(f"unexpected columns {sorted(extra)}")
+    if problems:
+        raise TypeError("schema mismatch: " + "; ".join(problems))
+    return ds
+
+
 def compute(ds, exprs: dict[str, Callable[[pa.Table], pa.Array]], keep_input: bool = True):
     """Compute(expr, child) (cursor/core/compute.h:32-40): evaluate named
     expressions per batch; output schema = input (+/-) computed columns."""
@@ -133,11 +155,16 @@ def distinct(ds, keys: list[str] | None = None):
 def bernoulli_sample(ds, p: float, seed: int):
     """Sampling via seeded RandomDouble + Filter (the reference's only
     sampling story, terminal_expressions.h:69-71)."""
+    import hashlib
+
     import numpy as np
 
     def fn(batch: pa.Table) -> pa.Table:
-        # per-batch deterministic stream: seed mixed with batch content hash
-        h = hash((batch.num_rows, str(batch.slice(0, 1).to_pydict()))) & 0x7FFFFFFF
+        # per-batch deterministic stream: seed mixed with a STABLE batch
+        # content hash (never Python hash() — its per-process seed would
+        # desync runs and workers)
+        ident = f"{batch.num_rows}:{batch.slice(0, 1).to_pydict()!r}".encode()
+        h = int.from_bytes(hashlib.md5(ident).digest()[:4], "little") & 0x7FFFFFFF
         rng = np.random.RandomState((seed * 1_000_003 + h) & 0x7FFFFFFF)
         return batch.filter(pa.array(rng.uniform(size=batch.num_rows) < p))
 

@@ -307,3 +307,48 @@ def test_sort_case_insensitive(ray_session):
     t = pa.table({"s": ["b", "A", "C", "a"]})
     out = sort_case_insensitive(_ds(t), "s").to_pandas()["s"].tolist()
     assert [x.lower() for x in out] == ["a", "a", "b", "c"]
+
+
+def test_session_and_sliding_windows(ray_session):
+    from supersonic_ray.stages.windows import session_window, sliding_window
+
+    M = 1_000_000
+    t = pa.table(
+        {
+            "k": ["a"] * 5 + ["b"] * 2,
+            "ts": pa.array(
+                [0, 10 * M, 3600 * M, 3610 * M, 3620 * M, 5 * M, 4000 * M], pa.timestamp("us")
+            ),
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0, 10.0, 20.0],
+            "id": list(range(7)),
+        }
+    )
+    sess = (
+        session_window(_ds(t, 2), "k", "ts", gap_us=1800 * M, agg_col="v", tiebreak="id")
+        .to_pandas()
+        .sort_values(["k", "session_id"])
+    )
+    assert sess[sess["k"] == "a"]["n_events"].tolist() == [2, 3]
+    assert sess[sess["k"] == "a"]["sum_v"].tolist() == [3.0, 12.0]
+    assert sess[sess["k"] == "b"]["n_events"].tolist() == [1, 1]
+
+    slid = (
+        sliding_window(_ds(t), "k", "ts", width_us=20 * M, slide_us=10 * M, agg_col="v")
+        .to_pandas()
+        .sort_values(["k", "window_start"])
+    )
+    a0 = slid[(slid["k"] == "a") & (slid["window_start"] == 0)]
+    assert a0["n_events"].tolist() == [2]  # events at t=0 and t=10s
+    assert a0["sum_v"].tolist() == [3.0]
+
+
+def test_validate_schema(ray_session):
+    from supersonic_ray.stages.ops import validate_schema
+
+    t = pa.table({"a": pa.array([1], pa.int64()), "b": ["x"]})
+    ds = _ds(t)
+    validate_schema(ds, pa.schema([("a", pa.int64()), ("b", pa.string())]))
+    with pytest.raises(TypeError, match="expected"):
+        validate_schema(ds, pa.schema([("a", pa.int32()), ("b", pa.string())]))
+    with pytest.raises(TypeError, match="missing"):
+        validate_schema(ds, pa.schema([("zz", pa.int64()), ("a", pa.int64()), ("b", pa.string())]))
