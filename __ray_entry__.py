@@ -622,6 +622,57 @@ def expr_datetime_parse(sf_dir: str):
     )
 
 
+def expr_string_extra(sf_dir: str):
+    """StringOffset / TrailingSubstring / Replace / ConcatWithSeparator
+    (string_expressions.h:29-102)."""
+    from supersonic_ray.functions import expressions as E
+    from supersonic_ray.stages.ops import compute, project
+
+    ds = _ld(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+    ds = compute(
+        ds,
+        {
+            "off_a": lambda t: pc.cast(E.string_offset(t.column("p_name"), "a"), pa.int64()),
+            "last3": lambda t: E.trailing_substring(t.column("p_name"), 3),
+            "fixed": lambda t: E.string_replace(t.column("p_brand"), "Brand", "B"),
+            "joined": lambda t: E.concat_with_separator("|", t.column("p_brand"), t.column("p_name")),
+        },
+    )
+    return (
+        project(ds, ["p_partkey", "off_a", "last3", "fixed", "joined"])
+        .to_pandas()
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )
+
+
+def expr_date_fields(sf_dir: str):
+    """Field extractors + AddDays/AddMinutes (date_expressions.h:31-175)."""
+    from supersonic_ray.functions import expressions as E
+    from supersonic_ray.stages.ops import compute, project
+
+    ds = _ld(sf_dir, "events", ["event_id", "ts"])
+    ds = compute(
+        ds,
+        {
+            "q": lambda t: pc.cast(E.quarter(t.column("ts")), pa.int64()),
+            "dy": lambda t: pc.cast(E.yearday(t.column("ts")), pa.int64()),
+            "hh": lambda t: pc.cast(E.hour(t.column("ts")), pa.int64()),
+            "mm": lambda t: pc.cast(E.minute(t.column("ts")), pa.int64()),
+            "ss": lambda t: pc.cast(E.second(t.column("ts")), pa.int64()),
+            "plus2d": lambda t: E.add_days(t.column("ts"), pa.scalar(2, pa.int64())),
+            "plus30m": lambda t: E.add_minutes(t.column("ts"), pa.scalar(30, pa.int64())),
+            "epoch_s": lambda t: E.unix_timestamp(t.column("ts")),
+        },
+    )
+    return (
+        project(ds, ["event_id", "q", "dy", "hh", "mm", "ss", "plus2d", "plus30m", "epoch_s"])
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 def session_windows_events(sf_dir: str):
     """Gap-based sessionization (30-minute gap) per user."""
     from supersonic_ray.stages.windows import session_window
@@ -739,6 +790,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expr_null_handling": expr_null_handling,
         "generate_sequence": generate_sequence,
         "expr_datetime_parse": expr_datetime_parse,
+        "expr_string_extra": expr_string_extra,
+        "expr_date_fields": expr_date_fields,
         "session_windows_events": session_windows_events,
         "expr_cast_parse": expr_cast_parse,
         "agg_clusters_sorted": agg_clusters_sorted,
@@ -945,6 +998,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS s,
                    strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_back
+            FROM events ORDER BY event_id
+        """,
+        "expr_string_extra": """
+            SELECT p_partkey,
+                   strpos(p_name, 'a') AS off_a,
+                   right(p_name, 3) AS last3,
+                   replace(p_brand, 'Brand', 'B') AS fixed,
+                   p_brand || '|' || p_name AS joined
+            FROM part ORDER BY p_partkey
+        """,
+        "expr_date_fields": """
+            SELECT event_id,
+                   CAST(quarter(ts) AS BIGINT) AS q,
+                   CAST(dayofyear(ts) AS BIGINT) AS dy,
+                   CAST(hour(ts) AS BIGINT) AS hh,
+                   CAST(minute(ts) AS BIGINT) AS mm,
+                   CAST(second(ts) AS BIGINT) AS ss,
+                   ts + INTERVAL 2 DAY AS plus2d,
+                   ts + INTERVAL 30 MINUTE AS plus30m,
+                   CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS epoch_s
             FROM events ORDER BY event_id
         """,
         "session_windows_events": """

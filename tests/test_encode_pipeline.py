@@ -141,3 +141,20 @@ def test_clustered_encode_smaller(webpages_parquet):
     # selector flips lang to a run-based codec on the sorted variant
     assert len(blob_s) <= len(blob) * 1.05
     assert ms["lang"]["codec"] in ("rle", "dict")
+
+
+def test_size_beats_both_baselines():
+    """The hard gate (BASELINE.md §2): our encoded size ≤ the reference
+    format + bz2, AND ≤ the stronger Parquet+zstd-no-dictionary baseline."""
+    import io
+
+    from supersonic_ray.codecs.reference import encode_table as ref_encode
+    from supersonic_ray.pipelines import encode_table_to_blob
+
+    t = generate_webpages(8192, html_tail=True)
+    blob, _ = encode_table_to_blob(t)
+    ref = len(ref_encode(t, "bz2"))
+    buf = io.BytesIO()
+    pq.write_table(t, buf, compression="zstd", use_dictionary=False)
+    assert len(blob) <= ref, (len(blob), ref)
+    assert len(blob) <= buf.tell(), (len(blob), buf.tell())
