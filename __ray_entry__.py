@@ -622,6 +622,18 @@ def expr_datetime_parse(sf_dir: str):
     )
 
 
+def doc_fingerprints(sf_dir: str):
+    """Document fingerprinting: md5 content hash + rolling-hash
+    winnowing fingerprint (shared-substring detector)."""
+    from supersonic_ray.stages.text import md5_fingerprint, rolling_fingerprint
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "text"])
+    ds = md5_fingerprint(ds, "text", alias="md5_fp")
+    out = rolling_fingerprint(ds, "text", window=16, alias="roll_fp").to_pandas()
+    out = out[["doc_id", "md5_fp", "roll_fp"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def expr_string_extra(sf_dir: str):
     """StringOffset / TrailingSubstring / Replace / ConcatWithSeparator
     (string_expressions.h:29-102)."""
@@ -790,6 +802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expr_null_handling": expr_null_handling,
         "generate_sequence": generate_sequence,
         "expr_datetime_parse": expr_datetime_parse,
+        "doc_fingerprints": doc_fingerprints,
         "expr_string_extra": expr_string_extra,
         "expr_date_fields": expr_date_fields,
         "session_windows_events": session_windows_events,

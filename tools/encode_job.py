@@ -35,6 +35,12 @@ def main() -> int:
         help="column=codec[+backend], e.g. html=fsst+bz2 (repeatable)",
     )
     ap.add_argument("--decode-verify", action="store_true", help="decode all partitions and count rows after encode")
+    ap.add_argument(
+        "--cluster", action="store_true",
+        help="pre-sort by (lang, url host) before encode — one all-to-all "
+             "shuffle for longer dict/RLE runs (stages/skew.py cluster_for_encode); "
+             "input is re-staged to a clustered parquet dir next to --out",
+    )
     args = ap.parse_args()
 
     import ray
@@ -59,6 +65,18 @@ def main() -> int:
     from supersonic_ray.pipelines import decode_partitions, encode_parquet
 
     t0 = time.monotonic()
+    if args.cluster:
+        import ray.data as rd
+
+        from supersonic_ray.stages.skew import cluster_for_encode
+
+        staged = args.out.rstrip("/") + ".clustered_input"
+        if not os.path.exists(os.path.join(staged, "_DONE")):
+            ds = rd.read_parquet(args.input)
+            cluster_for_encode(ds).write_parquet(staged, min_rows_per_file=8 * args.target_rows)
+            with open(os.path.join(staged, "_DONE"), "w") as f:
+                f.write("ok")
+        args.input = staged
     metrics = encode_parquet(
         args.input,
         args.out,
