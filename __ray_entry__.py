@@ -69,13 +69,10 @@ def q3_top_orders(sf_dir: str):
     cust = cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
     orders = _ld(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     joined = broadcast_hash_join(orders, cust, ["o_custkey"], ["c_custkey"])
-    li = _pq(sf_dir, "lineitem").select(["l_orderkey", "l_extendedprice", "l_discount"])
     from supersonic_ray.stages.joins import semi_join
 
     li_ds = _ld(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     okeys = joined.to_pandas()[["o_orderkey"]]
-    import ray
-
     li_f = semi_join(li_ds, pa.table({"k": okeys["o_orderkey"]}), ["l_orderkey"])
     from supersonic_ray.stages.ops import compute
 
@@ -740,7 +737,7 @@ def group_with_limit(sf_dir: str):
     from supersonic_ray.stages.aggregates import AggSpec, group_aggregate_with_limit
 
     ds = _ld(sf_dir, "nation", ["n_regionkey", "n_nationkey"])
-    out = group_with = group_aggregate_with_limit(
+    out = group_aggregate_with_limit(
         ds, ["n_regionkey"], [AggSpec("count", None, "n")], max_unique_keys=3
     ).to_pandas()
     return out.sort_values("n_regionkey", na_position="last").reset_index(drop=True)
