@@ -61,32 +61,36 @@ def q1_pricing_summary(sf_dir: str):
 
 
 def q3_top_orders(sf_dir: str):
-    """Broadcast hash join chain + group aggregate + top-k."""
+    """Broadcast hash join (small dim) + DISTRIBUTED semi join (large
+    key side) + group aggregate + distributed top-k.  Nothing unbounded
+    ever lands on the driver — only the final 10 rows."""
     from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
-    from supersonic_ray.stages.joins import broadcast_hash_join
+    from supersonic_ray.stages.joins import broadcast_hash_join, partitioned_semi_join
+    from supersonic_ray.stages.ops import compute
 
     cust = _pq(sf_dir, "customer").select(["c_custkey", "c_mktsegment"])
     cust = cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
     orders = _ld(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     joined = broadcast_hash_join(orders, cust, ["o_custkey"], ["c_custkey"])
-    from supersonic_ray.stages.joins import semi_join
 
     li_ds = _ld(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    okeys = joined.to_pandas()[["o_orderkey"]]
-    li_f = semi_join(li_ds, pa.table({"k": okeys["o_orderkey"]}), ["l_orderkey"])
-    from supersonic_ray.stages.ops import compute
-
+    # orders-side keys are unbounded at scale → hash-partitioned semi join
+    li_f = partitioned_semi_join(
+        li_ds, joined.select_columns(["o_orderkey"]), ["l_orderkey"], ["o_orderkey"]
+    )
     li_f = compute(li_f, {"revenue": lambda t: pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))})
-    rev = group_aggregate(li_f, ["l_orderkey"], [AggSpec("sum", "revenue", "revenue")]).to_pandas()
-    rev["revenue"] = rev["revenue"].round(2)
-    out = rev.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
-    return out.reset_index(drop=True)
+    rev = group_aggregate(li_f, ["l_orderkey"], [AggSpec("sum", "revenue", "revenue")])
+    rev = compute(rev, {"revenue": lambda t: pc.round(t.column("revenue"), 2)})
+    out = rev.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10).to_pandas()
+    return out[["l_orderkey", "revenue"]].reset_index(drop=True)
 
 
 def q5_region_revenue(sf_dir: str):
-    """Multi-way broadcast join through the star schema + group."""
+    """Star schema: broadcast joins for the small dims, a hash-
+    partitioned join for the orders↔lineitem edge (both unbounded), then
+    a distributed group aggregate — only 5 result rows reach the driver."""
     from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
-    from supersonic_ray.stages.joins import broadcast_hash_join
+    from supersonic_ray.stages.joins import broadcast_hash_join, partitioned_hash_join
     from supersonic_ray.stages.ops import compute
 
     region = _pq(sf_dir, "region")
@@ -99,9 +103,10 @@ def q5_region_revenue(sf_dir: str):
     o_n = broadcast_hash_join(o_n, nr.select(["n_nationkey", "n_name", "r_name"]), ["c_nationkey"], ["n_nationkey"])
     li = _ld(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     li = compute(li, {"revenue": lambda t: pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))})
-    omap = o_n.to_pandas()[["o_orderkey", "r_name"]]
-    li_pd = li.to_pandas().merge(omap, left_on="l_orderkey", right_on="o_orderkey")
-    out = li_pd.groupby("r_name", as_index=False)["revenue"].sum().rename(columns={"revenue": "revenue"})
+    tagged = partitioned_hash_join(
+        li, o_n.select_columns(["o_orderkey", "r_name"]), ["l_orderkey"], ["o_orderkey"]
+    )
+    out = group_aggregate(tagged, ["r_name"], [AggSpec("sum", "revenue", "revenue")]).to_pandas()
     out["revenue"] = out["revenue"].round(2)
     return out.sort_values("r_name").reset_index(drop=True)
 
@@ -1038,8 +1043,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             sess AS (
               SELECT user_id, value,
-                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+                     CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM marked)
             SELECT user_id, session_id, count(*) AS n_events,
                    round(sum(value), 4) AS sum_value

@@ -55,10 +55,14 @@ int64_t fsst_decode(const uint8_t *enc, int64_t n, const uint8_t *syms,
   while (i < n) {
     uint8_t c = enc[i];
     if (c == ESCAPE) {
+      /* truncated stream: escape with no following literal byte */
+      if (i + 1 >= n) return -1;
       if (o + 1 > out_cap) return -1;
       out[o++] = enc[i + 1];
       i += 2;
     } else {
+      /* corrupted stream: code beyond the symbol table */
+      if (c >= n_syms) return -1;
       uint8_t L = sym_lens[c];
       if (o + L > out_cap) return -1;
       memcpy(out + o, syms + c * 8, 8 <= out_cap - o ? 8 : L); /* fast path */

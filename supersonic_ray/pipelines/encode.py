@@ -231,12 +231,14 @@ class ShardEncoder:
         self.out_dir = out_dir
         self.chunk_rows = chunk_rows
         self.overrides = overrides
-        # codec-plan cache: either driver-resolved global plans shipped
-        # in (plan_scope="global"), or resolved once per actor on its
-        # first shard — selector trials + FSST symbol-table training are
-        # never repeated per batch (north star: tables cached in stateful
+        # driver-resolved global plans (plan_scope="global"): selector
+        # trials + FSST symbol-table training ran ONCE on the driver and
+        # ship to every actor (north star: tables cached in stateful
         # actor pools; reference analog: bind-once kernel resolution,
-        # copy_column.h:47-66)
+        # copy_column.h:47-66).  plans=None ⇒ plan_scope="partition":
+        # resolved fresh PER SHARD inside encode_shard, so codec choice
+        # tracks heterogeneous inputs and never depends on shard→actor
+        # assignment.
         self._plans: dict[str, tuple[Any, int]] | None = plans
         os.makedirs(out_dir, exist_ok=True)
 
@@ -264,9 +266,10 @@ class ShardEncoder:
             }
         pf = pq.ParquetFile(shard["path"])
         table = pf.read_row_groups(shard["row_groups"])
-        if self._plans is None:
-            self._plans = resolve_column_plans(table, self.overrides)
-        blob, col_metrics = encode_table_to_blob(table, self.chunk_rows, plans=self._plans)
+        # per-shard resolution when no global plans were shipped — never
+        # cached on the actor (shard→actor assignment is nondeterministic)
+        plans = self._plans if self._plans is not None else resolve_column_plans(table, self.overrides)
+        blob, col_metrics = encode_table_to_blob(table, self.chunk_rows, plans=plans)
         write_atomic(data_path(self.out_dir, pid), blob)
         wall = time.monotonic() - t0
         manifest = PartitionManifest(
@@ -349,55 +352,78 @@ def encode_parquet(
 # ------------------------------------------------- streaming dataset encode
 
 
-class BatchEncoder:
-    """Content-addressed streaming encode for arbitrary Datasets: each
-    incoming Arrow batch becomes one partition file."""
+def table_content_hash(batch: pa.Table) -> str:
+    """Hash over ALL column buffers (zero-copy buffer-protocol feed into
+    blake2b) + row count + schema names — collision-proof identity for
+    the actual batch CONTENT, recorded in the manifest for integrity."""
+    import hashlib
 
-    def __init__(self, out_dir: str, chunk_rows: int = CHUNK_ROWS):
+    h = hashlib.blake2b(digest_size=16)
+    h.update(repr(batch.schema.names).encode())
+    h.update(struct.pack("<q", batch.num_rows))
+    for col in batch.columns:
+        for chunk in col.chunks:
+            for buf in chunk.buffers():
+                if buf is not None:
+                    h.update(buf)
+    return h.hexdigest()
+
+
+class BatchEncoder:
+    """Streaming encode for arbitrary Datasets: each incoming Arrow
+    batch becomes one partition file.
+
+    Partition ids are (run_id, actor_uid, per-actor ordinal) — unique by
+    construction, so two distinct batches can NEVER collide and no batch
+    is ever silently skipped (identical duplicate batches included; the
+    old (row_count, first/last value) id collided on low-cardinality
+    leading columns).  The manifest records a full content hash for
+    integrity.  Consequence: ``encode_dataset`` is NOT checkpoint-
+    resumable — batch boundaries of an arbitrary Dataset aren't stable
+    across runs anyway; use ``encode_parquet`` (stable shard-ordinal
+    ids + content-hash skip) for resumable jobs, and give each
+    ``encode_dataset`` run a fresh ``out_dir``."""
+
+    def __init__(self, out_dir: str, chunk_rows: int = CHUNK_ROWS, run_id: str = "run"):
+        import uuid
+
         self.out_dir = out_dir
         self.chunk_rows = chunk_rows
+        self.run_id = run_id
+        self.actor_uid = uuid.uuid4().hex[:8]
+        self.ordinal = 0
         os.makedirs(out_dir, exist_ok=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t0 = time.monotonic()
-        ident = {}
-        if batch.num_rows:
-            c0 = batch.column_names[0]
-            ident = {"first": str(batch.column(c0)[0]), "last": str(batch.column(c0)[batch.num_rows - 1])}
-        pid = content_hash(batch.num_rows, ident, batch.schema.names)
-        chash = pid
-        if not is_complete(self.out_dir, pid, chash):
-            blob, col_metrics = encode_table_to_blob(batch, self.chunk_rows)
-            write_atomic(data_path(self.out_dir, pid), blob)
-            save_manifest(
-                self.out_dir,
-                PartitionManifest(
-                    part_id=pid,
-                    content_hash=chash,
-                    n_rows=batch.num_rows,
-                    n_chunks=max(1, -(-batch.num_rows // self.chunk_rows)),
-                    bytes_in=batch.nbytes,
-                    bytes_out=len(blob),
-                    wall_sec=time.monotonic() - t0,
-                    columns=col_metrics,
-                    lineage={"source": "dataset-stream"},
-                ),
-            )
-            skipped = False
-            bytes_out = len(blob)
-        else:
-            skipped = True
-            bytes_out = os.path.getsize(data_path(self.out_dir, pid))
+        pid = f"{self.run_id}-{self.actor_uid}-{self.ordinal:06d}"
+        self.ordinal += 1
+        blob, col_metrics = encode_table_to_blob(batch, self.chunk_rows)
+        write_atomic(data_path(self.out_dir, pid), blob)
+        save_manifest(
+            self.out_dir,
+            PartitionManifest(
+                part_id=pid,
+                content_hash=table_content_hash(batch),
+                n_rows=batch.num_rows,
+                n_chunks=max(1, -(-batch.num_rows // self.chunk_rows)),
+                bytes_in=batch.nbytes,
+                bytes_out=len(blob),
+                wall_sec=time.monotonic() - t0,
+                columns=col_metrics,
+                lineage={"source": "dataset-stream", "run_id": self.run_id},
+            ),
+        )
         return pa.Table.from_pylist(
             [
                 {
                     "part_id": pid,
                     "n_rows": batch.num_rows,
                     "bytes_in": batch.nbytes,
-                    "bytes_out": bytes_out,
+                    "bytes_out": len(blob),
                     "wall_sec": time.monotonic() - t0,
-                    "skipped": skipped,
-                    "codecs": "",
+                    "skipped": False,
+                    "codecs": ",".join(f"{k}={v['codec']}" for k, v in col_metrics.items()),
                 }
             ],
             schema=METRICS_SCHEMA,
@@ -405,13 +431,22 @@ class BatchEncoder:
 
 
 def encode_dataset(ds, out_dir: str, batch_size: int = 4 * CHUNK_ROWS, concurrency=None, chunk_rows: int = CHUNK_ROWS):
+    """Streaming Dataset encode (see BatchEncoder docstring: NOT
+    resumable — use a fresh out_dir; encode_parquet is the resumable
+    shape)."""
+    import uuid
+
     if concurrency is None:
         import ray
 
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
     return ds.map_batches(
         BatchEncoder,
-        fn_constructor_kwargs={"out_dir": out_dir, "chunk_rows": chunk_rows},
+        fn_constructor_kwargs={
+            "out_dir": out_dir,
+            "chunk_rows": chunk_rows,
+            "run_id": uuid.uuid4().hex[:8],
+        },
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,

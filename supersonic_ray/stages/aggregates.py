@@ -23,6 +23,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 @dataclass(frozen=True)
@@ -96,6 +97,8 @@ def _group_aggregate_partial(ds, keys: list[str], specs: list[AggSpec]):
     count_star = [s for s in specs if s.fn == "count" and s.column is None]
     count_cols = [s for s in specs if s.fn == "count" and s.column is not None]
 
+    sum_specs = [s for s in specs if s.fn == "sum"]
+
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         agg_map: dict[str, tuple] = {}
@@ -106,8 +109,19 @@ def _group_aggregate_partial(ds, keys: list[str], specs: list[AggSpec]):
                 agg_map[f"__p_{s.alias}"] = (s.column, "count")
             else:
                 agg_map[f"__p_{s.alias}"] = (s.column, s.fn)
+        for s in sum_specs:
+            # partial non-null count so all-NULL groups can propagate NULL
+            # (pandas sum() has min_count=0 → 0.0; reference SUM-of-NULLs
+            # is NULL, aggregate.h — matches the holistic _apply_one path)
+            agg_map[f"__pn_{s.alias}"] = (s.column, "count")
         gb = df.groupby(keys, dropna=False, sort=False, observed=True)
         out = gb.agg(**agg_map) if agg_map else gb.size().to_frame("__drop").drop(columns="__drop")
+        for s in sum_specs:
+            col = f"__p_{s.alias}"
+            all_null = out[f"__pn_{s.alias}"] == 0
+            if all_null.any():
+                out[col] = out[col].where(~all_null, np.nan)
+            out = out.drop(columns=f"__pn_{s.alias}")
         if count_star:
             out["__p_rows"] = gb.size()
         return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
@@ -150,46 +164,179 @@ def _group_aggregate_partial(ds, keys: list[str], specs: list[AggSpec]):
 
 def scalar_aggregate(ds, specs: list[AggSpec]) -> pa.Table:
     """ScalarAggregate (aggregate.h:334-341): exactly one row, even for
-    empty input.  Returns a materialized single-row pa.Table."""
-    df = ds.to_pandas()
-    row = {}
-    for s in specs:
-        row[s.alias] = [_apply_one(df, s)] if len(df) or s.fn == "count" else [None]
-        if s.fn == "count" and not len(df):
-            row[s.alias] = [0]
-    return pa.table(row)
+    empty input.  DISTRIBUTED: distributive specs run as per-batch
+    partials (ONE row per batch) with a tiny driver combine; DISTINCT
+    counts run as a distributed dedup + count; FIRST/LAST with order run
+    as a distributed sort+limit(1).  Only CONCAT (output is inherently
+    O(input)) collects rows on the driver — documented fallback.
+    Returns a materialized single-row pa.Table."""
+    row: dict[str, list] = {}
+
+    dist = [s for s in specs if s.fn in ("sum", "min", "max", "count", "mean") and not s.distinct]
+    distinct_counts = [s for s in specs if s.fn == "count" and s.distinct]
+    ordered_fl = [s for s in specs if s.fn in ("first", "last") and s.order_by and not s.distinct]
+    holistic = [s for s in specs if s not in dist and s not in distinct_counts and s not in ordered_fl]
+
+    if dist:
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            out = {}
+            for s in dist:
+                p = f"__p_{s.alias}"
+                if s.fn == "count" and s.column is None:
+                    out[p] = [len(df)]
+                elif s.fn == "count":
+                    out[p] = [int(df[s.column].notna().sum())]
+                elif s.fn in ("sum", "mean"):
+                    col = df[s.column]
+                    out[p] = [col.sum() if col.notna().any() else None]
+                    out[f"__n_{s.alias}"] = [int(col.notna().sum())]
+                else:  # min / max
+                    col = df[s.column]
+                    out[p] = [getattr(col, s.fn)() if col.notna().any() else None]
+            return pa.table(out)
+
+        # one row per input batch — the driver combine is O(#batches)
+        partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        for s in dist:
+            if f"__p_{s.alias}" not in partials.columns:  # empty input
+                row[s.alias] = [0] if s.fn == "count" else [None]
+                continue
+            p = partials[f"__p_{s.alias}"]
+            if s.fn == "count":
+                row[s.alias] = [int(p.sum())]
+            elif s.fn == "sum":
+                row[s.alias] = [p.sum() if p.notna().any() else None]
+            elif s.fn == "mean":
+                n = partials[f"__n_{s.alias}"].sum()
+                row[s.alias] = [p.sum() / n if n else None]
+            elif s.fn == "min":
+                row[s.alias] = [p.min() if p.notna().any() else None]
+            else:
+                row[s.alias] = [p.max() if p.notna().any() else None]
+
+    for s in distinct_counts:
+        if s.column is None:
+            raise ValueError("COUNT(*) cannot be DISTINCT")
+
+        def local_unique(batch: pa.Table, col=s.column) -> pa.Table:
+            vals = pc.drop_null(batch.column(col).combine_chunks())
+            return pa.table({col: pc.unique(vals)})
+
+        deduped = ds.select_columns([s.column]).map_batches(local_unique, batch_format="pyarrow")
+        # global distinct via one groupby on the value; count = n groups
+        row[s.alias] = [int(deduped.groupby(s.column).count().count())]
+
+    for s in ordered_fl:
+        filtered = ds.map_batches(
+            lambda b, col=s.column: b.filter(pc.is_valid(b.column(col))), batch_format="pyarrow"
+        )
+        one = filtered.sort(s.order_by, descending=(s.fn == "last")).limit(1).take_all()
+        row[s.alias] = [one[0][s.column] if one else None]
+
+    if holistic:
+        # CONCAT / DISTINCT-sum &c: output or state is O(distinct input)
+        # — driver collect, only safe on bounded inputs by construction.
+        df = ds.to_pandas()
+        for s in holistic:
+            row[s.alias] = [_apply_one(df, s)] if len(df) or s.fn == "count" else [None]
+            if s.fn == "count" and not len(df):
+                row[s.alias] = [0]
+
+    return pa.table({s.alias: row[s.alias] for s in specs})
 
 
 def aggregate_clusters(ds, keys: list[str], specs: list[AggSpec]):
-    """AggregateClusters (aggregate.h:278-291): aggregation of input
-    already clustered by key.  Expressed as groupby().map_groups — Ray
-    Data has no global-order contract across blocks, so the clustered
-    requirement becomes a hash-group; semantics identical, the
-    constant-memory streaming advantage returns at the map_groups level.
-    """
-    return group_aggregate(ds, keys, specs)
+    """AggregateClusters (aggregate.h:278-291, aggregate_clusters.cc:64-120):
+    aggregation of input already clustered by key.
+
+    Streaming shape: each block is vectorized run-detected and collapsed
+    to ONE partial row per run (constant memory per block — the
+    reference's contract), then a final small group_aggregate merges the
+    boundary runs that were split across blocks.  For clustered input
+    each key appears in O(1) blocks, so the shuffle moves only per-run
+    partials, not rows.  Holistic specs fall back to hash grouping."""
+    distributive = all(
+        s.fn in ("sum", "min", "max", "count") and not s.distinct for s in specs
+    )
+    if not distributive:
+        return group_aggregate(ds, keys, specs)
+
+    def run_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # run detection: new run where any key differs from previous row
+        change = np.zeros(len(df), dtype=bool)
+        if len(df):
+            change[0] = True
+        for k in keys:
+            col = df[k]
+            change[1:] |= (col != col.shift()).to_numpy()[1:]
+        run_id = np.cumsum(change)
+        gb = df.assign(__run=run_id).groupby("__run", sort=True)
+        out = gb[keys].first()
+        for s in specs:
+            p = f"__p_{s.alias}"
+            if s.fn == "count" and s.column is None:
+                out[p] = gb.size()
+            elif s.fn == "count":
+                out[p] = gb[s.column].count()
+            else:
+                agg = getattr(gb[s.column], s.fn)()
+                if s.fn == "sum":
+                    nz = gb[s.column].count()
+                    agg = agg.where(nz > 0, np.nan)
+                out[p] = agg
+        return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+    partials = ds.map_batches(run_partial, batch_format="pyarrow")
+    merge_specs = []
+    for s in specs:
+        p = f"__p_{s.alias}"
+        fn = "sum" if s.fn in ("sum", "count") else s.fn
+        merge_specs.append(AggSpec(fn, p, s.alias))
+    out = group_aggregate(partials, keys, merge_specs)
+    int_counts = [s.alias for s in specs if s.fn == "count"]
+    if int_counts:
+        def fix(batch: pa.Table) -> pa.Table:
+            for alias in int_counts:
+                idx = batch.column_names.index(alias)
+                batch = batch.set_column(idx, alias, batch.column(alias).cast(pa.int64()))
+            return batch
+
+        out = out.map_batches(fix, batch_format="pyarrow")
+    return out
 
 
 def group_aggregate_with_limit(ds, keys: list[str], specs: list[AggSpec], max_unique_keys: int):
     """BoundGroupAggregateWithLimit (aggregate.h:266-277): first K
-    distinct keys aggregated individually, the rest collapse into one
-    overflow row with key=NULL."""
-    full = group_aggregate(ds, keys, specs).sort(keys)
-    rows = full.take_all()
-    head, overflow = rows[:max_unique_keys], rows[max_unique_keys:]
-    if overflow:
-        merged: dict = {k: None for k in keys}
-        for s in specs:
-            vals = [r[s.alias] for r in overflow if r[s.alias] is not None]
-            if s.fn in ("sum", "count"):
-                merged[s.alias] = sum(vals) if vals else (0 if s.fn == "count" else None)
-            elif s.fn == "min":
-                merged[s.alias] = min(vals) if vals else None
-            elif s.fn == "max":
-                merged[s.alias] = max(vals) if vals else None
-            else:
-                merged[s.alias] = vals[0] if vals else None
-        head = head + [merged]
+    distinct keys (key order) aggregated individually, the rest collapse
+    into one overflow row with key=NULL.
+
+    Distributed: full group_aggregate → distributed sort+limit(K) for
+    the head (K is small by contract, driver-safe), and the overflow is
+    re-aggregated DISTRIBUTED (anti-join on the K head keys + scalar
+    re-aggregation of the per-group partial rows)."""
     import ray.data as rd
 
-    return rd.from_items(head)
+    from .joins import anti_join
+
+    full = group_aggregate(ds, keys, specs)
+    head_pd = full.sort(keys).limit(max_unique_keys).to_pandas()
+
+    overflow_ds = anti_join(
+        full, pa.Table.from_pandas(head_pd[keys], preserve_index=False), keys
+    )
+    respecs = [AggSpec("count", None, "__n_groups")]
+    for s in specs:
+        fn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}.get(s.fn, "first")
+        respecs.append(AggSpec(fn, s.alias, s.alias))
+    over = scalar_aggregate(overflow_ds, respecs).to_pandas()
+    if int(over["__n_groups"].iloc[0]) > 0:
+        over = over.drop(columns="__n_groups")
+        for k in keys:
+            over[k] = pd.Series([None], dtype=head_pd[k].dtype if head_pd[k].dtype != "int64" else "float64")
+        for s in specs:
+            if s.fn == "count":
+                over[s.alias] = over[s.alias].astype("int64")
+        head_pd = pd.concat([head_pd, over[head_pd.columns]], ignore_index=True)
+    return rd.from_pandas(head_pd)

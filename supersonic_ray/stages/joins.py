@@ -6,12 +6,14 @@ materializes the RHS into a hash index and streams the LHS against it
 
 Ray-Data-first shapes:
 - broadcast_hash_join: small RHS materialized ONCE into the object
-  store (ray.put), every map_batches task probes it zero-shuffle — the
-  idiomatic distributed version of the reference's design.
+  store (ray.put); an ACTOR POOL builds the probe index once per actor
+  in __init__ (the reference's build-once HashIndexOnMaterializedCursor,
+  hash_join.cc:91-154) and every batch probes it zero-shuffle.
 - partitioned_hash_join: both sides large → Dataset.join (hash
-  partitioned on key).
+  partitioned on key), incl. semi/anti variants.
 - semi_join / anti_join: broadcast key membership filter
-  (ForeignFilter analog, cursor/core/foreign_filter.h:44-57).
+  (ForeignFilter analog, cursor/core/foreign_filter.h:44-57),
+  multi-column keys supported.
 - rowid_merge_join: RHS addressed by row POSITION
   (cursor/core/rowid_merge_join.h:38-50).
 """
@@ -25,6 +27,49 @@ import pyarrow.compute as pc
 INNER, LEFT_OUTER = "inner", "left_outer"
 
 
+def _pool_size() -> int:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(1, cpus - max(1, cpus // 4))
+
+
+def _maybe_get(ref):
+    import ray
+
+    return ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+
+class _BroadcastJoiner:
+    """Probe-side actor: RHS fetched from plasma and indexed ONCE per
+    actor (__init__); per batch only the probe runs.  pandas caches the
+    index hash engine, so repeated joins reuse the built hash table."""
+
+    def __init__(self, right_ref, left_keys, right_keys, join_type, suffix):
+        right: pa.Table = _maybe_get(right_ref)
+        rdf = right.to_pandas()
+        # NULL keys never match (hash_join.cc:63-66): drop from build side.
+        rdf = rdf.dropna(subset=right_keys)
+        # keep right key columns as data unless they'd collide with the
+        # left key name (pandas merge semantics: one shared key column)
+        drop_cols = [rk for rk, lk in zip(right_keys, left_keys) if rk == lk]
+        self.rdf = rdf.set_index(right_keys, drop=False).drop(columns=drop_cols)
+        # force the index hash engine to build now, not on first probe
+        self.rdf.index.is_unique
+        self.left_keys = left_keys
+        self.join_type = join_type
+        self.suffix = suffix
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ldf = batch.to_pandas()
+        if self.join_type == INNER:
+            ldf = ldf.dropna(subset=self.left_keys)
+        how = "inner" if self.join_type == INNER else "left"
+        on = self.left_keys if len(self.left_keys) > 1 else self.left_keys[0]
+        merged = ldf.join(self.rdf, on=on, how=how, rsuffix=self.suffix)
+        return pa.Table.from_pandas(merged, preserve_index=False)
+
+
 def broadcast_hash_join(
     ds_left,
     right_table: pa.Table,
@@ -32,42 +77,26 @@ def broadcast_hash_join(
     right_keys: list[str],
     join_type: str = INNER,
     suffix: str = "_r",
+    concurrency=None,
 ):
-    """Probe a broadcast RHS per batch.  The RHS pa.Table is shipped via
-    Ray's object store once per task/actor (zero-copy plasma reads), not
-    re-serialized per batch.  Multi-column keys supported; NULL keys
-    never match (reference hash_join.cc:63-66 — pandas merge agrees for
-    multi-key; single NULL keys are pre-filtered)."""
+    """Small RHS ray.put once; actor pool probes it (index built once
+    per actor, never per batch).  Multi-column keys supported; NULL keys
+    never match on either side; duplicate RHS keys replicate."""
     import ray
 
     right_ref = ray.put(right_table)
-
-    left_names = ds_left.schema().names
-
-    def probe(batch: pa.Table) -> pa.Table:
-        right = ray.get(right_ref)
-        rdf = right.to_pandas()
-        ldf = batch.to_pandas()
-        # NULL keys never match: drop-from-right; for left rows pandas
-        # merge already treats NaN != NaN on multi-key; enforce for all.
-        rdf = rdf.dropna(subset=right_keys)
-        how = "inner" if join_type == INNER else "left"
-        lkeyed = ldf
-        if join_type == INNER:
-            lkeyed = ldf.dropna(subset=left_keys)
-        merged = lkeyed.merge(
-            rdf,
-            left_on=left_keys,
-            right_on=right_keys,
-            how=how,
-            suffixes=("", suffix),
-        )
-        # LEFT_OUTER: null-key left rows stay unmatched (NaN keys never
-        # join once the RHS nulls are dropped) — pandas keeps them with
-        # null padding, which is exactly the reference's semantics.
-        return pa.Table.from_pandas(merged, preserve_index=False)
-
-    return ds_left.map_batches(probe, batch_format="pyarrow")
+    return ds_left.map_batches(
+        _BroadcastJoiner,
+        fn_constructor_kwargs={
+            "right_ref": right_ref,
+            "left_keys": left_keys,
+            "right_keys": right_keys,
+            "join_type": join_type,
+            "suffix": suffix,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, concurrency or _pool_size()),
+    )
 
 
 def partitioned_hash_join(ds_left, ds_right, left_keys, right_keys, join_type: str = INNER, num_partitions: int | None = None):
@@ -87,40 +116,81 @@ def partitioned_hash_join(ds_left, ds_right, left_keys, right_keys, join_type: s
     )
 
 
-def semi_join(ds_left, key_values: pa.Table | pa.Array, left_keys: list[str]):
-    """ForeignFilter-style semi join: broadcast key SET, filter inside
-    map_batches — no shuffle."""
+def partitioned_semi_join(ds_left, ds_right, left_keys, right_keys, anti: bool = False, num_partitions: int | None = None):
+    """Distributed semi/anti join — the 100-TB-safe membership filter:
+    both sides hash-partition on the key, no driver-side key set at all.
+    Use over broadcast semi_join whenever the key side is unbounded."""
     import ray
 
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    return ds_left.join(
+        ds_right,
+        join_type="left_anti" if anti else "left_semi",
+        num_partitions=num_partitions,
+        on=tuple(left_keys),
+        right_on=tuple(right_keys),
+    )
+
+
+def _combined_key(table: pa.Table, keys: list[str], columns: list | None = None) -> pa.Array:
+    """Exact multi-key membership key: string-cast columns joined with a
+    separator.  Rows with any NULL key yield NULL (never match)."""
+    cols = columns if columns is not None else [table.column(k) for k in keys]
+    parts = [pc.cast(c, pa.string()) for c in cols]
+    return pc.binary_join_element_wise(*parts, "\x1f", null_handling="emit_null")
+
+
+def _key_set(key_values: pa.Table | pa.Array, left_keys: list[str]) -> pa.Array:
+    """Normalize the broadcast key set to a single Arrow array (columns
+    matched to left_keys positionally); NULL-containing keys dropped."""
     if isinstance(key_values, pa.Table):
-        key_arr = key_values.column(0).combine_chunks()
+        if key_values.num_columns == 1:
+            arr = key_values.column(0).combine_chunks()
+        else:
+            if key_values.num_columns != len(left_keys):
+                raise ValueError(
+                    f"key_values has {key_values.num_columns} columns for {len(left_keys)} keys"
+                )
+            arr = _combined_key(key_values, left_keys, [key_values.column(i) for i in range(key_values.num_columns)])
     else:
-        key_arr = key_values
+        arr = key_values
+    return pc.drop_null(arr)
+
+
+def _membership_filter(ds_left, key_values, left_keys: list[str], keep_members: bool):
+    import ray
+
+    key_arr = _key_set(key_values, left_keys)
+    if isinstance(key_values, pa.Table) and key_values.num_columns > 1:
+        multi = True
+    else:
+        multi = len(left_keys) > 1
+        if multi:
+            raise ValueError("multi-key semi/anti join needs a multi-column key_values table")
     ref = ray.put(key_arr)
 
     def fn(batch: pa.Table) -> pa.Table:
         keys = ray.get(ref)
-        mask = pc.is_in(batch.column(left_keys[0]), value_set=keys)
-        return batch.filter(pc.fill_null(mask, False))
+        probe = _combined_key(batch, left_keys) if multi else batch.column(left_keys[0])
+        mask = pc.is_in(probe, value_set=keys)
+        mask = pc.fill_null(mask, False)
+        if not keep_members:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
 
     return ds_left.map_batches(fn, batch_format="pyarrow")
+
+
+def semi_join(ds_left, key_values: pa.Table | pa.Array, left_keys: list[str]):
+    """ForeignFilter-style semi join: broadcast key SET, filter inside
+    map_batches — no shuffle.  Multi-key: pass a key_values table whose
+    columns align positionally with left_keys."""
+    return _membership_filter(ds_left, key_values, left_keys, keep_members=True)
 
 
 def anti_join(ds_left, key_values: pa.Table | pa.Array, left_keys: list[str]):
-    import ray
-
-    if isinstance(key_values, pa.Table):
-        key_arr = key_values.column(0).combine_chunks()
-    else:
-        key_arr = key_values
-    ref = ray.put(key_arr)
-
-    def fn(batch: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        mask = pc.is_in(batch.column(left_keys[0]), value_set=keys)
-        return batch.filter(pc.invert(pc.fill_null(mask, False)))
-
-    return ds_left.map_batches(fn, batch_format="pyarrow")
+    return _membership_filter(ds_left, key_values, left_keys, keep_members=False)
 
 
 def rowid_merge_join(ds_left, right_table: pa.Table, left_key: str, suffix: str = "_r"):

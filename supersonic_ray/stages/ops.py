@@ -171,6 +171,21 @@ def bernoulli_sample(ds, p: float, seed: int):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def fanout(ds, n_consumers: int = 2):
+    """Splitter analog (reference cursor/core/splitter.h:44-230): consume
+    ONE dataset from several branches.  Ray Datasets are lazy lineage —
+    each consumer would otherwise re-execute the whole upstream graph —
+    so fanout pins the blocks in the object store (materialize) exactly
+    once and every branch reads the shared blocks.
+
+    Cost model: materialize = one full pass + object-store footprint
+    (spills to disk under pressure); recompute = n_consumers full
+    upstream executions.  Materialize wins whenever the upstream stage
+    is non-trivial or n_consumers > 1 — which is every dedup pipeline
+    here.  ``n_consumers`` is documentation of intent only."""
+    return ds.materialize()
+
+
 def spy(ds, listener: Callable[[pa.Table], None], label: str = "spy"):
     """Spy (cursor/core/spy.h:40-80): pass-through observer."""
 

@@ -50,18 +50,20 @@ def salt_hot_keys(ds, key_fn, hot_keys: dict[str, float], n_salts: int = 8, out_
     """Hot keys get hash-salt suffixes 0..n_salts-1; cold keys suffix 0.
     Downstream groupby(out_col) spreads hot groups over n_salts reducers;
     the caller merges partials per true key afterwards."""
-    hot = set(hot_keys)
+    hot_arr = pa.array(sorted(hot_keys), type=pa.string())
 
     def fn(batch: pa.Table) -> pa.Table:
-        keys = key_fn(batch)
-        kl = keys.to_pylist()
-        salts = np.zeros(len(kl), dtype=np.int64)
-        if hot:
-            is_hot = np.array([k in hot for k in kl])
+        keys = pc.cast(key_fn(batch), pa.string())
+        n = len(keys)
+        salts = np.zeros(n, dtype=np.int64)
+        if len(hot_arr):
+            is_hot = pc.fill_null(pc.is_in(keys, value_set=hot_arr), False).to_numpy(zero_copy_only=False)
             if is_hot.any():
-                h = np.arange(len(kl)) % n_salts  # deterministic round-robin
+                h = np.arange(n) % n_salts  # deterministic round-robin
                 salts[is_hot] = h[is_hot]
-        salted = pa.array([f"{k}:{s}" for k, s in zip(kl, salts)])
+        # fully vectorized key:salt concat (no Python per row)
+        salt_str = pc.cast(pa.array(salts, pa.int64()), pa.string())
+        salted = pc.binary_join_element_wise(keys, salt_str, ":")
         return batch.append_column(out_col, salted)
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -125,25 +125,25 @@ def md5_fingerprint(ds, col: str, alias: str = "fingerprint"):
 
 def rolling_fingerprint(ds, col: str, window: int = 16, alias: str = "rfp"):
     """Document fingerprint: min of rolling polynomial hashes (winnowing
-    flavor) — detects shared long substrings across docs."""
+    flavor) — detects shared long substrings across docs.  The window
+    hashes are computed as ``window`` fully-vectorized numpy ops (a
+    shifted-slice polynomial sum under uint64 wraparound — identical
+    values to a sequential Horner roll), never per-position Python."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        B, M = np.uint64(257), np.uint64(0xFFFFFFFFFFFFFFC5)
+        B = np.uint64(257)
+        # B^(window-1-j) for j = 0..window-1
+        powers = B ** np.arange(window - 1, -1, -1, dtype=np.uint64)
 
         def fp(t: str) -> int:
             b = t.encode() if t else b""
             if len(b) < window:
                 return int.from_bytes(hashlib.md5(b).digest()[:8], "little")
             a = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
-            h = np.zeros(len(a) - window + 1, dtype=np.uint64)
-            acc = np.uint64(0)
-            poww = B ** np.uint64(window - 1)
-            for i in range(window):
-                acc = acc * B + a[i]
-            h[0] = acc
-            for i in range(1, len(h)):
-                acc = (acc - a[i - 1] * poww) * B + a[i + window - 1]
-                h[i] = acc
+            n = len(a) - window + 1
+            h = np.zeros(n, dtype=np.uint64)
+            for j in range(window):
+                h += a[j : j + n] * powers[j]
             return int(h.min())
 
         df = df.copy()
@@ -247,11 +247,16 @@ def minhash_lsh_dedup(
     candidate losers → anti-join to drop them.  At 100 TB every step is
     a map_batches or ONE groupby on the band key; no driver-side state.
     """
+    from .ops import fanout
+
     rows_per_band = n_hashes // bands
-    signed = ds.map_batches(
-        MinHasher, fn_constructor_kwargs={"text_col": text_col, "n_hashes": n_hashes},
-        batch_format="pandas", concurrency=concurrency or _default_concurrency(),
-    ).materialize()  # consumed by two branches (bucket pass + anti-join)
+    signed = fanout(
+        ds.map_batches(
+            MinHasher, fn_constructor_kwargs={"text_col": text_col, "n_hashes": n_hashes},
+            batch_format="pandas", concurrency=concurrency or _default_concurrency(),
+        ),
+        n_consumers=2,  # bucket pass + anti-join probe
+    )
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
@@ -281,12 +286,27 @@ def minhash_lsh_dedup(
         return pd.DataFrame({id_col: ids[1:]})
 
     dup_ids = pairs.groupby("band_key").map_groups(losers, batch_format="pandas")
-    dup_table = pa.Table.from_pandas(dup_ids.to_pandas().drop_duplicates(), preserve_index=False)
-
-    from .joins import anti_join
-
-    kept = anti_join(signed, dup_table, [id_col])
+    # loser ids NEVER land on the driver: distributed distinct (one
+    # groupby on the id) then a hash-partitioned anti join — at 100 TB
+    # the dup set is billions of ids and must stay a Dataset.
+    kept = _distributed_anti_join(signed, dup_ids, id_col)
     return kept.drop_columns(["__sig"])
+
+
+def _distributed_anti_join(ds, dup_ids, id_col: str):
+    """ds minus rows whose id appears in dup_ids — both sides stay
+    distributed (Dataset.join left_anti, hash partitioned on the id)."""
+    import ray
+
+    distinct_ids = dup_ids.groupby(id_col).count().select_columns([id_col])
+    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    return ds.join(
+        distinct_ids,
+        join_type="left_anti",
+        num_partitions=n_parts,
+        on=(id_col,),
+        right_on=(id_col,),
+    )
 
 
 class SimHasher:
@@ -313,13 +333,38 @@ class SimHasher:
         return df
 
 
+_BUCKET_CAP = 4096  # max rows given to an O(n²) in-bucket verify
+
+
+def _cap_bucket(g: pd.DataFrame, id_col: str, label: str) -> pd.DataFrame:
+    """Skew guard for quadratic verify loops: one hot bucket (empty or
+    boilerplate docs sharing a hash prefix) must not go O(n²) on
+    millions of rows.  Deterministic: keep the min-id _BUCKET_CAP rows,
+    log the drop (candidate RECALL loss only — never correctness of
+    kept rows)."""
+    if len(g) <= _BUCKET_CAP:
+        return g
+    import logging
+
+    logging.getLogger("supersonic_ray").warning(
+        "%s: hot bucket of %d rows capped to %d (candidate recall loss)",
+        label, len(g), _BUCKET_CAP,
+    )
+    return g.nsmallest(_BUCKET_CAP, id_col)
+
+
 def simhash_dedup(ds, text_col: str, id_col: str, prefix_bits: int = 16):
     """Bucket by 4 rotated prefixes of the simhash; within a bucket,
     keep min-id among hashes within hamming distance ≤ 3."""
-    signed = ds.map_batches(
-        SimHasher, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pandas", concurrency=_default_concurrency(),
-    ).materialize()  # consumed by two branches
+    from .ops import fanout
+
+    signed = fanout(
+        ds.map_batches(
+            SimHasher, fn_constructor_kwargs={"text_col": text_col},
+            batch_format="pandas", concurrency=_default_concurrency(),
+        ),
+        n_consumers=2,
+    )
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
@@ -343,23 +388,25 @@ def simhash_dedup(ds, text_col: str, id_col: str, prefix_bits: int = 16):
     pairs = signed.map_batches(explode, batch_format="pandas")
 
     def losers(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort")
+        g = _cap_bucket(g, id_col, "simhash_dedup").sort_values(id_col, kind="mergesort")
         ids = g[id_col].tolist()
-        hs = [int(x) for x in g["simhash"].tolist()]
+        hs = np.array([int(x) for x in g["simhash"].tolist()], dtype=np.uint64)
         lose = set()
         for i in range(len(ids)):
             if ids[i] in lose:
                 continue
-            for j in range(i + 1, len(ids)):
-                if bin(hs[i] ^ hs[j]).count("1") <= 3:
-                    lose.add(ids[j])
+            # vectorized Hamming distance against all later rows
+            x = hs[i + 1 :] ^ hs[i]
+            pop = np.zeros(len(x), dtype=np.int64)
+            while x.any():
+                pop += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            for j in np.flatnonzero(pop <= 3):
+                lose.add(ids[i + 1 + j])
         return pd.DataFrame({id_col: sorted(lose)}) if lose else pd.DataFrame({id_col: []}).astype({id_col: g[id_col].dtype})
 
     dup_ids = pairs.groupby("bucket").map_groups(losers, batch_format="pandas")
-    dup_table = pa.Table.from_pandas(dup_ids.to_pandas().drop_duplicates(), preserve_index=False)
-    from .joins import anti_join
-
-    return anti_join(signed, dup_table, [id_col])
+    return _distributed_anti_join(signed, dup_ids, id_col)
 
 
 def ngram_jaccard_pairs(ds, text_col: str, id_col: str, k: int = 3, threshold: float = 0.6):
@@ -371,28 +418,34 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, k: int = 3, threshold: f
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
         if not n:
-            return pd.DataFrame({"bucket": [], id_col: [], "text": []})
+            return pd.DataFrame({"bucket": [], id_col: [], "__sh": []})
         sigs = np.frombuffer(b"".join(df["__sig"]), dtype="<u8").reshape(n, -1)
         B = np.uint64(1099511628211)
         bh = np.zeros(n, dtype=np.uint64)
         for j in range(4):
             bh = bh * B + sigs[:, j]
-        return pd.DataFrame({"bucket": bh.view(np.int64), id_col: df[id_col].to_numpy(), "text": df[text_col].to_numpy()})
+        # ship the DEDUPED shingle-hash set (binary), never the document
+        # text, through the bucket shuffle — and compute it exactly once
+        # per doc here instead of O(n²) times inside the verify loop
+        sh = df[text_col].map(lambda t: np.unique(_shingles(t or "", k)).astype("<u8").tobytes())
+        return pd.DataFrame({"bucket": bh.view(np.int64), id_col: df[id_col].to_numpy(), "__sh": sh.to_numpy()})
 
     buckets = signed.map_batches(explode, batch_format="pandas")
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = _cap_bucket(g, id_col, "ngram_jaccard_pairs").sort_values(id_col)
+        ids = g[id_col].tolist()
+        sets = [frozenset(np.frombuffer(b, dtype="<u8")) for b in g["__sh"]]
         rows = []
-        recs = g.sort_values(id_col).to_dict("records")
-        for i in range(len(recs)):
-            sa = set(_shingles(recs[i]["text"] or "", k).tolist())
-            for j in range(i + 1, len(recs)):
-                sb = set(_shingles(recs[j]["text"] or "", k).tolist())
+        for i in range(len(ids)):
+            sa = sets[i]
+            for j in range(i + 1, len(ids)):
+                sb = sets[j]
                 if not sa and not sb:
                     continue
                 jac = len(sa & sb) / len(sa | sb)
                 if jac >= threshold:
-                    rows.append({"id_a": recs[i][id_col], "id_b": recs[j][id_col], "jaccard": jac})
+                    rows.append({"id_a": ids[i], "id_b": ids[j], "jaccard": jac})
         return pd.DataFrame(rows) if rows else pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
 
     return buckets.groupby("bucket").map_groups(verify, batch_format="pandas")
