@@ -625,14 +625,25 @@ def expr_datetime_parse(sf_dir: str):
 
 
 def doc_fingerprints(sf_dir: str):
-    """Document fingerprinting: md5 content hash + rolling-hash
-    winnowing fingerprint (shared-substring detector)."""
-    from supersonic_ray.stages.text import md5_fingerprint, rolling_fingerprint
+    """Document fingerprinting: md5 content hash (SQL-oracle checked;
+    the rolling-hash winnowing fingerprint is its own query below)."""
+    from supersonic_ray.stages.text import md5_fingerprint
 
     ds = _ld(sf_dir, "documents", ["doc_id", "text"])
-    ds = md5_fingerprint(ds, "text", alias="md5_fp")
+    out = md5_fingerprint(ds, "text", alias="md5_fp").to_pandas()
+    out = out[["doc_id", "md5_fp"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_rolling_fp(sf_dir: str):
+    """Rolling-hash winnowing fingerprint (shared-substring detector) —
+    not SQL-expressible; exactness pinned by a pytest against a scalar
+    reference implementation (tests/test_text_extra.py)."""
+    from supersonic_ray.stages.text import rolling_fingerprint
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "text"])
     out = rolling_fingerprint(ds, "text", window=16, alias="roll_fp").to_pandas()
-    out = out[["doc_id", "md5_fp", "roll_fp"]]
+    out = out[["doc_id", "roll_fp"]]
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -805,6 +816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "generate_sequence": generate_sequence,
         "expr_datetime_parse": expr_datetime_parse,
         "doc_fingerprints": doc_fingerprints,
+        "doc_rolling_fp": doc_rolling_fp,
         "expr_string_extra": expr_string_extra,
         "expr_date_fields": expr_date_fields,
         "session_windows_events": session_windows_events,
@@ -815,6 +827,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_roundtrip_docs": encode_roundtrip_docs,
         "encode_roundtrip_lineitem": encode_roundtrip_lineitem,
     }
+
+
+def _langid_oracle_sql() -> str:
+    """Generated from LangId.PROFILES so engine and oracle can never
+    drift: score(lang) = Σ_gram count(' g ') + count(g) over the
+    space-padded lowered text (non-overlapping counts — replace-based
+    counting matches Python str.count); winner = FIRST profile language
+    reaching the max, only if max > 0, else 'und'."""
+    from supersonic_ray.stages.text import LangId
+
+    def cnt(g: str) -> str:
+        e = g.replace("'", "''")
+        return f"((length(low) - length(replace(low, '{e}', ''))) // {len(g)})"
+
+    score_cols = []
+    for lang, prof in LangId.PROFILES.items():
+        grams = sorted({p.strip() for p in prof.split() if p.strip()})
+        terms = " + ".join(f"{cnt(' ' + g + ' ')} + {cnt(g)}" for g in grams)
+        score_cols.append(f"({terms}) AS s_{lang}")
+    langs = list(LangId.PROFILES)
+    greatest = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = [f"WHEN {greatest} <= 0 THEN 'und'"]
+    for l in langs:
+        case.append(f"WHEN s_{l} = {greatest} THEN '{l}'")
+    return f"""
+        WITH low_t AS (
+          SELECT doc_id, lang, ' ' || lower(coalesce(text, '')) || ' ' AS low
+          FROM documents),
+        sc AS (SELECT doc_id, lang, {', '.join(score_cols)} FROM low_t)
+        SELECT doc_id, lang, CASE {' '.join(case)} END AS lang_pred
+        FROM sc ORDER BY doc_id
+    """
+
+
+def _quality_oracle_sql() -> str:
+    """Generated from TextQuality.STOPWORDS; tokens = [a-z]+ runs of the
+    lowered text (identical spans to Python's [A-Za-z]+ on the lowered
+    string), punctuation = [^\\w\\s] (ASCII semantics — the synthetic
+    corpus is ASCII)."""
+    from supersonic_ray.stages.text import TextQuality
+
+    stop_list = ", ".join(f"'{w}'" for w in sorted(TextQuality.STOPWORDS))
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 coalesce(text, '') AS txt,
+                 regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
+          FROM documents)
+        SELECT doc_id,
+               length(txt) AS n_chars_q,
+               len(toks) AS n_tokens,
+               round(CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(toks, x -> list_contains([{stop_list}], x))) AS DOUBLE)
+                         / len(toks) END, 6) AS stopword_ratio,
+               round(CASE WHEN length(txt) = 0 THEN 0.0
+                    ELSE CAST(len(regexp_extract_all(txt, '[^\\w\\s]')) AS DOUBLE)
+                         / length(txt) END, 6) AS punct_ratio
+        FROM t ORDER BY doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1062,6 +1133,45 @@ def oracle_sql() -> dict[str, str]:
         "agg_clusters_sorted": """
             SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "group_with_limit": """
+            WITH g AS (SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey),
+            r AS (SELECT *, row_number() OVER (ORDER BY n_regionkey) AS rn FROM g)
+            SELECT n_regionkey, CAST(n AS BIGINT) AS n FROM r WHERE rn <= 3
+            UNION ALL
+            SELECT NULL AS n_regionkey, CAST(sum(n) AS BIGINT) AS n
+            FROM r WHERE rn > 3 HAVING count(*) > 0
+            ORDER BY n_regionkey NULLS LAST
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id, md5(text) AS md5_fp FROM documents ORDER BY doc_id
+        """,
+        "quality_docs": _quality_oracle_sql(),
+        "lang_id_docs": _langid_oracle_sql(),
+        "ann_topk_embeddings": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS score
+              FROM q CROSS JOIN embeddings e),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                              ORDER BY score DESC, vec_id) AS rn
+                  FROM scored)
+            SELECT query_id, vec_id FROM r WHERE rn <= 5
+            ORDER BY query_id, vec_id
+        """,
+        "multimodal_decode": """
+            WITH h AS (SELECT doc_id,
+                              sha256(coalesce(text, '')) AS hx
+                       FROM documents)
+            SELECT doc_id AS media_id,
+                   CAST(64 + 16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+                           + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS INT) AS width,
+                   CAST(64 + 16 * (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)
+                           + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS INT) AS height,
+                   CAST(3 AS INT) AS channels
+            FROM h ORDER BY media_id
         """,
         "encode_roundtrip_docs": """
             SELECT * FROM documents ORDER BY doc_id

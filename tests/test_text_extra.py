@@ -1,0 +1,112 @@
+"""Round-2 behavioral pins: vectorized rolling fingerprint exactness,
+hot-bucket capping in the quadratic dedup verifies, distributed
+anti-join dedup finish, and the batch-encoder id-collision fix."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _scalar_rolling(t: str, window: int = 16) -> int:
+    """Straightforward sequential Horner roll — the reference semantics
+    the vectorized numpy path in stages/text.py must reproduce."""
+    b = t.encode() if t else b""
+    if len(b) < window:
+        return int.from_bytes(hashlib.md5(b).digest()[:8], "little")
+    M = 1 << 64
+    B = 257
+    h = 0
+    for i in range(window):
+        h = (h * B + b[i]) % M
+    best = h
+    poww = pow(B, window - 1, M)
+    for i in range(1, len(b) - window + 1):
+        h = ((h - b[i - 1] * poww) * B + b[i + window - 1]) % M
+        best = min(best, h)
+    return best
+
+
+def test_rolling_fingerprint_matches_scalar(ray_session):
+    import ray.data as rd
+
+    from supersonic_ray.stages.text import rolling_fingerprint
+
+    texts = [
+        "",
+        "short",
+        "exactly sixteen!",  # len == window
+        "the quick brown fox jumps over the lazy dog " * 3,
+        "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",  # degenerate runs
+        "unicode: héllo wörld ünïcode text that is long enough",
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))), "text": texts}))
+    out = rolling_fingerprint(ds, "text", window=16, alias="rfp").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    for i, t in enumerate(texts):
+        assert int(out["rfp"][i]) == _scalar_rolling(t, 16), f"doc {i}"
+
+
+def test_hot_bucket_cap_logs_and_bounds(monkeypatch):
+    from supersonic_ray.stages import text
+
+    monkeypatch.setattr(text, "_BUCKET_CAP", 8)
+    g = pd.DataFrame({"doc_id": list(range(100, 80, -1)), "simhash": [1] * 20})
+    capped = text._cap_bucket(g, "doc_id", "test")
+    assert len(capped) == 8
+    # deterministic: min-id rows survive
+    assert sorted(capped["doc_id"]) == list(range(81, 89))
+    small = text._cap_bucket(g.head(3), "doc_id", "test")
+    assert len(small) == 3
+
+
+def test_simhash_dedup_hot_bucket_end_to_end(ray_session):
+    """A bucket full of identical docs (the classic boilerplate hot key)
+    must not hang the quadratic verify and must keep exactly one winner."""
+    import ray.data as rd
+
+    from supersonic_ray.stages.text import simhash_dedup
+
+    docs = ["identical boilerplate text about nothing at all"] * 40 + [
+        "a genuinely different document body here",
+        "and a second distinct one to keep",
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(docs))), "text": docs}))
+    kept = simhash_dedup(ds, "text", "doc_id").to_pandas()
+    ids = sorted(kept["doc_id"])
+    assert 0 in ids  # min-id winner of the hot bucket survives
+    assert 40 in ids and 41 in ids
+    assert len(ids) == 3
+
+
+def test_minhash_dedup_distributed_anti_join(ray_session):
+    import ray.data as rd
+
+    from supersonic_ray.stages.text import minhash_lsh_dedup
+
+    base = "the quick brown fox jumps over the lazy dog and then some more words "
+    docs = [base, base, base + "tail", "completely different content here entirely " * 2]
+    ds = rd.from_arrow(pa.table({"doc_id": [3, 1, 2, 0], "text": docs}))
+    kept = minhash_lsh_dedup(ds, "text", "doc_id").to_pandas()
+    ids = set(kept["doc_id"])
+    assert 0 in ids  # distinct doc survives
+    assert 1 in ids  # min-id of the near-dup cluster survives
+    assert 3 not in ids  # higher-id exact dup dropped
+
+
+def test_batch_encoder_no_collision_on_constant_leading_column(ray_session, tmp_path):
+    """Regression: fixed batch_size over a constant first column used to
+    produce identical partition ids → later batches silently skipped."""
+    import ray.data as rd
+
+    from supersonic_ray.pipelines import decode_partitions, encode_dataset
+
+    t = pa.table({"k": ["x"] * 8192, "v": list(range(8192))})
+    out_dir = str(tmp_path / "enc")
+    encode_dataset(rd.from_arrow(t), out_dir, batch_size=1024, concurrency=2).materialize()
+    back = decode_partitions(out_dir, concurrency=2).to_pandas()
+    assert len(back) == 8192
+    assert back["v"].nunique() == 8192
