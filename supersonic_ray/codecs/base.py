@@ -44,20 +44,51 @@ HEADER = struct.Struct("<BBBBI")
 
 # backend ids
 BACKEND_NONE, BACKEND_ZLIB, BACKEND_BZ2, BACKEND_LZMA = 0, 1, 2, 3
+BACKEND_ZSTD, BACKEND_BROTLI = 4, 5
+
+
+def _pa_compress(name: str, level: int):
+    """pyarrow-backed backend (zstd/brotli): these codecs need the raw
+    length at decompress time, so the body is framed <u64 raw_len><data>."""
+
+    def fn(b: bytes) -> bytes:
+        return struct.pack("<Q", len(b)) + pa.Codec(name, level).compress(b, asbytes=True)
+
+    return fn
+
+
+def _pa_decompress(name: str):
+    def fn(b: bytes) -> bytes:
+        (raw_len,) = struct.unpack_from("<Q", b, 0)
+        return pa.Codec(name).decompress(b[8:], raw_len, asbytes=True)
+
+    return fn
+
 
 _BACKEND_COMPRESS = {
     BACKEND_NONE: lambda b: b,
     BACKEND_ZLIB: lambda b: zlib.compress(b, 6),
     BACKEND_BZ2: lambda b: bz2.compress(b, 9),
     BACKEND_LZMA: lambda b: lzma.compress(b, preset=1),
+    BACKEND_ZSTD: _pa_compress("zstd", 19),
+    BACKEND_BROTLI: _pa_compress("brotli", 9),
 }
 _BACKEND_DECOMPRESS = {
     BACKEND_NONE: lambda b: b,
     BACKEND_ZLIB: zlib.decompress,
     BACKEND_BZ2: bz2.decompress,
     BACKEND_LZMA: lzma.decompress,
+    BACKEND_ZSTD: _pa_decompress("zstd"),
+    BACKEND_BROTLI: _pa_decompress("brotli"),
 }
-BACKEND_NAMES = {BACKEND_NONE: "", BACKEND_ZLIB: "zlib", BACKEND_BZ2: "bz2", BACKEND_LZMA: "lzma"}
+BACKEND_NAMES = {
+    BACKEND_NONE: "",
+    BACKEND_ZLIB: "zlib",
+    BACKEND_BZ2: "bz2",
+    BACKEND_LZMA: "lzma",
+    BACKEND_ZSTD: "zstd",
+    BACKEND_BROTLI: "brotli",
+}
 BACKEND_IDS = {v: k for k, v in BACKEND_NAMES.items()}
 
 

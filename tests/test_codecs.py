@@ -109,7 +109,7 @@ def test_round_trip_all_fixtures(codec_name):
             assert whole.equals(arr), f"{codec_name}/{fname} reassembly chunk={chunk}"
 
 
-@pytest.mark.parametrize("backend", ["zlib", "bz2", "lzma"])
+@pytest.mark.parametrize("backend", ["zlib", "bz2", "lzma", "zstd", "brotli"])
 def test_backend_wraps(backend):
     arr = pa.array(["the quick brown fox"] * 100 + [None, ""])
     for codec_name in ("plain", "dict", "rle", "fsst"):
