@@ -768,6 +768,74 @@ def sample_bernoulli(sf_dir: str):
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def full_outer_join(sf_dir: str):
+    """FULL OUTER hash-partitioned join (beyond the reference's
+    INNER/LEFT_OUTER, hash_join.h:37-38 — free via the partitioned
+    exchange)."""
+    from supersonic_ray.stages.joins import partitioned_hash_join
+    from supersonic_ray.stages.ops import filter_expr
+
+    supp = _ld(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    supp = filter_expr(supp, lambda t: pc.less_equal(t.column("s_suppkey"), 30))
+    nation = _ld(sf_dir, "nation", ["n_nationkey", "n_name"])
+    out = partitioned_hash_join(
+        supp, nation, ["s_nationkey"], ["n_nationkey"], "full_outer"
+    ).to_pandas()
+    # Ray's full_outer coalesces both key columns into the left key name
+    out = out.rename(columns={"s_nationkey": "nationkey"})
+    out = out[["s_suppkey", "s_name", "nationkey", "n_name"]]
+    return out.sort_values(["s_suppkey", "nationkey"], na_position="last").reset_index(drop=True)
+
+
+def expr_date_local(sf_dir: str):
+    """Timezone-local field extractors (the reference's *Local variants,
+    date_expressions.h:31-175, with an explicit zone for determinism)."""
+    from supersonic_ray.functions import expressions as E
+    from supersonic_ray.stages.ops import compute, project
+
+    tz = "America/New_York"
+    ds = _ld(sf_dir, "events", ["event_id", "ts"])
+    ds = compute(
+        ds,
+        {
+            "yr_l": lambda t: pc.cast(E.year_local(t.column("ts"), tz), pa.int64()),
+            "mo_l": lambda t: pc.cast(E.month_local(t.column("ts"), tz), pa.int64()),
+            "hh_l": lambda t: pc.cast(E.hour_local(t.column("ts"), tz), pa.int64()),
+            "dy_l": lambda t: pc.cast(E.yearday_local(t.column("ts"), tz), pa.int64()),
+        },
+    )
+    return project(ds, ["event_id", "yr_l", "mo_l", "hh_l", "dy_l"]).to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+def expr_is_normal(sf_dir: str):
+    """IsNormal (math_expressions.h): finite, nonzero, not subnormal."""
+    from supersonic_ray.functions import expressions as E
+    from supersonic_ray.stages.ops import compute, project
+
+    ds = _ld(sf_dir, "part", ["p_partkey", "p_retailprice"])
+    ds = compute(
+        ds,
+        {
+            "n_price": lambda t: E.is_normal(t.column("p_retailprice")),
+            "n_zero": lambda t: E.is_normal(pc.multiply(t.column("p_retailprice"), pa.scalar(0.0))),
+            "n_sub": lambda t: E.is_normal(pc.multiply(t.column("p_retailprice"), pa.scalar(1e-310))),
+        },
+    )
+    return project(ds, ["p_partkey", "n_price", "n_zero", "n_sub"]).to_pandas().sort_values("p_partkey").reset_index(drop=True)
+
+
+def agg_udaf_span(sf_dir: str):
+    """Custom UDAF through the registration hook (reference
+    ColumnAggregator extension point, column_aggregator.h:43-75)."""
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate, register_udaf
+
+    register_udaf("span", lambda s: (s.max() - s.min()) if s.notna().any() else None)
+    ds = _ld(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    out = group_aggregate(ds, ["l_returnflag"], [AggSpec("span", "l_quantity", "qty_span")]).to_pandas()
+    out["qty_span"] = out["qty_span"].round(2)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: encode → decode round trip over the
     documents table; returns the decoded Dataset-equivalent table."""
@@ -824,6 +892,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_clusters_sorted": agg_clusters_sorted,
         "group_with_limit": group_with_limit,
         "sample_bernoulli": sample_bernoulli,
+        "full_outer_join": full_outer_join,
+        "expr_date_local": expr_date_local,
+        "expr_is_normal": expr_is_normal,
+        "agg_udaf_span": agg_udaf_span,
         "encode_roundtrip_docs": encode_roundtrip_docs,
         "encode_roundtrip_lineitem": encode_roundtrip_lineitem,
     }
@@ -1172,6 +1244,36 @@ def oracle_sql() -> dict[str, str]:
                            + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS INT) AS height,
                    CAST(3 AS INT) AS channels
             FROM h ORDER BY media_id
+        """,
+        "full_outer_join": """
+            SELECT s_suppkey, s_name,
+                   coalesce(s_nationkey, n_nationkey) AS nationkey, n_name
+            FROM (SELECT * FROM supplier WHERE s_suppkey <= 30) s
+            FULL JOIN nation ON s_nationkey = n_nationkey
+            ORDER BY s_suppkey NULLS LAST, nationkey NULLS LAST
+        """,
+        "expr_date_local": """
+            SELECT event_id,
+                   CAST(year((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York') AS BIGINT) AS yr_l,
+                   CAST(month((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York') AS BIGINT) AS mo_l,
+                   CAST(hour((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York') AS BIGINT) AS hh_l,
+                   CAST(dayofyear((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York') AS BIGINT) AS dy_l
+            FROM events ORDER BY event_id
+        """,
+        "expr_is_normal": """
+            SELECT p_partkey,
+                   isfinite(p_retailprice) AND p_retailprice <> 0
+                       AND abs(p_retailprice) >= 2.2250738585072014e-308 AS n_price,
+                   isfinite(p_retailprice * 0.0) AND p_retailprice * 0.0 <> 0
+                       AND abs(p_retailprice * 0.0) >= 2.2250738585072014e-308 AS n_zero,
+                   isfinite(p_retailprice * 1e-310) AND p_retailprice * 1e-310 <> 0
+                       AND abs(p_retailprice * 1e-310) >= 2.2250738585072014e-308 AS n_sub
+            FROM part ORDER BY p_partkey
+        """,
+        "agg_udaf_span": """
+            SELECT l_returnflag,
+                   round(max(l_quantity) - min(l_quantity), 2) AS qty_span
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "encode_roundtrip_docs": """
             SELECT * FROM documents ORDER BY doc_id

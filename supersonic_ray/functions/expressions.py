@@ -295,6 +295,16 @@ def is_inf(a):
     return pc.is_inf(a)
 
 
+def is_normal(a):
+    """IsNormal (reference math_expressions.h): C99 isnormal — finite,
+    nonzero, and not subnormal, judged at the input's own precision."""
+    tiny = float(np.finfo(np.float32 if pa.types.is_float32(a.type) else np.float64).tiny)
+    return pc.and_(
+        pc.and_(pc.is_finite(a), pc.not_equal(a, 0.0)),
+        pc.greater_equal(pc.abs(a), tiny),
+    )
+
+
 def format_(a, precision: int):
     """Format(double, precision) → string with fixed decimals."""
     vals = np.asarray(pc.cast(a, pa.float64()), dtype=np.float64)
@@ -454,6 +464,51 @@ def add_months(a, n: int):
 
     s = pd.Series(pa.array(a).to_pandas())
     return pa.array(s + pd.DateOffset(months=n)).cast(pa.timestamp("us"))
+
+
+def _as_local(a, tz: str):
+    """UTC-stored DATETIME viewed in a civil timezone.  The reference's
+    *Local extractors (date_expressions.h:31-175) use the process TZ;
+    here tz is an explicit argument so distributed runs are
+    deterministic regardless of worker environment."""
+    return pc.assume_timezone(a, "UTC").cast(pa.timestamp("us", tz))
+
+
+def year_local(a, tz: str):
+    return pc.year(_as_local(a, tz))
+
+
+def month_local(a, tz: str):
+    return pc.month(_as_local(a, tz))
+
+
+def day_local(a, tz: str):
+    return pc.day(_as_local(a, tz))
+
+
+def hour_local(a, tz: str):
+    return pc.hour(_as_local(a, tz))
+
+
+def minute_local(a, tz: str):
+    return pc.minute(_as_local(a, tz))
+
+
+def weekday_local(a, tz: str):
+    return pc.day_of_week(_as_local(a, tz), count_from_zero=True, week_start=7)
+
+
+def yearday_local(a, tz: str):
+    return pc.day_of_year(_as_local(a, tz))
+
+
+def now(n: int = 1, clock_us: int | None = None):
+    """Now() (date_expressions.h) — inherently nondeterministic; inject
+    clock_us to pin it for reproducible pipelines and tests."""
+    import time as _time
+
+    us = clock_us if clock_us is not None else int(_time.time() * 1e6)
+    return pa.array(np.full(n, us, dtype=np.int64)).cast(pa.timestamp("us"))
 
 
 # ------------------------------------------------------------ hashing

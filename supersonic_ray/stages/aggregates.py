@@ -30,12 +30,36 @@ import pyarrow.compute as pc
 class AggSpec:
     """AggregationSpecification::Element (aggregate.h:50-96)."""
 
-    fn: str  # sum | min | max | count | concat | first | last | mean
+    fn: str  # sum | min | max | count | concat | first | last | mean | UDAF name
     column: str | None  # None for COUNT(*)
     alias: str
     distinct: bool = False
     order_by: str | None = None  # makes FIRST/LAST/CONCAT deterministic
     separator: str = ","
+    udaf: object = None  # resolved UDAF callable (ships inside the task closure)
+
+
+_UDAFS: dict = {}
+
+
+def register_udaf(name: str, fn) -> None:
+    """Custom aggregator plug-in (reference's expression-level
+    ColumnAggregator extension point, column_aggregator.h:43-75):
+    ``fn(pd.Series) -> scalar``.  UDAFs are holistic — they run per
+    group via groupby().map_groups, never through the distributive
+    partial path (no combinability contract is assumed).  The registry
+    is driver-side only; group_aggregate resolves the callable INTO the
+    spec so it travels to workers inside the task closure."""
+    _UDAFS[name] = fn
+
+
+def _resolve_udafs(specs: list[AggSpec]) -> list[AggSpec]:
+    from dataclasses import replace
+
+    return [
+        replace(s, udaf=_UDAFS[s.fn]) if s.udaf is None and s.fn in _UDAFS else s
+        for s in specs
+    ]
 
 
 def _apply_one(g: pd.DataFrame, spec: AggSpec):
@@ -45,6 +69,10 @@ def _apply_one(g: pd.DataFrame, spec: AggSpec):
     col = g[spec.column]
     if spec.distinct:
         col = col.drop_duplicates()
+    if spec.udaf is not None:
+        return spec.udaf(col)
+    if fn in _UDAFS:
+        return _UDAFS[fn](col)
     if fn == "count":
         return int(col.notna().sum())
     if fn == "sum":
@@ -78,8 +106,10 @@ def group_aggregate(ds, keys: list[str], specs: list[AggSpec]):
     partial step) before the shuffle; holistic specs (DISTINCT, CONCAT,
     FIRST/LAST with order) go through groupby().map_groups directly.
     """
+    specs = _resolve_udafs(specs)
     distributive = all(
-        s.fn in ("sum", "min", "max", "count") and not s.distinct for s in specs
+        s.fn in ("sum", "min", "max", "count") and not s.distinct and s.udaf is None
+        for s in specs
     )
     if distributive:
         return _group_aggregate_partial(ds, keys, specs)
@@ -172,7 +202,8 @@ def scalar_aggregate(ds, specs: list[AggSpec]) -> pa.Table:
     Returns a materialized single-row pa.Table."""
     row: dict[str, list] = {}
 
-    dist = [s for s in specs if s.fn in ("sum", "min", "max", "count", "mean") and not s.distinct]
+    specs = _resolve_udafs(specs)
+    dist = [s for s in specs if s.fn in ("sum", "min", "max", "count", "mean") and not s.distinct and s.udaf is None]
     distinct_counts = [s for s in specs if s.fn == "count" and s.distinct]
     ordered_fl = [s for s in specs if s.fn in ("first", "last") and s.order_by and not s.distinct]
     holistic = [s for s in specs if s not in dist and s not in distinct_counts and s not in ordered_fl]

@@ -101,10 +101,18 @@ def broadcast_hash_join(
 
 def partitioned_hash_join(ds_left, ds_right, left_keys, right_keys, join_type: str = INNER, num_partitions: int | None = None):
     """Both sides large: Ray Data hash-partitioned join (all-to-all).
-    num_partitions sizes the exchange; default = cluster CPUs."""
+    num_partitions sizes the exchange; default = cluster CPUs.
+    RIGHT/FULL outer go beyond the reference (its HashJoin stops at
+    INNER/LEFT_OUTER, hash_join.h:37-38) — exposed because the
+    partitioned exchange gives them for free."""
     import ray
 
-    jt = {"inner": "inner", "left_outer": "left_outer"}[join_type]
+    jt = {
+        "inner": "inner",
+        "left_outer": "left_outer",
+        "right_outer": "right_outer",
+        "full_outer": "full_outer",
+    }[join_type]
     if num_partitions is None:
         num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
     return ds_left.join(
