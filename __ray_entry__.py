@@ -836,6 +836,38 @@ def agg_udaf_span(sf_dir: str):
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+PLAN_Q1_JSON = """
+{"steps": [
+  {"op": "scan", "table": "lineitem",
+   "columns": ["l_returnflag", "l_linestatus", "l_quantity",
+               "l_extendedprice", "l_discount", "l_shipdate"]},
+  {"op": "filter",
+   "pred": {"op": "le", "args": [{"col": "l_shipdate"},
+                                  {"lit": "1998-09-02", "type": "timestamp"}]}},
+  {"op": "compute",
+   "exprs": {"disc_price": {"op": "mul", "args": [
+                {"col": "l_extendedprice"},
+                {"op": "sub", "args": [{"lit": 1.0}, {"col": "l_discount"}]}]}}},
+  {"op": "group_aggregate", "keys": ["l_returnflag", "l_linestatus"],
+   "aggs": [{"fn": "sum", "column": "l_quantity", "alias": "sum_qty"},
+            {"fn": "sum", "column": "disc_price", "alias": "sum_disc_price"},
+            {"fn": "count", "column": null, "alias": "count_order"}]}
+]}
+"""
+
+
+def plan_q1_json(sf_dir: str):
+    """TPC-H Q1 deserialized from a JSON plan document (the reference's
+    proto plan serialization, build_expression_from_proto.cc, as JSON →
+    Dataset lineage)."""
+    from supersonic_ray.pipelines import run_plan_json
+
+    out = run_plan_json(PLAN_Q1_JSON, sf_dir).to_pandas()
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_disc_price"] = out["sum_disc_price"].round(2)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: encode → decode round trip over the
     documents table; returns the decoded Dataset-equivalent table."""
@@ -896,6 +928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expr_date_local": expr_date_local,
         "expr_is_normal": expr_is_normal,
         "agg_udaf_span": agg_udaf_span,
+        "plan_q1_json": plan_q1_json,
         "encode_roundtrip_docs": encode_roundtrip_docs,
         "encode_roundtrip_lineitem": encode_roundtrip_lineitem,
     }
@@ -1274,6 +1307,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag,
                    round(max(l_quantity) - min(l_quantity), 2) AS qty_span
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "plan_q1_json": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
         """,
         "encode_roundtrip_docs": """
             SELECT * FROM documents ORDER BY doc_id

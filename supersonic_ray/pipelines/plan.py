@@ -1,0 +1,134 @@
+"""JSON plan serialization → Ray Data pipeline.
+
+The reference ships proto-based plan/expression deserialization
+(serialization/build_expression_from_proto.cc:1-806): a serialized
+operation tree becomes a Cursor tree.  The Ray-native analog is a JSON
+document → Dataset lineage, so pipelines can be stored, shipped with a
+`ray job submit` payload, or templated by config — without Python code.
+
+Expression AST (recursive)::
+
+    {"col": "l_quantity"}                      column reference
+    {"lit": 1.0}                               literal (scalar)
+    {"lit": "1998-09-02", "type": "timestamp"} typed literal
+    {"op": "mul", "args": [<expr>, <expr>]}    pyarrow.compute op
+    {"op": "year", "args": [<expr>]}           functions.expressions op
+    {"op": "substring", "args": [...], "params": [1, 8]}  extra scalars
+
+Plan document::
+
+    {"steps": [
+      {"op": "scan", "table": "lineitem", "columns": [...]},
+      {"op": "filter", "pred": <expr>},
+      {"op": "compute", "exprs": {"name": <expr>, ...}},
+      {"op": "project", "columns": [...]},
+      {"op": "group_aggregate", "keys": [...],
+       "aggs": [{"fn": "sum", "column": "x", "alias": "s"}, ...]},
+      {"op": "sort", "keys": [...], "descending": [...]},
+      {"op": "limit", "n": 10, "offset": 0}
+    ]}
+
+Unknown ops / expressions raise at BUILD time (the reference's bind-time
+failure contract, SURVEY.md §3.1), not mid-execution.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_BINARY = {
+    "add": pc.add,
+    "sub": pc.subtract,
+    "mul": pc.multiply,
+    "div": pc.divide,
+    "eq": pc.equal,
+    "ne": pc.not_equal,
+    "lt": pc.less,
+    "le": pc.less_equal,
+    "gt": pc.greater,
+    "ge": pc.greater_equal,
+    "and": pc.and_kleene,
+    "or": pc.or_kleene,
+}
+_UNARY = {"not": pc.invert, "neg": pc.negate, "abs": pc.abs, "is_null": pc.is_null}
+
+_LIT_TYPES: dict[str, Callable[[Any], Any]] = {
+    "timestamp": lambda v: pa.scalar(__import__("pandas").Timestamp(v)),
+    "int": lambda v: pa.scalar(int(v), pa.int64()),
+    "float": lambda v: pa.scalar(float(v), pa.float64()),
+    "string": lambda v: pa.scalar(str(v), pa.string()),
+}
+
+
+def build_expr(spec: dict) -> Callable[[pa.Table], Any]:
+    """Expression spec → callable(batch) (bind-time validation)."""
+    if not isinstance(spec, dict):
+        raise TypeError(f"expression spec must be a dict, got {type(spec).__name__}")
+    if "col" in spec:
+        name = spec["col"]
+        return lambda t: t.column(name)
+    if "lit" in spec:
+        val = spec["lit"]
+        scalar = _LIT_TYPES[spec["type"]](val) if "type" in spec else pa.scalar(val)
+        return lambda t: scalar
+    op = spec.get("op")
+    if op is None:
+        raise ValueError(f"expression spec needs 'col', 'lit' or 'op': {spec!r}")
+    args = [build_expr(a) for a in spec.get("args", [])]
+    params = spec.get("params", [])
+    if op in _BINARY:
+        fn = _BINARY[op]
+    elif op in _UNARY:
+        fn = _UNARY[op]
+    else:
+        from supersonic_ray.functions import expressions as E
+
+        fn = getattr(E, op, None) or getattr(E, op + "_", None)
+        if fn is None:
+            raise ValueError(f"unknown expression op {op!r}")
+    return lambda t: fn(*[a(t) for a in args], *params)
+
+
+def build_pipeline(plan: dict, sf_dir: str):
+    """Plan document → lazy Dataset (never executes; caller consumes)."""
+    import ray.data as rd
+
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
+    from supersonic_ray.stages.ops import compute, filter_expr, limit_offset, project, sort
+
+    ds = None
+    for i, step in enumerate(plan["steps"]):
+        kind = step["op"]
+        if kind == "scan":
+            ds = rd.read_parquet(
+                f"{sf_dir}/{step['table']}.parquet", columns=step.get("columns")
+            )
+            continue
+        if ds is None:
+            raise ValueError(f"step {i} ({kind!r}) before any scan")
+        if kind == "filter":
+            ds = filter_expr(ds, build_expr(step["pred"]))
+        elif kind == "compute":
+            ds = compute(ds, {k: build_expr(v) for k, v in step["exprs"].items()})
+        elif kind == "project":
+            ds = project(ds, step["columns"])
+        elif kind == "group_aggregate":
+            ds = group_aggregate(ds, step["keys"], [AggSpec(**a) for a in step["aggs"]])
+        elif kind == "sort":
+            ds = sort(ds, step["keys"], step.get("descending", False))
+        elif kind == "limit":
+            ds = limit_offset(ds, limit=step["n"], offset=step.get("offset", 0))
+        else:
+            raise ValueError(f"unknown plan op {kind!r}")
+    if ds is None:
+        raise ValueError("plan has no scan step")
+    return ds
+
+
+def run_plan_json(plan_json: str, sf_dir: str):
+    import json
+
+    return build_pipeline(json.loads(plan_json), sf_dir)

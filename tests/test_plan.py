@@ -1,0 +1,41 @@
+"""JSON plan serialization (pipelines/plan.py): build-time validation
+and end-to-end execution parity with the hand-built pipeline."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_plan_q1_matches_handbuilt(ray_session, sf_dir):
+    import __ray_entry__ as entry
+
+    from_plan = entry.plan_q1_json(sf_dir)
+    handbuilt = entry.q1_pricing_summary(sf_dir)
+    assert from_plan.equals(handbuilt)
+
+
+def test_unknown_op_fails_at_build_time(ray_session, sf_dir):
+    from supersonic_ray.pipelines import build_expr, build_pipeline
+
+    with pytest.raises(ValueError, match="unknown expression op"):
+        build_expr({"op": "frobnicate", "args": []})
+    with pytest.raises(ValueError, match="unknown plan op"):
+        build_pipeline(
+            {"steps": [{"op": "scan", "table": "nation"}, {"op": "teleport"}]}, sf_dir
+        )
+    with pytest.raises(ValueError, match="before any scan"):
+        build_pipeline({"steps": [{"op": "filter", "pred": {"col": "x"}}]}, sf_dir)
+
+
+def test_expr_ast_evaluates(ray_session):
+    import pyarrow as pa
+
+    from supersonic_ray.pipelines import build_expr
+
+    t = pa.table({"a": [1.0, 2.0, 3.0], "b": [10.0, 20.0, 30.0]})
+    e = build_expr({"op": "add", "args": [{"op": "mul", "args": [{"col": "a"}, {"lit": 2.0}]}, {"col": "b"}]})
+    assert e(t).to_pylist() == [12.0, 24.0, 36.0]
+    # functions.expressions ops resolve too (substring has extra params)
+    s = pa.table({"s": ["hello", "world"]})
+    sub = build_expr({"op": "substring", "args": [{"col": "s"}], "params": [1, 3]})
+    assert sub(s).to_pylist() == ["hel", "wor"]
