@@ -65,7 +65,7 @@ def q3_top_orders(sf_dir: str):
     key side) + group aggregate + distributed top-k.  Nothing unbounded
     ever lands on the driver — only the final 10 rows."""
     from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
-    from supersonic_ray.stages.joins import broadcast_hash_join, partitioned_semi_join
+    from supersonic_ray.stages.joins import broadcast_hash_join, semi_join_auto
     from supersonic_ray.stages.ops import compute
 
     cust = _pq(sf_dir, "customer").select(["c_custkey", "c_mktsegment"])
@@ -74,8 +74,9 @@ def q3_top_orders(sf_dir: str):
     joined = broadcast_hash_join(orders, cust, ["o_custkey"], ["c_custkey"])
 
     li_ds = _ld(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    # orders-side keys are unbounded at scale → hash-partitioned semi join
-    li_f = partitioned_semi_join(
+    # adaptive semi join: broadcast the key set while it fits (counted
+    # distributed), hash-partition both sides beyond the limit
+    li_f = semi_join_auto(
         li_ds, joined.select_columns(["o_orderkey"]), ["l_orderkey"], ["o_orderkey"]
     )
     li_f = compute(li_f, {"revenue": lambda t: pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))})
@@ -86,11 +87,12 @@ def q3_top_orders(sf_dir: str):
 
 
 def q5_region_revenue(sf_dir: str):
-    """Star schema: broadcast joins for the small dims, a hash-
-    partitioned join for the orders↔lineitem edge (both unbounded), then
-    a distributed group aggregate — only 5 result rows reach the driver."""
+    """Star schema: broadcast joins for the small dims, an ADAPTIVE
+    join for the orders↔lineitem edge (broadcast while the orders map
+    fits, hash-partitioned beyond the limit), then a distributed group
+    aggregate — only 5 result rows reach the driver."""
     from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
-    from supersonic_ray.stages.joins import broadcast_hash_join, partitioned_hash_join
+    from supersonic_ray.stages.joins import broadcast_hash_join, hash_join_auto
     from supersonic_ray.stages.ops import compute
 
     region = _pq(sf_dir, "region")
@@ -103,7 +105,7 @@ def q5_region_revenue(sf_dir: str):
     o_n = broadcast_hash_join(o_n, nr.select(["n_nationkey", "n_name", "r_name"]), ["c_nationkey"], ["n_nationkey"])
     li = _ld(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     li = compute(li, {"revenue": lambda t: pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))})
-    tagged = partitioned_hash_join(
+    tagged = hash_join_auto(
         li, o_n.select_columns(["o_orderkey", "r_name"]), ["l_orderkey"], ["o_orderkey"]
     )
     out = group_aggregate(tagged, ["r_name"], [AggSpec("sum", "revenue", "revenue")]).to_pandas()

@@ -124,6 +124,66 @@ def partitioned_hash_join(ds_left, ds_right, left_keys, right_keys, join_type: s
     )
 
 
+# Adaptive broadcast-vs-shuffle planning: the standard distributed-
+# planner decision.  Below the limit the key/build side ships once via
+# the object store (zero shuffle of the big side); above it, both sides
+# hash-partition.  2M rows ≈ 16 MB of int64 keys — comfortable per node.
+BROADCAST_LIMIT_ROWS = 2_000_000
+
+
+def _collect_small(ds_m) -> pa.Table:
+    """Materialized small Dataset → one pa.Table (zero-copy block reads)."""
+    import ray
+
+    tables = [ray.get(ref) for ref in ds_m.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows] or tables[:1]
+    return pa.concat_tables(tables) if tables else pa.table({})
+
+
+def hash_join_auto(
+    ds_left,
+    ds_right,
+    left_keys,
+    right_keys,
+    join_type: str = INNER,
+    broadcast_limit: int = BROADCAST_LIMIT_ROWS,
+    num_partitions: int | None = None,
+):
+    """Joins where the right side is usually-but-not-provably small:
+    materialize it, count from block metadata, then broadcast-join under
+    the limit or hash-partition both sides above it."""
+    right_m = ds_right.materialize()
+    if right_m.count() <= broadcast_limit:
+        return broadcast_hash_join(ds_left, _collect_small(right_m), left_keys, right_keys, join_type)
+    return partitioned_hash_join(ds_left, right_m, left_keys, right_keys, join_type, num_partitions)
+
+
+def semi_join_auto(
+    ds_left,
+    ds_keys,
+    left_keys,
+    right_keys=None,
+    anti: bool = False,
+    broadcast_limit: int = BROADCAST_LIMIT_ROWS,
+    num_partitions: int | None = None,
+):
+    """Membership filter with adaptive planning: broadcast the key SET
+    when it fits (no shuffle of the probe side at all), else a
+    hash-partitioned left_semi/left_anti Dataset.join."""
+    right_keys = right_keys or left_keys
+    keys_m = ds_keys.materialize()
+    if keys_m.count() <= broadcast_limit:
+        tbl = _collect_small(keys_m)
+        if tbl.num_columns:
+            tbl = tbl.select(right_keys)
+        fn = anti_join if anti else semi_join
+        return fn(ds_left, tbl, left_keys)
+    if anti:
+        # distributed distinct first: left_anti must not see dup keys blow up
+        keys_m = keys_m.groupby(right_keys[0]).count().select_columns(right_keys)
+    return partitioned_semi_join(ds_left, keys_m, left_keys, right_keys, anti=anti, num_partitions=num_partitions)
+
+
 def partitioned_semi_join(ds_left, ds_right, left_keys, right_keys, anti: bool = False, num_partitions: int | None = None):
     """Distributed semi/anti join — the 100-TB-safe membership filter:
     both sides hash-partition on the key, no driver-side key set at all.

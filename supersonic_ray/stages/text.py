@@ -294,19 +294,13 @@ def minhash_lsh_dedup(
 
 
 def _distributed_anti_join(ds, dup_ids, id_col: str):
-    """ds minus rows whose id appears in dup_ids — both sides stay
-    distributed (Dataset.join left_anti, hash partitioned on the id)."""
-    import ray
+    """ds minus rows whose id appears in dup_ids.  Adaptive: the loser
+    set never lands on the driver unless it is provably small (counted
+    after materialize); above the broadcast limit both sides
+    hash-partition through Dataset.join left_anti."""
+    from .joins import semi_join_auto
 
-    distinct_ids = dup_ids.groupby(id_col).count().select_columns([id_col])
-    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    return ds.join(
-        distinct_ids,
-        join_type="left_anti",
-        num_partitions=n_parts,
-        on=(id_col,),
-        right_on=(id_col,),
-    )
+    return semi_join_auto(ds, dup_ids, [id_col], [id_col], anti=True)
 
 
 class SimHasher:

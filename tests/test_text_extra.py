@@ -97,6 +97,24 @@ def test_minhash_dedup_distributed_anti_join(ray_session):
     assert 3 not in ids  # higher-id exact dup dropped
 
 
+def test_semi_join_auto_both_paths(ray_session):
+    """Adaptive planner: broadcast path and partitioned path must agree."""
+    import ray.data as rd
+
+    from supersonic_ray.stages.joins import semi_join_auto
+
+    left = rd.from_arrow(pa.table({"k": list(range(100)), "v": list(range(100))}))
+    keys = rd.from_arrow(pa.table({"k": [2, 3, 5, 7, 2, 3]}))
+    bc = semi_join_auto(left, keys, ["k"]).to_pandas().sort_values("k")
+    left2 = rd.from_arrow(pa.table({"k": list(range(100)), "v": list(range(100))}))
+    keys2 = rd.from_arrow(pa.table({"k": [2, 3, 5, 7, 2, 3]}))
+    part = semi_join_auto(left2, keys2, ["k"], broadcast_limit=0).to_pandas().sort_values("k")
+    assert bc["k"].tolist() == [2, 3, 5, 7]
+    assert part["k"].tolist() == [2, 3, 5, 7]
+    anti = semi_join_auto(left, keys, ["k"], anti=True, broadcast_limit=0).to_pandas()
+    assert len(anti) == 96 and not set(anti["k"]) & {2, 3, 5, 7}
+
+
 def test_batch_encoder_no_collision_on_constant_leading_column(ray_session, tmp_path):
     """Regression: fixed batch_size over a constant first column used to
     produce identical partition ids → later batches silently skipped."""
