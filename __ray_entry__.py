@@ -711,6 +711,21 @@ def session_windows_events(sf_dir: str):
     return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
 
 
+def window_sliding(sf_dir: str):
+    """Sliding 10-minute windows every 5 minutes per user (overlapping
+    event-time windows — each event lands in two windows)."""
+    from supersonic_ray.stages.windows import sliding_window
+
+    ds = _ld(sf_dir, "events", ["user_id", "ts", "value"])
+    out = sliding_window(
+        ds, "user_id", "ts", width_us=600_000_000, slide_us=300_000_000, agg_col="value"
+    ).to_pandas()
+    out["win_start"] = (out["window_start"] // 1_000_000).astype("int64")
+    out["sum_value"] = out["sum_value"].round(4)
+    out = out[["user_id", "win_start", "n_events", "sum_value"]]
+    return out.sort_values(["user_id", "win_start"]).reset_index(drop=True)
+
+
 def expr_cast_parse(sf_dir: str):
     """CastTo / ParseStringNulling (cast_bound_expression.cc:49-137):
     numeric→string→numeric round trip plus a failing parse → NULL."""
@@ -922,6 +937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expr_string_extra": expr_string_extra,
         "expr_date_fields": expr_date_fields,
         "session_windows_events": session_windows_events,
+        "window_sliding": window_sliding,
         "expr_cast_parse": expr_cast_parse,
         "agg_clusters_sorted": agg_clusters_sorted,
         "group_with_limit": group_with_limit,
@@ -1228,6 +1244,20 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM sess GROUP BY user_id, session_id
             ORDER BY user_id, session_id
+        """,
+        "window_sliding": """
+            WITH jj AS (SELECT unnest([0, 1]) AS j),
+            w AS (
+              SELECT user_id, value,
+                     (CAST(floor(epoch_us(ts) / 300000000) AS BIGINT) - jj.j) * 300 AS win_start,
+                     epoch_us(ts) AS eu
+              FROM events CROSS JOIN jj)
+            SELECT user_id, win_start, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM w
+            WHERE win_start >= 0 AND eu < win_start * 1000000 + 600000000
+            GROUP BY user_id, win_start
+            ORDER BY user_id, win_start
         """,
         "expr_cast_parse": """
             SELECT o_orderkey,

@@ -66,16 +66,19 @@ def sliding_window(
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         ts = g[ts_col].astype("int64").to_numpy()
         vals = g[agg_col].to_numpy()
-        # window starts that could contain each event
-        first_start = ((ts - width_us) // slide_us + 1).clip(min=0)
-        last_start = ts // slide_us
-        rows = []
-        for t, v, fs, ls in zip(ts, vals, first_start, last_start):
-            for w in range(int(fs), int(ls) + 1):
-                rows.append((w * slide_us, v))
-        if not rows:
+        # vectorized: an event at t belongs to windows (t//slide - j)*slide
+        # for j = 0..ceil(width/slide)-1, filtered to [start, start+width)
+        k = int(-(-width_us // slide_us))
+        base = ts // slide_us
+        parts = []
+        for j in range(k):
+            w = (base - j) * slide_us
+            valid = (w >= 0) & (ts < w + width_us)
+            if valid.any():
+                parts.append(pd.DataFrame({"window_start": w[valid], agg_col: vals[valid]}))
+        if not parts:
             return pd.DataFrame({key: [], "window_start": [], "n_events": [], f"sum_{agg_col}": []})
-        df = pd.DataFrame(rows, columns=["window_start", agg_col])
+        df = pd.concat(parts, ignore_index=True)
         out = df.groupby("window_start", sort=True)[agg_col].agg(["count", "sum"]).reset_index()
         out.insert(0, key, g[key].iloc[0])
         out = out.rename(columns={"count": "n_events", "sum": f"sum_{agg_col}"})
