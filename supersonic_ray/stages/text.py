@@ -157,8 +157,16 @@ def rolling_fingerprint(ds, col: str, window: int = 16, alias: str = "rfp"):
 
 
 def exact_dedup(ds, content_col: str, id_col: str):
-    """Exact dedup: content-hash each row vectorized, hash-partition on
-    the hash, keep the min-id row per group (deterministic winner)."""
+    """Exact dedup: content-hash each row, pick the min-id winner per
+    hash, keep winner rows.
+
+    Scale shape: the all-to-all shuffle moves ONLY (hash, id) pairs —
+    never the document payload; winners come back to the full rows via
+    an adaptive semi join (broadcast under the limit, hash-partitioned
+    above).  At 100 TB the shuffled bytes are ~28 B/doc instead of the
+    whole corpus."""
+    from .joins import semi_join_auto
+    from .ops import fanout
 
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -167,12 +175,16 @@ def exact_dedup(ds, content_col: str, id_col: str):
         )
         return df
 
-    hashed = ds.map_batches(add_hash, batch_format="pandas")
+    hashed = fanout(ds.map_batches(add_hash, batch_format="pandas"), n_consumers=2)
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="mergesort").head(1).drop(columns="__h")
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: [g[id_col].min()]})
 
-    return hashed.groupby("__h").map_groups(keep_first, batch_format="pandas")
+    winners = hashed.select_columns(["__h", id_col]).groupby("__h").map_groups(
+        keep_min, batch_format="pandas"
+    )
+    kept = semi_join_auto(hashed, winners, [id_col], [id_col])
+    return kept.drop_columns(["__h"])
 
 
 _HASH_KEY = "raysonic-shingle"  # 16 bytes; fixed -> stable across workers
