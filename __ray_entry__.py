@@ -504,6 +504,18 @@ def ann_lsh_embeddings(sf_dir: str):
     return out[["query_id", "vec_id"]].sort_values(["query_id", "vec_id"]).reset_index(drop=True)
 
 
+def ann_ivf_embeddings(sf_dir: str):
+    """IVF-bucketed ANN (the scale path: coarse quantizer + probe-list
+    pruning; pytest pins exactness at nprobe == n_centroids)."""
+    from supersonic_ray.stages.vectors import ann_ivf_topk
+
+    emb = _pq(sf_dir, "embeddings")
+    queries = np.array(emb.column("embedding").to_pylist()[:3], dtype=np.float32)
+    ds = _ld(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann_ivf_topk(ds, "embedding", "vec_id", queries, k=5, n_centroids=32, nprobe=8).to_pandas()
+    return out[["query_id", "vec_id"]].sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
 def embedding_neardup(sf_dir: str):
     from supersonic_ray.stages.vectors import embedding_neardup_pairs
 
@@ -927,6 +939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "ann_topk_embeddings": ann_topk_embeddings,
         "ann_lsh_embeddings": ann_lsh_embeddings,
+        "ann_ivf_embeddings": ann_ivf_embeddings,
         "embedding_neardup": embedding_neardup,
         "multimodal_decode": multimodal_decode,
         "expr_null_handling": expr_null_handling,

@@ -155,7 +155,14 @@ def run_bench(ncpu: int) -> dict:
         import __ray_entry__ as entry_mod
 
         q = entry_mod.queries()
-        for name in ("q1_pricing_summary", "q3_top_orders", "topk_orders", "minhash_dedup_docs"):
+        for name in (
+            "q1_pricing_summary",
+            "q3_top_orders",
+            "q5_region_revenue",
+            "topk_orders",
+            "dedup_exact_docs",
+            "minhash_dedup_docs",
+        ):
             if name in q:
                 t0 = time.monotonic()
                 res = q[name](SF_DIR)

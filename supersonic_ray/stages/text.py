@@ -51,14 +51,26 @@ class TextQuality:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         text = df[self.text_col].fillna("")
         df = df.copy()
-        df["n_chars_q"] = text.str.len().astype("int64")
-        toks = text.map(lambda t: self.word_re.findall(t.lower()))
-        df["n_tokens"] = toks.map(len).astype("int64")
-        df["stopword_ratio"] = toks.map(
-            lambda ws: sum(w in self.STOPWORDS for w in ws) / len(ws) if ws else 0.0
-        )
-        df["punct_ratio"] = text.map(lambda t: len(self.punct_re.findall(t)) / len(t) if t else 0.0)
-        df["mean_token_len"] = toks.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+        n_chars = text.str.len().astype("int64")
+        df["n_chars_q"] = n_chars
+        # vectorized counts (pandas str kernels, no Python per row)
+        low = text.str.lower()
+        n_tokens = low.str.count("[a-z]+").astype("int64")
+        df["n_tokens"] = n_tokens
+        # token-level stats via one explode instead of per-row loops
+        toks = low.str.findall("[a-z]+")
+        flat = toks.explode().dropna()
+        if len(flat):
+            grp = flat.index
+            stop_counts = flat.isin(self.STOPWORDS).groupby(grp).sum()
+            len_sums = flat.str.len().groupby(grp).sum()
+        else:
+            stop_counts = pd.Series(dtype="float64")
+            len_sums = pd.Series(dtype="float64")
+        nt = n_tokens.astype("float64")
+        df["stopword_ratio"] = (stop_counts.reindex(df.index, fill_value=0) / nt.where(nt > 0)).fillna(0.0)
+        df["punct_ratio"] = (text.str.count(r"[^\w\s]") / n_chars.where(n_chars > 0)).fillna(0.0)
+        df["mean_token_len"] = (len_sums.reindex(df.index, fill_value=0) / nt.where(nt > 0)).fillna(0.0)
         return df
 
 
@@ -96,6 +108,7 @@ class LangId:
         }
 
     def classify(self, t: str) -> str:
+        """Scalar reference implementation (pytest + oracle-SQL twin)."""
         low = f" {t.lower()} "
         best, best_score = "und", 0
         for lang, grams in self.grams.items():
@@ -106,7 +119,22 @@ class LangId:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["lang_pred"] = df[self.text_col].fillna("").map(self.classify)
+        # vectorized: per gram ONE C-level str.count pass over the whole
+        # batch (non-overlapping counts — identical to str.count), then
+        # an argmax with first-language-wins tie semantics
+        import re
+
+        low = " " + df[self.text_col].fillna("").str.lower() + " "
+        langs = list(self.grams)
+        scores = np.zeros((len(df), len(langs)), dtype=np.int64)
+        for li, lang in enumerate(langs):
+            for g in self.grams[lang]:
+                scores[:, li] += low.str.count(re.escape(f" {g} ")).to_numpy()
+                scores[:, li] += low.str.count(re.escape(g)).to_numpy()
+        best = scores.argmax(axis=1)  # first max wins = profile order
+        pred = np.array(langs, dtype=object)[best]
+        pred[scores.max(axis=1) <= 0] = "und"
+        df["lang_pred"] = pred
         return df
 
 

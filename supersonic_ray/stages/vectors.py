@@ -132,6 +132,108 @@ def ann_lsh_topk(ds, col: str, id_col: str, queries: np.ndarray, k: int = 10, n_
     return local.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
 
 
+def train_ivf_centroids(
+    ds, col: str, n_centroids: int = 64, sample_rows: int = 4096, iters: int = 5, seed: int = 13
+) -> np.ndarray:
+    """kmeans-lite on a BOUNDED driver sample (deterministic seed, few
+    Lloyd iterations) — the IVF coarse quantizer.  At 100 TB the sample
+    stays sample_rows regardless of corpus size; training cost is O(1)."""
+    sample = ds.limit(sample_rows).to_pandas()
+    m = _normalize(np.array(sample[col].tolist(), dtype=np.float32))
+    rng = np.random.RandomState(seed)
+    cents = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = (m @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+class IvfAssigner:
+    """Actor-pool stage: vector → nearest-centroid id (one matmul per
+    batch against the broadcast centroid matrix)."""
+
+    def __init__(self, col: str, cents_ref):
+        import ray
+
+        self.col = col
+        self.cents = ray.get(cents_ref) if isinstance(cents_ref, ray.ObjectRef) else cents_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.col))
+        assign = (m @ self.cents.T).argmax(axis=1) if m.shape[0] else np.array([], dtype=np.int64)
+        return batch.append_column("__cent", pa.array(assign.astype(np.int64)))
+
+
+def ann_ivf_topk(
+    ds,
+    col: str,
+    id_col: str,
+    queries: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    seed: int = 13,
+):
+    """IVF approximate top-k: coarse centroids trained once on a driver
+    sample and broadcast; every vector is assigned to its nearest
+    centroid (map_batches matmul); each query scores ONLY rows whose
+    centroid is among its nprobe closest — at scale this skips
+    (1 - nprobe/n_centroids) of all distance computations.
+    nprobe == n_centroids degenerates to exact brute force (pytest
+    pins that equality)."""
+    import ray
+
+    cents = train_ivf_centroids(ds, col, n_centroids=n_centroids, seed=seed)
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    nprobe = min(nprobe, len(cents))
+    q_probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (n_q, nprobe)
+    state_ref = ray.put((q, q_probe, cents))
+
+    assigned = ds.map_batches(
+        IvfAssigner,
+        fn_constructor_kwargs={"col": col, "cents_ref": ray.put(cents)},
+        batch_format="pyarrow",
+        concurrency=_default_concurrency(),
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qm, probe, _ = ray.get(state_ref)
+        m = _normalize(_batch_matrix(batch, col))
+        ids = np.asarray(batch.column(id_col))
+        cent = np.asarray(batch.column("__cent"))
+        out = {"query_id": [], id_col: [], "score": []}
+        for qi in range(len(qm)):
+            sel = np.flatnonzero(np.isin(cent, probe[qi]))
+            if not len(sel):
+                continue
+            sims = m[sel] @ qm[qi]
+            kk = min(k, len(sel))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            out["query_id"].extend([qi] * kk)
+            out[id_col].extend(ids[sel[top]].tolist())
+            out["score"].extend(np.round(sims[top], 6).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                id_col: pa.array(out[id_col], pa.int64()),
+                "score": pa.array(out["score"], pa.float64()),
+            }
+        )
+
+    local = assigned.map_batches(local_topk, batch_format="pyarrow")
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", id_col], ascending=[False, True], kind="mergesort").head(k)
+
+    return local.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+
+
 def embedding_neardup_pairs(ds, col: str, id_col: str, threshold: float = 0.95, n_planes: int = 10, seed: int = 11):
     """Embedding-cosine near-dup: LSH bucket (shuffle once on bucket id)
     → within-bucket pairwise cosine ≥ threshold → (id_a, id_b, cosine)."""

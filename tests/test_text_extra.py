@@ -128,3 +128,44 @@ def test_batch_encoder_no_collision_on_constant_leading_column(ray_session, tmp_
     back = decode_partitions(out_dir, concurrency=2).to_pandas()
     assert len(back) == 8192
     assert back["v"].nunique() == 8192
+
+
+def test_ann_ivf_exact_when_probing_all(ray_session, sf_dir):
+    """nprobe == n_centroids must degenerate to exact brute force."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from supersonic_ray.stages.vectors import ann_brute_force_topk, ann_ivf_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    queries = np.array(emb.column("embedding").to_pylist()[:2], dtype=np.float32)
+    ds1 = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    exact = ann_brute_force_topk(ds1, "embedding", "vec_id", queries, k=5).to_pandas()
+    ds2 = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ivf = ann_ivf_topk(ds2, "embedding", "vec_id", queries, k=5, n_centroids=8, nprobe=8).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["query_id", "vec_id"]].itertuples(index=False)))
+    assert key(ivf) == key(exact)
+
+
+def test_ann_ivf_recall_with_pruning(ray_session, sf_dir):
+    """Approximate mode: probing 4/16 lists still recalls most of the
+    exact top-5 (deterministic seed, fixture embeddings)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from supersonic_ray.stages.vectors import ann_brute_force_topk, ann_ivf_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    queries = np.array(emb.column("embedding").to_pylist()[:3], dtype=np.float32)
+    ds1 = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    exact = ann_brute_force_topk(ds1, "embedding", "vec_id", queries, k=5).to_pandas()
+    ds2 = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ivf = ann_ivf_topk(ds2, "embedding", "vec_id", queries, k=5, n_centroids=16, nprobe=4).to_pandas()
+    hits = 0
+    for qi in exact["query_id"].unique():
+        e = set(exact[exact.query_id == qi]["vec_id"])
+        a = set(ivf[ivf.query_id == qi]["vec_id"])
+        hits += len(e & a)
+    assert hits >= 0.5 * len(exact)  # recall >= 50% at 4/16 probe
