@@ -51,14 +51,14 @@ def binary_arrays(draw):
 
 
 @settings(max_examples=40, deadline=None)
-@given(arr=int_arrays(), codec=st.sampled_from(["plain", "for_bitpack", "dict", "rle"]), backend=st.sampled_from([0, 1]))
+@given(arr=int_arrays(), codec=st.sampled_from(["plain", "for_bitpack", "dict", "rle"]), backend=st.sampled_from([0, 1, 4]))
 def test_int_round_trip(arr, codec, backend):
     out = decode_array(encode_array(arr, codec, backend), arr.type)
     assert out.equals(arr)
 
 
 @settings(max_examples=30, deadline=None)
-@given(arr=string_arrays(), codec=st.sampled_from(["plain", "dict", "rle", "fsst"]), backend=st.sampled_from([0, 2]))
+@given(arr=string_arrays(), codec=st.sampled_from(["plain", "dict", "rle", "fsst"]), backend=st.sampled_from([0, 2, 5]))
 def test_string_round_trip(arr, codec, backend):
     out = decode_array(encode_array(arr, codec, backend), arr.type)
     assert out.equals(arr)

@@ -169,3 +169,28 @@ def test_ann_ivf_recall_with_pruning(ray_session, sf_dir):
         a = set(ivf[ivf.query_id == qi]["vec_id"])
         hits += len(e & a)
     assert hits >= 0.5 * len(exact)  # recall >= 50% at 4/16 probe
+
+
+def test_embedding_neardup_finds_planted_pairs(ray_session):
+    """The fixture embeddings are all far apart (max cosine ~0.51), so
+    the driver query's 0 rows is correct — this test PLANTS near-dups
+    to prove the operator finds them and only them."""
+    import numpy as np
+    import ray.data as rd
+
+    from supersonic_ray.stages.vectors import embedding_neardup_pairs
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(40, 32).astype(np.float32)
+    # rows 40/41: tiny perturbations of row 0 → cosine ≈ 1
+    planted = np.vstack([base, base[0] + 0.01 * rng.randn(32).astype(np.float32),
+                         base[1] + 0.01 * rng.randn(32).astype(np.float32)])
+    t = pa.table({
+        "vec_id": list(range(len(planted))),
+        "embedding": [row.tolist() for row in planted],
+    })
+    out = embedding_neardup_pairs(rd.from_arrow(t), "embedding", "vec_id", threshold=0.95).to_pandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].itertuples(index=False)))
+    assert (0, 40) in pairs
+    assert (1, 41) in pairs
+    assert len(pairs) == 2  # nothing else is that close
