@@ -885,6 +885,25 @@ PLAN_Q1_JSON = """
 """
 
 
+def skew_salted_agg(sf_dir: str):
+    """Skew-safe aggregation: hot keys detected on a sample, salted over
+    8 reducers, partials merged per true key — identical results to a
+    direct groupby (the oracle proves it), bounded reduce-task size."""
+    from supersonic_ray.stages.aggregates import AggSpec
+    from supersonic_ray.stages.skew import salted_group_aggregate
+
+    ds = _ld(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    out = salted_group_aggregate(
+        ds,
+        "l_returnflag",
+        [AggSpec("sum", "l_quantity", "sum_qty"), AggSpec("count", None, "n")],
+        n_salts=8,
+        hot_share=0.05,
+    ).to_pandas()
+    out["sum_qty"] = out["sum_qty"].round(2)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
 def plan_q1_json(sf_dir: str):
     """TPC-H Q1 deserialized from a JSON plan document (the reference's
     proto plan serialization, build_expression_from_proto.cc, as JSON →
@@ -960,6 +979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expr_is_normal": expr_is_normal,
         "agg_udaf_span": agg_udaf_span,
         "plan_q1_json": plan_q1_json,
+        "skew_salted_agg": skew_salted_agg,
         "encode_roundtrip_docs": encode_roundtrip_docs,
         "encode_roundtrip_lineitem": encode_roundtrip_lineitem,
     }
@@ -1351,6 +1371,11 @@ def oracle_sql() -> dict[str, str]:
         "agg_udaf_span": """
             SELECT l_returnflag,
                    round(max(l_quantity) - min(l_quantity), 2) AS qty_span
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "skew_salted_agg": """
+            SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "plan_q1_json": """

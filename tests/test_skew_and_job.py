@@ -71,3 +71,33 @@ def test_encode_job_cli(tmp_path):
     )
     report2 = json.loads(res2.stdout.strip().splitlines()[-1])
     assert report2["skipped"] == report2["n_partitions"] == 4
+
+
+def test_salted_group_aggregate_edges(ray_session):
+    """Salted agg equals direct groupby even when the TRUE key ends in
+    ':digits' (salt suffix is always present, exactly one strip), and
+    detect_hot_keys tolerates an empty sample."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from supersonic_ray.stages.aggregates import AggSpec
+    from supersonic_ray.stages.skew import detect_hot_keys, salted_group_aggregate
+
+    t = pa.table({"k": ["host:8080"] * 2000 + ["plain"] * 500, "v": [1.0] * 2500})
+    out = (
+        salted_group_aggregate(
+            rd.from_arrow(t), "k",
+            [AggSpec("sum", "v", "s"), AggSpec("count", None, "n")],
+            n_salts=4, hot_share=0.05,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out.to_dict("records") == [
+        {"k": "host:8080", "s": 2000.0, "n": 2000},
+        {"k": "plain", "s": 500.0, "n": 500},
+    ]
+    # empty sample → no hot keys, no crash
+    tiny = rd.from_arrow(pa.table({"k": ["a"], "v": [1.0]}))
+    assert detect_hot_keys(tiny, lambda b: b.column("k"), sample_fraction=0.0001) == {}
