@@ -88,12 +88,15 @@ def load_manifest(out_dir: str, part_id: str) -> PartitionManifest | None:
 
 
 def is_complete(out_dir: str, part_id: str, expect_hash: str) -> bool:
+    """Partition done ⇔ manifest matches the input content hash AND the
+    data file is present at exactly the size the manifest recorded — a
+    truncated/corrupted .rsb (killed run, partial copy) re-encodes
+    instead of being silently skipped."""
     m = load_manifest(out_dir, part_id)
-    return (
-        m is not None
-        and m.content_hash == expect_hash
-        and os.path.exists(data_path(out_dir, part_id))
-    )
+    if m is None or m.content_hash != expect_hash:
+        return False
+    path = data_path(out_dir, part_id)
+    return os.path.exists(path) and os.path.getsize(path) == m.bytes_out
 
 
 def load_all_manifests(out_dir: str) -> list[PartitionManifest]:

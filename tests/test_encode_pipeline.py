@@ -161,3 +161,25 @@ def test_size_beats_both_baselines():
     pq.write_table(t, buf, compression="zstd", use_dictionary=False)
     assert len(blob) <= ref, (len(blob), ref)
     assert len(blob) <= buf.tell(), (len(blob), buf.tell())
+
+
+def test_resume_reencodes_truncated_partition(ray_session, webpages_parquet, tmp_path):
+    """A truncated .rsb with an intact manifest must be re-encoded on
+    resume, never skipped (killed-run / partial-copy recovery)."""
+    import os
+
+    from supersonic_ray.pipelines import decode_partitions, encode_parquet
+
+    path, t = webpages_parquet
+    out = str(tmp_path / "enc")
+    encode_parquet(path, out, concurrency=2).to_pandas()
+    rsbs = sorted(f for f in os.listdir(out) if f.endswith(".rsb"))
+    victim = os.path.join(out, rsbs[0])
+    good = open(victim, "rb").read()
+    with open(victim, "wb") as f:
+        f.write(good[: len(good) // 2])  # truncate
+    m2 = encode_parquet(path, out, concurrency=2).to_pandas()
+    assert (~m2["skipped"]).sum() == 1  # exactly the victim re-encoded
+    assert open(victim, "rb").read() == good  # bit-identical rebuild
+    back = decode_partitions(out, concurrency=2).to_pandas()
+    assert len(back) == t.num_rows
