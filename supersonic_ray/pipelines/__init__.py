@@ -8,4 +8,4 @@ from .encode import (  # noqa: F401
     encode_table_to_blob,
     plan_shards,
 )
-from .plan import build_expr, build_pipeline, run_plan_json  # noqa: F401
+from .plan import benchmark_pipeline, build_expr, build_pipeline, run_plan_json  # noqa: F401

@@ -132,3 +132,33 @@ def run_plan_json(plan_json: str, sf_dir: str):
     import json
 
     return build_pipeline(json.loads(plan_json), sf_dir)
+
+
+def benchmark_pipeline(plan: dict, sf_dir: str) -> dict:
+    """PerformBenchmark / CursorTransformer analog (reference
+    benchmark/manager/benchmark_manager.h:115-129 wraps every cursor
+    with timing spies and renders per-cursor rows/s): execute the plan
+    once and report per-operator wall time, tasks, and output rows from
+    the streaming executor's own instrumentation (Dataset.stats()) —
+    Ray Data's native equivalent of the reference's spy wrapping."""
+    import re
+
+    m = build_pipeline(plan, sf_dir).materialize()
+    stats = m.stats()
+    ops = []
+    for match in re.finditer(
+        r"Operator (\d+) ([^:]+): (\d+) tasks executed, (\d+) blocks produced in ([0-9.]+)s",
+        stats,
+    ):
+        ops.append(
+            {
+                "operator": match.group(2),
+                "tasks": int(match.group(3)),
+                "blocks": int(match.group(4)),
+                "wall_sec": float(match.group(5)),
+            }
+        )
+    rows_per_op = re.findall(r"Output num rows per block: .*?, (\d+) total", stats)
+    for op, rows in zip(ops, rows_per_op):
+        op["rows_out"] = int(rows)
+    return {"operators": ops, "total_rows": m.count(), "raw_stats": stats}

@@ -244,11 +244,11 @@ def embedding_neardup_pairs(ds, col: str, id_col: str, threshold: float = 0.95, 
         batch_format="pyarrow", concurrency=_default_concurrency(),
     )
 
+    from .text import _cap_bucket
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        from .text import _cap_bucket
-
         g = _cap_bucket(g, id_col, "embedding_neardup_pairs").sort_values(id_col, kind="mergesort")
         m = _normalize(np.array(g[col].tolist(), dtype=np.float32))
         sims = m @ m.T

@@ -39,3 +39,22 @@ def test_expr_ast_evaluates(ray_session):
     s = pa.table({"s": ["hello", "world"]})
     sub = build_expr({"op": "substring", "args": [{"col": "s"}], "params": [1, 3]})
     assert sub(s).to_pylist() == ["hel", "wor"]
+
+
+def test_benchmark_pipeline_reports_per_operator(ray_session, sf_dir):
+    """PerformBenchmark analog: per-operator wall/rows from the
+    streaming executor's stats."""
+    from supersonic_ray.pipelines import benchmark_pipeline
+
+    plan = {
+        "steps": [
+            {"op": "scan", "table": "orders", "columns": ["o_orderkey", "o_totalprice"]},
+            {"op": "filter", "pred": {"op": "gt", "args": [{"col": "o_totalprice"}, {"lit": 1000.0}]}},
+        ]
+    }
+    rep = benchmark_pipeline(plan, sf_dir)
+    assert rep["total_rows"] > 0
+    assert len(rep["operators"]) >= 1
+    for op in rep["operators"]:
+        assert op["wall_sec"] >= 0 and op["tasks"] >= 1
+    assert "Operator" in rep["raw_stats"]

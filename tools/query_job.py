@@ -28,6 +28,7 @@ def main() -> int:
     ap.add_argument("--sf-dir", required=True, help="directory of input parquet tables")
     ap.add_argument("--out", help="write result as partitioned parquet here")
     ap.add_argument("--show", type=int, default=0, help="print first N result rows")
+    ap.add_argument("--bench", action="store_true", help="report per-operator wall/rows (PerformBenchmark analog)")
     args = ap.parse_args()
 
     import ray
@@ -47,6 +48,24 @@ def main() -> int:
 
     with open(args.plan) as f:
         plan = json.load(f)
+
+    if args.bench:
+        from supersonic_ray.pipelines import benchmark_pipeline
+
+        t0 = time.monotonic()
+        rep = benchmark_pipeline(plan, args.sf_dir)
+        print(
+            json.dumps(
+                {
+                    "plan": os.path.basename(args.plan),
+                    "operators": rep["operators"],
+                    "rows": rep["total_rows"],
+                    "wall_sec": round(time.monotonic() - t0, 3),
+                }
+            )
+        )
+        ray.shutdown()
+        return 0
 
     t0 = time.monotonic()
     ds = build_pipeline(plan, args.sf_dir)
