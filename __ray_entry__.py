@@ -885,6 +885,19 @@ PLAN_Q1_JSON = """
 """
 
 
+def foreign_filter_rank_q(sf_dir: str):
+    """ForeignFilter exact semantics (foreign_filter.h:33-43): semi join
+    on sorted unique filter keys AND FK rewritten to the matched key's
+    row-rank."""
+    from supersonic_ray.stages.joins import foreign_filter_rank
+
+    cust = _pq(sf_dir, "customer").select(["c_custkey"])
+    orders = _ld(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    out = foreign_filter_rank(orders, cust, "o_custkey", rank_col="fk_rank").to_pandas()
+    out = out[["o_orderkey", "fk_rank"]]
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def skew_salted_agg(sf_dir: str):
     """Skew-safe aggregation: hot keys detected on a sample, salted over
     8 reducers, partials merged per true key — identical results to a
@@ -980,6 +993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_udaf_span": agg_udaf_span,
         "plan_q1_json": plan_q1_json,
         "skew_salted_agg": skew_salted_agg,
+        "foreign_filter_rank": foreign_filter_rank_q,
         "encode_roundtrip_docs": encode_roundtrip_docs,
         "encode_roundtrip_lineitem": encode_roundtrip_lineitem,
     }
@@ -1377,6 +1391,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "foreign_filter_rank": """
+            WITH ranked AS (
+              SELECT c_custkey,
+                     row_number() OVER (ORDER BY c_custkey) - 1 AS fk_rank
+              FROM (SELECT DISTINCT c_custkey FROM customer))
+            SELECT o_orderkey, fk_rank
+            FROM orders JOIN ranked ON o_custkey = c_custkey
+            ORDER BY o_orderkey
         """,
         "plan_q1_json": """
             SELECT l_returnflag, l_linestatus,

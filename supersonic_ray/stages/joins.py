@@ -261,6 +261,36 @@ def anti_join(ds_left, key_values: pa.Table | pa.Array, left_keys: list[str]):
     return _membership_filter(ds_left, key_values, left_keys, keep_members=False)
 
 
+def foreign_filter_rank(ds_left, filter_keys: pa.Array | pa.Table, fk_col: str, rank_col: str = "fk_rank"):
+    """The reference's exact ForeignFilter contract
+    (cursor/core/foreign_filter.h:33-57): semi-join on sorted UNIQUE
+    filter keys AND rewrite the foreign key to the matched key's
+    row-rank (its position in the sorted filter relation).  Broadcast
+    the sorted key vector once; per batch one vectorized searchsorted."""
+    import numpy as np
+    import ray
+
+    if isinstance(filter_keys, pa.Table):
+        filter_keys = filter_keys.column(0).combine_chunks()
+    keys_np = np.unique(np.asarray(pc.drop_null(filter_keys)))
+    ref = ray.put(keys_np)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        empty = batch.append_column(rank_col, pa.nulls(batch.num_rows, pa.int64())).slice(0, 0)
+        if not len(keys):  # empty filter relation → nothing matches
+            return empty
+        fk = batch.column(fk_col)
+        fk_np = np.asarray(pc.fill_null(fk, keys[0]))
+        pos = np.searchsorted(keys, fk_np)
+        pos_c = np.clip(pos, 0, len(keys) - 1)
+        member = (keys[pos_c] == fk_np) & np.asarray(pc.is_valid(fk))
+        out = batch.append_column(rank_col, pa.array(pos_c.astype(np.int64)))
+        return out.filter(pa.array(member))
+
+    return ds_left.map_batches(fn, batch_format="pyarrow")
+
+
 def rowid_merge_join(ds_left, right_table: pa.Table, left_key: str, suffix: str = "_r"):
     """RowidMergeJoin (rowid_merge_join.h:38-50): LHS int64 key is a row
     POSITION into the RHS; referential integrity required (the reference

@@ -194,3 +194,17 @@ def test_embedding_neardup_finds_planted_pairs(ray_session):
     assert (0, 40) in pairs
     assert (1, 41) in pairs
     assert len(pairs) == 2  # nothing else is that close
+
+
+def test_foreign_filter_rank_semantics(ray_session):
+    """ForeignFilter exact contract: non-members and NULL FKs dropped,
+    FK rewritten to sorted-key row-rank; empty filter set → empty out."""
+    import ray.data as rd
+
+    from supersonic_ray.stages.joins import foreign_filter_rank
+
+    t = pa.table({"id": [1, 2, 3, 4, 5], "fk": pa.array([10, 99, 30, None, 20], pa.int64())})
+    out = foreign_filter_rank(rd.from_arrow(t), pa.array([10, 20, 30], pa.int64()), "fk").to_pandas()
+    assert out.sort_values("id")[["id", "fk_rank"]].values.tolist() == [[1, 0], [3, 2], [5, 1]]
+    t2 = rd.from_arrow(pa.table({"id": [1], "fk": pa.array([10], pa.int64())}))
+    assert len(foreign_filter_rank(t2, pa.array([], pa.int64()), "fk").to_pandas()) == 0
