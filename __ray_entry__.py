@@ -310,6 +310,22 @@ def sort_multikey(sf_dir: str):
     return out.to_pandas()
 
 
+def sort_nulls_first(sf_dir: str):
+    """Explicit NULL placement in sort (the reference partitions NULLs
+    to one end, sort.cc:151-312)."""
+    from supersonic_ray.stages.ops import compute, sort
+
+    ds = _ld(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    ds = compute(
+        ds,
+        {"p": lambda t: pc.if_else(pc.less(t.column("o_totalprice"), 50_000.0), pa.nulls(t.num_rows, pa.float64()), t.column("o_totalprice"))},
+    )
+    out = sort(ds, ["p", "o_orderkey"], [False, False], nulls_first=True).limit(60).to_pandas()
+    out = out[["o_orderkey", "p"]]
+    out["p"] = out["p"].round(2)
+    return out.reset_index(drop=True)
+
+
 def topk_orders(sf_dir: str):
     from supersonic_ray.stages.ops import top_k
 
@@ -952,6 +968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expr_date": expr_date,
         "expr_fingerprint": expr_fingerprint,
         "sort_multikey": sort_multikey,
+        "sort_nulls_first": sort_nulls_first,
         "topk_orders": topk_orders,
         "limit_offset_orders": limit_offset_orders,
         "merge_union": merge_union,
@@ -1172,6 +1189,14 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15
+        """,
+        "sort_nulls_first": """
+            SELECT o_orderkey,
+                   round(CASE WHEN o_totalprice < 50000 THEN NULL ELSE o_totalprice END, 2) AS p
+            FROM orders
+            ORDER BY (CASE WHEN o_totalprice < 50000 THEN NULL ELSE o_totalprice END) ASC NULLS FIRST,
+                     o_orderkey ASC
+            LIMIT 60
         """,
         "limit_offset_orders": """
             SELECT o_orderkey, o_totalprice FROM orders

@@ -94,13 +94,27 @@ def limit_offset(ds, limit: int | None = None, offset: int = 0):
     return ds.limit(limit) if limit is not None else ds
 
 
-def sort(ds, keys: list[str], descending: list[bool] | bool = False):
+def sort(ds, keys: list[str], descending: list[bool] | bool = False, nulls_first: bool | None = None):
     """Sort (cursor/core/sort.h:89): multi-key, per-key ASC/DESC.
     Ray Data's range-partitioned distributed sort plays the reference's
-    external merge sort (spill via object store)."""
+    external merge sort (spill via object store).
+
+    nulls_first: explicit NULL placement (the reference partitions NULLs
+    to one end, sort.cc:151-312).  None = substrate default; True/False
+    is implemented with an is-null indicator column interleaved before
+    each key, so placement is exact per key at any partitioning."""
     if isinstance(descending, bool):
         descending = [descending] * len(keys)
-    return ds.sort(keys, descending=descending)
+    if nulls_first is None:
+        return ds.sort(keys, descending=descending)
+
+    null_cols = {f"__nul_{i}": (lambda k: lambda t: pc.cast(pc.is_null(t.column(k)), pa.int8()))(k) for i, k in enumerate(keys)}
+    tagged = compute(ds, null_cols)
+    sort_keys, sort_desc = [], []
+    for i, (k, d) in enumerate(zip(keys, descending)):
+        sort_keys += [f"__nul_{i}", k]
+        sort_desc += [nulls_first, d]  # is_null=1 first ⇔ descending
+    return tagged.sort(sort_keys, descending=sort_desc).drop_columns(list(null_cols))
 
 
 def top_k(ds, keys: list[str], k: int, descending: list[bool] | bool = True):
