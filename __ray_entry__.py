@@ -433,6 +433,37 @@ def smudge_events(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def smudge_if_events(sf_dir: str):
+    """SmudgeIf(arg, cond): where cond, repeat the previous OUTPUT value
+    (cond rows don't update state) — stateful_expressions.h:39-69."""
+    from supersonic_ray.stages.ops import compute
+    from supersonic_ray.stages.stateful import apply_running, smudge_if
+
+    ds = _ld(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+    out = apply_running(
+        ds, ["user_id"], ["ts", "event_id"],
+        {"v_s": lambda g: smudge_if(g["value"], g["event_type"] == "click")},
+    ).to_pandas()
+    out["v_s"] = out["v_s"].round(4)
+    out = out[["event_id", "v_s"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def running_min_flush_events(sf_dir: str):
+    """RunningMinWithFlush(flush, input): running minimum, reset AFTER
+    flush rows — stateful_expressions.h:39-69."""
+    from supersonic_ray.stages.stateful import apply_running, running_min_with_flush
+
+    ds = _ld(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+    out = apply_running(
+        ds, ["user_id"], ["ts", "event_id"],
+        {"run_min": lambda g: running_min_with_flush(g["value"], g["event_type"] == "purchase")},
+    ).to_pandas()
+    out["run_min"] = out["run_min"].round(4)
+    out = out[["event_id", "run_min"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def window_tumbling(sf_dir: str):
     """Tumbling 5-minute windows per user (streaming-shaped workload)."""
     from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
@@ -979,6 +1010,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_sum_events": running_sum_events,
         "stateful_changed": stateful_changed,
         "smudge_events": smudge_events,
+        "smudge_if_events": smudge_if_events,
+        "running_min_flush_events": running_min_flush_events,
         "window_tumbling": window_tumbling,
         "token_count_docs": token_count_docs,
         "quality_docs": quality_docs,
@@ -1246,6 +1279,25 @@ def oracle_sql() -> dict[str, str]:
                          OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING), 4) AS v_filled
             FROM events ORDER BY event_id
+        """,
+        "smudge_if_events": """
+            SELECT event_id,
+                   round(last_value(CASE WHEN event_type = 'click' THEN NULL ELSE value END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING), 4) AS v_s
+            FROM events ORDER BY event_id
+        """,
+        "running_min_flush_events": """
+            WITH g AS (
+              SELECT event_id, user_id, ts, value,
+                     coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp
+              FROM events)
+            SELECT event_id,
+                   round(min(value) OVER (PARTITION BY user_id, grp ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING), 4) AS run_min
+            FROM g ORDER BY event_id
         """,
         "window_tumbling": """
             SELECT user_id,
