@@ -1,0 +1,53 @@
+"""Tripwire: driver-side materialization stays audited.
+
+Every `.to_pandas()` / `.take_all()` / `.take(` in the library was
+audited (round 2) to be BOUNDED: per-batch worker-side conversions,
+limit(K) heads, 1-row-per-batch partials, counted broadcast tables, or
+driver samples.  An unbounded `ds.to_pandas()` on input-sized data is
+the #1 scale-killer class from the round-1 review — if you add a new
+call site, re-audit it and bump the count here with a comment.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+LIB = Path(__file__).resolve().parent.parent / "supersonic_ray"
+
+# file → audited number of driver/worker collect call sites
+AUDITED = {
+    "stages/aggregates.py": 8,  # per-batch worker conversions (3), 1-row/batch partial collect, limit(1) take_all, holistic CONCAT fallback (documented), limit(K) head, 1-row overflow
+    "stages/joins.py": 3,  # broadcast RHS index build (once/actor), per-batch probe conversion, rowid gather
+    "stages/skew.py": 1,  # sampled hot-key histogram (bounded by sample)
+    "stages/vectors.py": 2,  # IVF training sample (limit N), dim probe take(1)
+    "stages/text.py": 0,
+    "stages/ops.py": 0,
+    "stages/stateful.py": 0,
+    "stages/windows.py": 0,
+    "stages/multimodal.py": 0,
+}
+
+PATTERN = re.compile(r"\.to_pandas\(\)|\.take_all\(\)|\.take\(")
+
+
+def _count(path: Path) -> int:
+    n = 0
+    for line in path.read_text().splitlines():
+        code = line.split("#")[0]
+        if '"' in code and "to_pandas" in code and "``" in line:
+            continue  # docstring mention
+        n += len(PATTERN.findall(code))
+    return n
+
+
+def test_driver_collect_sites_are_audited():
+    for rel, expected in AUDITED.items():
+        path = LIB / rel
+        actual = _count(path)
+        assert actual == expected, (
+            f"{rel}: {actual} collect sites, audited {expected}. "
+            "New .to_pandas()/.take_all()/.take( in library code must be "
+            "re-audited for boundedness (see module docstring) and the "
+            "count updated."
+        )
