@@ -208,3 +208,19 @@ def test_foreign_filter_rank_semantics(ray_session):
     assert out.sort_values("id")[["id", "fk_rank"]].values.tolist() == [[1, 0], [3, 2], [5, 1]]
     t2 = rd.from_arrow(pa.table({"id": [1], "fk": pa.array([10], pa.int64())}))
     assert len(foreign_filter_rank(t2, pa.array([], pa.int64()), "fk").to_pandas()) == 0
+
+
+def test_group_aggregate_null_keys_form_a_group(ray_session):
+    """SQL GROUP BY semantics: NULL keys aggregate together, on BOTH the
+    distributive-partial and holistic paths."""
+    import ray.data as rd
+
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
+
+    t = pa.table({"k": pa.array(["a", None, "a", None, "b"], pa.string()), "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    d = group_aggregate(rd.from_arrow(t), ["k"], [AggSpec("sum", "v", "s")]).to_pandas()
+    assert sorted(d.to_dict("records"), key=lambda r: str(r["k"])) == [
+        {"k": None, "s": 6.0}, {"k": "a", "s": 4.0}, {"k": "b", "s": 5.0}]
+    h = group_aggregate(rd.from_arrow(t), ["k"], [AggSpec("count", "v", "n", distinct=True)]).to_pandas()
+    assert sorted(h.to_dict("records"), key=lambda r: str(r["k"])) == [
+        {"k": None, "n": 2}, {"k": "a", "n": 2}, {"k": "b", "n": 1}]
