@@ -495,6 +495,17 @@ def token_count_docs(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def bpe_token_count_docs(sf_dir: str):
+    """BPE-ish (GPT-2 pretokenizer) token counting — RE2 on both sides
+    so DuckDB verifies exactly."""
+    from supersonic_ray.stages.text import bpe_token_count
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "text"])
+    out = bpe_token_count(ds, "text", "n_bpe_tokens").to_pandas()
+    out = out[["doc_id", "n_bpe_tokens"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def quality_docs(sf_dir: str):
     """Quality scoring (rows-only check: Python text heuristics)."""
     from supersonic_ray.stages.text import TextQuality
@@ -1021,6 +1032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_min_flush_events": running_min_flush_events,
         "window_tumbling": window_tumbling,
         "token_count_docs": token_count_docs,
+        "bpe_token_count_docs": bpe_token_count_docs,
         "quality_docs": quality_docs,
         "lang_id_docs": lang_id_docs,
         "minhash_dedup_docs": minhash_dedup_docs,
@@ -1415,6 +1427,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS md5_fp FROM documents ORDER BY doc_id
         """,
         "quality_docs": _quality_oracle_sql(),
+        "bpe_token_count_docs": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(coalesce(text, ''),
+                       '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))
+                   AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
         "lang_id_docs": _langid_oracle_sql(),
         "ann_topk_embeddings": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

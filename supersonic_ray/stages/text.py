@@ -138,6 +138,26 @@ class LangId:
         return df
 
 
+# GPT-2-flavored pretokenizer pattern (published in the GPT-2 release):
+# contractions, letter runs, digit runs, punctuation runs, whitespace —
+# RE2-compatible, so Arrow and DuckDB count identical non-overlapping
+# matches and the oracle can verify bit-exactly.
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(ds, text_col: str = "text", alias: str = "n_bpe_tokens"):
+    """BPE-ish token count: one vectorized RE2 pass per batch (a real
+    BPE tokenizer's pretokenization step; the merge table isn't needed
+    for counting-budget estimates at corpus scale)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch.column(text_col), "")
+        n = pc.count_substring_regex(t, BPE_ISH_PATTERN)
+        return batch.append_column(alias, pc.cast(n, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def md5_fingerprint(ds, col: str, alias: str = "fingerprint"):
     """Content fingerprint (md5 hex — SQL-oracle verifiable)."""
 
