@@ -611,6 +611,27 @@ def multimodal_decode(sf_dir: str):
     return out[["media_id", "width", "height", "channels"]].sort_values("media_id").reset_index(drop=True)
 
 
+def rsb_scan_aggregate(sf_dir: str):
+    """Storage + query composition: documents → RSB encode → COLUMN-
+    PRUNED decode (only lang, n_chars decompress) → distributed group
+    aggregate.  The oracle runs the same aggregate on the raw table, so
+    lossless encode + pruned scan + aggregation verify together."""
+    import tempfile
+
+    from supersonic_ray.pipelines import decode_partitions, encode_dataset
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ds = _ld(sf_dir, "documents")
+        encode_dataset(ds, tmp, batch_size=4096, concurrency=2).materialize()
+        scan = decode_partitions(tmp, concurrency=2, columns=["lang", "n_chars"])
+        out = group_aggregate(
+            scan, ["lang"], [AggSpec("count", None, "n_docs"), AggSpec("sum", "n_chars", "total_chars")]
+        ).to_pandas()
+    out["total_chars"] = out["total_chars"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def encode_roundtrip_docs(sf_dir: str):
     """The flagship invariant as a query: documents → RSB encode →
     decode → identical table (oracle: SELECT * FROM documents)."""
@@ -1063,6 +1084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "plan_q1_json": plan_q1_json,
         "skew_salted_agg": skew_salted_agg,
         "foreign_filter_rank": foreign_filter_rank_q,
+        "rsb_scan_aggregate": rsb_scan_aggregate,
         "encode_roundtrip_docs": encode_roundtrip_docs,
         "encode_roundtrip_lineitem": encode_roundtrip_lineitem,
     }
@@ -1513,6 +1535,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "rsb_scan_aggregate": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "encode_roundtrip_docs": """
             SELECT * FROM documents ORDER BY doc_id

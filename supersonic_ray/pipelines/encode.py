@@ -141,7 +141,11 @@ def encode_table_to_blob(
     return out.getvalue(), col_metrics
 
 
-def decode_blob(data: bytes) -> pa.Table:
+def decode_blob(data: bytes, columns: list[str] | None = None) -> pa.Table:
+    """Decode an RSB partition; with ``columns``, only those columns are
+    DECODED — unrequested column blobs are skipped via their length
+    prefixes (no decompression, no kernel work), the storage-side
+    equivalent of parquet column pruning."""
     from supersonic_ray.codecs import decode_array
 
     assert data[:4] == MAGIC, "not an RSB file"
@@ -150,6 +154,13 @@ def decode_blob(data: bytes) -> pa.Table:
     pos += 4
     schema = pa.ipc.read_schema(pa.py_buffer(data[pos : pos + schema_len]))
     pos += schema_len
+    if columns is not None:
+        missing = set(columns) - set(schema.names)
+        if missing:
+            raise KeyError(f"columns not in partition schema: {sorted(missing)}")
+        out_schema = pa.schema([schema.field(c) for c in columns])
+    else:
+        out_schema = schema
     (n_chunks,) = struct.unpack_from("<I", data, pos)
     pos += 4
     tables = []
@@ -160,10 +171,11 @@ def decode_blob(data: bytes) -> pa.Table:
         for field in schema:
             (blen,) = struct.unpack_from("<I", data, pos)
             pos += 4
-            cols[field.name] = decode_array(data[pos : pos + blen], field.type)
+            if columns is None or field.name in columns:
+                cols[field.name] = decode_array(data[pos : pos + blen], field.type)
             pos += blen
-        tables.append(pa.table(cols, schema=schema))
-    return pa.concat_tables(tables) if tables else schema.empty_table()
+        tables.append(pa.table({c: cols[c] for c in out_schema.names}, schema=out_schema))
+    return pa.concat_tables(tables) if tables else out_schema.empty_table()
 
 
 # ------------------------------------------------- shard-planned encode
@@ -462,14 +474,19 @@ class PartitionDecoder:
     partitions so decompression/decode buffers reuse already-faulted
     heap pages (same rationale as the encoder pool)."""
 
+    def __init__(self, columns: list[str] | None = None):
+        self.columns = columns
+
     def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
         for path in batch.column("path").to_pylist():
             with open(path, "rb") as f:
-                yield decode_blob(f.read())
+                yield decode_blob(f.read(), columns=self.columns)
 
 
-def decode_partitions(out_dir: str, concurrency: int | None = None):
-    """Streaming decode: Dataset over all .rsb partition files."""
+def decode_partitions(out_dir: str, concurrency: int | None = None, columns: list[str] | None = None):
+    """Streaming decode: Dataset over all .rsb partition files.
+    ``columns`` prunes at the DECODE level — unrequested columns are
+    never decompressed."""
     import ray
     import ray.data as rd
 
@@ -481,5 +498,9 @@ def decode_partitions(out_dir: str, concurrency: int | None = None):
         cpus = int(ray.cluster_resources().get("CPU", 4))
         concurrency = max(1, min(len(paths), cpus - max(1, cpus // 8)))
     return ds.map_batches(
-        PartitionDecoder, batch_size=1, batch_format="pyarrow", concurrency=concurrency
+        PartitionDecoder,
+        fn_constructor_kwargs={"columns": columns},
+        batch_size=1,
+        batch_format="pyarrow",
+        concurrency=concurrency,
     )

@@ -183,3 +183,20 @@ def test_resume_reencodes_truncated_partition(ray_session, webpages_parquet, tmp
     assert open(victim, "rb").read() == good  # bit-identical rebuild
     back = decode_partitions(out, concurrency=2).to_pandas()
     assert len(back) == t.num_rows
+
+
+def test_decode_column_pruning(ray_session, webpages_parquet, tmp_path):
+    """columns= decodes only the requested columns (others skipped via
+    blob length prefixes — never decompressed) with identical values."""
+    from supersonic_ray.pipelines import decode_blob, encode_table_to_blob
+
+    _, t = webpages_parquet
+    blob, _ = encode_table_to_blob(t.slice(0, 500))
+    pruned = decode_blob(blob, columns=["lang", "url"])
+    assert pruned.column_names == ["lang", "url"]
+    assert pruned.column("lang").to_pylist() == t.slice(0, 500).column("lang").to_pylist()
+    assert pruned.column("url").to_pylist() == t.slice(0, 500).column("url").to_pylist()
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        decode_blob(blob, columns=["nope"])
