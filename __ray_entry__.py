@@ -632,6 +632,38 @@ def rsb_scan_aggregate(sf_dir: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def rsb_zonemap_scan(sf_dir: str):
+    """Zone-map partition pruning: orders encoded SORTED by o_orderkey
+    (partitions become key ranges), then a range scan prunes whole
+    partitions from the MANIFESTS before any file is read; the exact
+    row filter + aggregate run on the survivors.  Oracle = the same
+    range aggregate on the raw table."""
+    import tempfile
+
+    from supersonic_ray.pipelines import decode_partitions, encode_dataset
+    from supersonic_ray.stages.aggregates import AggSpec, scalar_aggregate
+    from supersonic_ray.stages.ops import filter_expr, sort
+
+    lo, hi = 3000, 4500
+    with tempfile.TemporaryDirectory() as tmp:
+        ds = sort(_ld(sf_dir, "orders", ["o_orderkey", "o_totalprice"]), ["o_orderkey"])
+        encode_dataset(ds, tmp, batch_size=2048, concurrency=2).materialize()
+        scan = decode_partitions(tmp, concurrency=2, ranges={"o_orderkey": (lo, hi)})
+        scan = filter_expr(
+            scan,
+            lambda t: pc.and_(
+                pc.greater_equal(t.column("o_orderkey"), lo),
+                pc.less_equal(t.column("o_orderkey"), hi),
+            ),
+        )
+        out = scalar_aggregate(
+            scan,
+            [AggSpec("count", None, "n"), AggSpec("sum", "o_totalprice", "total")],
+        ).to_pandas()
+    out["total"] = out["total"].round(2)
+    return out
+
+
 def encode_roundtrip_docs(sf_dir: str):
     """The flagship invariant as a query: documents → RSB encode →
     decode → identical table (oracle: SELECT * FROM documents)."""
@@ -1085,6 +1117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_salted_agg": skew_salted_agg,
         "foreign_filter_rank": foreign_filter_rank_q,
         "rsb_scan_aggregate": rsb_scan_aggregate,
+        "rsb_zonemap_scan": rsb_zonemap_scan,
         "encode_roundtrip_docs": encode_roundtrip_docs,
         "encode_roundtrip_lineitem": encode_roundtrip_lineitem,
     }
@@ -1540,6 +1573,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "rsb_zonemap_scan": """
+            SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM orders WHERE o_orderkey BETWEEN 3000 AND 4500
         """,
         "encode_roundtrip_docs": """
             SELECT * FROM documents ORDER BY doc_id

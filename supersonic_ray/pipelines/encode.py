@@ -104,6 +104,34 @@ def resolve_column_plans(
     return plans
 
 
+def _zone_stats(col: pa.ChunkedArray | pa.Array) -> dict[str, Any]:
+    """Zone-map entry (per-partition min/max) for orderable types —
+    numerics/temporals as plain numbers, strings truncated to 64 chars.
+    JSON-safe; consumed by partition pruning in decode_partitions."""
+    import pyarrow.compute as pc
+
+    t = col.type
+    try:
+        if pa.types.is_integer(t) or pa.types.is_floating(t):
+            mm = pc.min_max(col).as_py()
+            if mm["min"] is None:
+                return {}
+            return {"vmin": mm["min"], "vmax": mm["max"]}
+        if pa.types.is_timestamp(t) or pa.types.is_date(t):
+            mm = pc.min_max(col.cast(pa.int64())).as_py()
+            if mm["min"] is None:
+                return {}
+            return {"vmin": mm["min"], "vmax": mm["max"], "unit": "epoch_int"}
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            mm = pc.min_max(col).as_py()
+            if mm["min"] is None:
+                return {}
+            return {"vmin": str(mm["min"])[:64], "vmax": str(mm["max"])[:64], "truncated": True}
+    except pa.ArrowInvalid:
+        pass
+    return {}
+
+
 def encode_table_to_blob(
     table: pa.Table,
     chunk_rows: int = CHUNK_ROWS,
@@ -124,6 +152,7 @@ def encode_table_to_blob(
             "backend": codec_base.BACKEND_NAMES[plans[name][1]],
             "bytes_in": 0,
             "bytes_out": 0,
+            **_zone_stats(table.column(name)),
         }
         for name in table.column_names
     }
@@ -483,16 +512,55 @@ class PartitionDecoder:
                 yield decode_blob(f.read(), columns=self.columns)
 
 
-def decode_partitions(out_dir: str, concurrency: int | None = None, columns: list[str] | None = None):
+def _partition_overlaps(m, ranges: dict[str, tuple]) -> bool:
+    """Zone-map check: False ⇔ the manifest PROVES the partition holds
+    no rows in the requested ranges.  Conservative: columns without
+    stats (or with truncated string stats) never prune."""
+    for col, (lo, hi) in ranges.items():
+        st = m.columns.get(col, {}) if isinstance(m.columns, dict) else {}
+        if "vmin" not in st or st.get("truncated"):
+            continue
+        if hi is not None and st["vmin"] > hi:
+            return False
+        if lo is not None and st["vmax"] < lo:
+            return False
+    return True
+
+
+def pruned_partition_paths(out_dir: str, ranges: dict[str, tuple]) -> list[str]:
+    """Paths of partitions whose zone maps overlap the ranges — the
+    manifest-only planning step (no data file is opened)."""
+    from supersonic_ray.state import load_all_manifests
+
+    keep = {m.part_id for m in load_all_manifests(out_dir) if _partition_overlaps(m, ranges)}
+    return sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".rsb") and f[len("part-") : -len(".rsb")] in keep
+    )
+
+
+def decode_partitions(
+    out_dir: str,
+    concurrency: int | None = None,
+    columns: list[str] | None = None,
+    ranges: dict[str, tuple] | None = None,
+):
     """Streaming decode: Dataset over all .rsb partition files.
     ``columns`` prunes at the DECODE level — unrequested columns are
-    never decompressed."""
+    never decompressed.  ``ranges`` ({col: (lo, hi)}, either bound
+    None) prunes whole PARTITIONS via the manifests' zone maps before
+    any file is read; rows inside surviving partitions still need the
+    exact filter downstream."""
     import ray
     import ray.data as rd
 
-    paths = sorted(
-        os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".rsb")
-    )
+    if ranges:
+        paths = pruned_partition_paths(out_dir, ranges)
+    else:
+        paths = sorted(
+            os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".rsb")
+        )
     ds = rd.from_items([{"path": p} for p in paths])
     if concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 4))

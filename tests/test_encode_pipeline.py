@@ -200,3 +200,26 @@ def test_decode_column_pruning(ray_session, webpages_parquet, tmp_path):
 
     with _pytest.raises(KeyError):
         decode_blob(blob, columns=["nope"])
+
+
+def test_zonemap_pruning_skips_partitions(ray_session, tmp_path):
+    """Sorted-key encode → range scan must open only the overlapping
+    partitions (manifest-only planning), and the result must equal an
+    unpruned scan + filter."""
+    import ray.data as rd
+
+    from supersonic_ray.pipelines import decode_partitions, encode_dataset
+    from supersonic_ray.pipelines.encode import pruned_partition_paths
+
+    t = pa.table({"k": list(range(10000)), "v": [float(i) for i in range(10000)]})
+    out = str(tmp_path / "enc")
+    encode_dataset(rd.from_arrow(t), out, batch_size=1000, concurrency=2).materialize()
+    all_paths = pruned_partition_paths(out, {})
+    hit_paths = pruned_partition_paths(out, {"k": (2500, 3499)})
+    assert len(all_paths) == 10
+    assert 1 <= len(hit_paths) <= 3  # only the overlapping key ranges
+    scan = decode_partitions(out, concurrency=2, ranges={"k": (2500, 3499)}).to_pandas()
+    rows = scan[(scan.k >= 2500) & (scan.k <= 3499)]
+    assert len(rows) == 1000 and rows.v.sum() == sum(range(2500, 3500))
+    # disjoint range → zero partitions, empty scan
+    assert pruned_partition_paths(out, {"k": (50000, 60000)}) == []
