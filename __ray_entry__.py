@@ -611,6 +611,39 @@ def multimodal_decode(sf_dir: str):
     return out[["media_id", "width", "height", "channels"]].sort_values("media_id").reset_index(drop=True)
 
 
+def csv_source_roundtrip(sf_dir: str):
+    """Multi-format ingest: nation re-staged as CSV, read back through
+    ray.data.read_csv, projected + sorted — oracle runs on the original
+    parquet, so CSV staging + scan must be lossless."""
+    import tempfile
+
+    import ray.data as rd
+
+    nation = _pq(sf_dir, "nation")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/nation.csv"
+        nation.to_pandas().to_csv(path, index=False)
+        ds = rd.read_csv(path)
+        out = ds.select_columns(["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    return out.sort_values("n_nationkey").reset_index(drop=True)
+
+
+def json_source_roundtrip(sf_dir: str):
+    """Multi-format ingest: region re-staged as JSONL, read through
+    ray.data.read_json — oracle on the original parquet."""
+    import tempfile
+
+    import ray.data as rd
+
+    region = _pq(sf_dir, "region")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/region.json"
+        region.to_pandas().to_json(path, orient="records", lines=True)
+        ds = rd.read_json(path)
+        out = ds.select_columns(["r_regionkey", "r_name"]).to_pandas()
+    return out.sort_values("r_regionkey").reset_index(drop=True)
+
+
 def rsb_scan_aggregate(sf_dir: str):
     """Storage + query composition: documents → RSB encode → COLUMN-
     PRUNED decode (only lang, n_chars decompress) → distributed group
@@ -1118,6 +1151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "foreign_filter_rank": foreign_filter_rank_q,
         "rsb_scan_aggregate": rsb_scan_aggregate,
         "rsb_zonemap_scan": rsb_zonemap_scan,
+        "csv_source_roundtrip": csv_source_roundtrip,
+        "json_source_roundtrip": json_source_roundtrip,
         "encode_roundtrip_docs": encode_roundtrip_docs,
         "encode_roundtrip_lineitem": encode_roundtrip_lineitem,
     }
@@ -1577,6 +1612,12 @@ def oracle_sql() -> dict[str, str]:
         "rsb_zonemap_scan": """
             SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
             FROM orders WHERE o_orderkey BETWEEN 3000 AND 4500
+        """,
+        "csv_source_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+        """,
+        "json_source_roundtrip": """
+            SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey
         """,
         "encode_roundtrip_docs": """
             SELECT * FROM documents ORDER BY doc_id

@@ -1,0 +1,96 @@
+"""Incremental (micro-batch) streaming with cross-batch state carry.
+
+The reference is one-pass pull streaming with stateful expressions but
+no windows (SURVEY.md §2.9); the batch engine here sessionizes via
+``groupby(key).map_groups`` (stages/windows.py).  This module is the
+INCREMENTAL shape a live pipeline needs: a tracker actor holds OPEN
+sessions across micro-batches and emits each session the moment a gap
+closes it — constant state per active key, output latency one gap.
+
+Ordering contract (documented loudly, like every ordered operator
+here): a tracker instance must see its keys' events in non-decreasing
+``ts`` order.  Global-ts-ordered micro-batches satisfy this for every
+key at once.  At cluster scale, run N trackers behind a hash-partition
+on the key (each shard is ts-ordered within itself); the single-stream
+driver loop below is the semantics reference and the test harness.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+class SessionTracker:
+    """Holds open sessions per key across micro-batches.
+
+    ``process(df)`` consumes one ts-ordered micro-batch and returns the
+    sessions CLOSED by it; ``flush()`` returns all still-open sessions
+    (end of stream).  Output schema matches stages/windows.session_window:
+    (key, session_id, n_events, t_start, t_end[, sum_<agg_col>]).
+    """
+
+    def __init__(self, key: str, ts_col: str, gap_us: int, agg_col: str | None = None):
+        self.key = key
+        self.ts_col = ts_col
+        self.gap_us = gap_us
+        self.agg_col = agg_col
+        self.open: dict = {}  # key value -> open-session accumulator
+        self.next_sid: dict = {}  # key value -> next session ordinal
+
+    def _emit(self, k) -> dict:
+        s = self.open.pop(k)
+        row = {
+            self.key: k,
+            "session_id": s["sid"],
+            "n_events": s["n"],
+            "t_start": s["t0"],
+            "t_end": s["t1"],
+        }
+        if self.agg_col is not None:
+            row[f"sum_{self.agg_col}"] = s["sum"]
+        return row
+
+    def _empty(self) -> pd.DataFrame:
+        cols = [self.key, "session_id", "n_events", "t_start", "t_end"]
+        if self.agg_col is not None:
+            cols.append(f"sum_{self.agg_col}")
+        return pd.DataFrame(columns=cols)
+
+    def process(self, df: pd.DataFrame) -> pd.DataFrame:
+        closed: list[dict] = []
+        ts_vals = df[self.ts_col].astype("int64").tolist()
+        keys = df[self.key].tolist()
+        aggs = df[self.agg_col].tolist() if self.agg_col is not None else [None] * len(df)
+        for k, t, v in zip(keys, ts_vals, aggs):
+            s = self.open.get(k)
+            if s is not None and t - s["t1"] > self.gap_us:
+                closed.append(self._emit(k))
+                s = None
+            if s is None:
+                sid = self.next_sid.get(k, 0)
+                self.next_sid[k] = sid + 1
+                s = {"sid": sid, "n": 0, "t0": t, "t1": t, "sum": 0.0}
+                self.open[k] = s
+            s["n"] += 1
+            s["t1"] = t
+            if self.agg_col is not None and v is not None and v == v:
+                s["sum"] += v
+        return pd.DataFrame(closed) if closed else self._empty()
+
+    def flush(self) -> pd.DataFrame:
+        closed = [self._emit(k) for k in list(self.open)]
+        return pd.DataFrame(closed) if closed else self._empty()
+
+
+def stream_sessionize(ds, key: str, ts_col: str, gap_us: int, agg_col: str | None = None, batch_rows: int = 4096) -> pd.DataFrame:
+    """Semantics-reference driver loop: global ts sort → micro-batches →
+    one tracker; returns the complete closed-session frame.  At scale:
+    repartition by hash(key) first and run one tracker per shard
+    (identical per-key behavior — each shard stays ts-ordered)."""
+    frames = []
+    tracker = SessionTracker(key, ts_col, gap_us, agg_col)
+    for batch in ds.sort(ts_col).iter_batches(batch_size=batch_rows, batch_format="pandas"):
+        frames.append(tracker.process(batch))
+    frames.append(tracker.flush())
+    out = pd.concat(frames, ignore_index=True)
+    return out

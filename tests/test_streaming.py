@@ -1,0 +1,46 @@
+"""Incremental streaming sessionizer: micro-batch state carry must
+reproduce the batch session_window exactly."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def test_stream_sessionize_equals_batch(ray_session, sf_dir):
+    import ray.data as rd
+
+    from supersonic_ray.stages.streaming import stream_sessionize
+    from supersonic_ray.stages.windows import session_window
+
+    gap = 30 * 60 * 1_000_000
+    ds1 = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+    batch = session_window(ds1, "user_id", "ts", gap_us=gap, agg_col="value", tiebreak="event_id").to_pandas()
+    ds2 = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+    # deliberately tiny micro-batches so sessions span many batches
+    stream = stream_sessionize(ds2, "user_id", "ts", gap_us=gap, agg_col="value", batch_rows=64)
+
+    key = ["user_id", "session_id"]
+    b = batch[key + ["n_events", "sum_value"]].copy()
+    s = stream[key + ["n_events", "sum_value"]].copy()
+    b["sum_value"] = b["sum_value"].round(4)
+    s["sum_value"] = s["sum_value"].round(4)
+    b = b.sort_values(key).reset_index(drop=True)
+    s = s.sort_values(key).reset_index(drop=True)
+    s = s.astype(b.dtypes.to_dict())
+    pd.testing.assert_frame_equal(b, s)
+
+
+def test_tracker_closes_on_gap_and_flushes():
+    from supersonic_ray.stages.streaming import SessionTracker
+
+    t = SessionTracker("u", "ts", gap_us=100, agg_col="v")
+    out1 = t.process(pd.DataFrame({"u": ["a", "a"], "ts": [0, 50], "v": [1.0, 2.0]}))
+    assert len(out1) == 0  # still open
+    out2 = t.process(pd.DataFrame({"u": ["a"], "ts": [500], "v": [4.0]}))
+    assert out2.to_dict("records") == [
+        {"u": "a", "session_id": 0, "n_events": 2, "t_start": 0, "t_end": 50, "sum_v": 3.0}
+    ]
+    out3 = t.flush()
+    assert out3.to_dict("records") == [
+        {"u": "a", "session_id": 1, "n_events": 1, "t_start": 500, "t_end": 500, "sum_v": 4.0}
+    ]
