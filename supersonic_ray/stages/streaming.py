@@ -82,6 +82,53 @@ class SessionTracker:
         return pd.DataFrame(closed) if closed else self._empty()
 
 
+def stream_sessionize_sharded(
+    ds,
+    key: str,
+    ts_col: str,
+    gap_us: int,
+    agg_col: str | None = None,
+    num_shards: int = 4,
+    batch_rows: int = 4096,
+) -> pd.DataFrame:
+    """The cluster-scale shape: N tracker ACTORS, each owning the keys
+    that hash to its shard; micro-batches are split by key-hash and
+    dispatched concurrently (rows stay ts-ordered inside each shard
+    because the stream itself is ts-ordered).  This is the documented
+    raw-Ray carve-out — a shared mutable per-key state machine is the
+    one shape Dataset transforms can't express.  Memory per actor =
+    O(open sessions in its shard); emission latency = one gap."""
+    import ray
+
+    @ray.remote
+    class TrackerActor:
+        def __init__(self, key, ts_col, gap_us, agg_col):
+            self.t = SessionTracker(key, ts_col, gap_us, agg_col)
+
+        def process(self, df: pd.DataFrame) -> pd.DataFrame:
+            return self.t.process(df)
+
+        def flush(self) -> pd.DataFrame:
+            return self.t.flush()
+
+    actors = [TrackerActor.remote(key, ts_col, gap_us, agg_col) for _ in range(num_shards)]
+    pending: list = []
+    for batch in ds.sort(ts_col).iter_batches(batch_size=batch_rows, batch_format="pandas"):
+        shard = pd.util.hash_array(batch[key].to_numpy()) % num_shards
+        # dispatch every shard's slice before waiting: shards run in parallel,
+        # while per-shard order is preserved by actor-mailbox FIFO
+        for i in range(num_shards):
+            part = batch[shard == i]
+            if len(part):
+                pending.append(actors[i].process.remote(part))
+    pending += [a.flush.remote() for a in actors]
+    frames = [f for f in ray.get(pending) if len(f)]
+    out = pd.concat(frames, ignore_index=True) if frames else SessionTracker(key, ts_col, gap_us, agg_col)._empty()
+    for a in actors:
+        ray.kill(a)
+    return out
+
+
 def stream_sessionize(ds, key: str, ts_col: str, gap_us: int, agg_col: str | None = None, batch_rows: int = 4096) -> pd.DataFrame:
     """Semantics-reference driver loop: global ts sort → micro-batches →
     one tracker; returns the complete closed-session frame.  At scale:
