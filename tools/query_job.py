@@ -24,7 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--plan", required=True, help="JSON plan file (pipelines/plan.py schema)")
+    g = ap.add_mutually_exclusive_group(required=True)
+    g.add_argument("--plan", help="JSON plan file (pipelines/plan.py schema)")
+    g.add_argument("--query", help="registered query name from __ray_entry__.queries()")
     ap.add_argument("--sf-dir", required=True, help="directory of input parquet tables")
     ap.add_argument("--out", help="write result as partitioned parquet here")
     ap.add_argument("--show", type=int, default=0, help="print first N result rows")
@@ -43,6 +45,26 @@ def main() -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+
+    if args.query:
+        import __ray_entry__ as entry_mod
+
+        q = entry_mod.queries()
+        if args.query not in q:
+            print(json.dumps({"error": f"unknown query {args.query!r}", "available": sorted(q)[:10]}))
+            ray.shutdown()
+            return 1
+        t0 = time.monotonic()
+        res = q[args.query](args.sf_dir)
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()
+        if args.out:
+            res.to_parquet(os.path.join(args.out, f"{args.query}.parquet"))
+        elif args.show:
+            print(res.head(args.show).to_string())
+        print(json.dumps({"query": args.query, "rows": len(res), "wall_sec": round(time.monotonic() - t0, 3)}))
+        ray.shutdown()
+        return 0
 
     from supersonic_ray.pipelines import build_pipeline
 
