@@ -611,6 +611,28 @@ def multimodal_decode(sf_dir: str):
     return out[["media_id", "width", "height", "channels"]].sort_values("media_id").reset_index(drop=True)
 
 
+def asof_join_events(sf_dir: str):
+    """As-of join: each event gets the customer's LATEST order at or
+    before the event time.  Right side pre-aggregated to one row per
+    (custkey, orderdate) so tie-breaks are deterministic on both sides;
+    oracle uses DuckDB's native ASOF JOIN."""
+    from supersonic_ray.stages.joins import asof_join
+
+    orders = _pq(sf_dir, "orders").select(["o_custkey", "o_orderdate", "o_orderkey"])
+    uniq = orders.group_by(["o_custkey", "o_orderdate"]).aggregate([("o_orderkey", "max")])
+    uniq = uniq.rename_columns(["o_custkey", "o_orderdate", "last_ok"])
+    events = _ld(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = asof_join(
+        events, uniq,
+        left_by="user_id", right_by="o_custkey",
+        left_on="ts", right_on="o_orderdate",
+        payload_cols=["last_ok"],
+    ).to_pandas()
+    out = out[["event_id", "last_ok"]]
+    out["last_ok"] = out["last_ok"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def csv_source_roundtrip(sf_dir: str):
     """Multi-format ingest: nation re-staged as CSV, read back through
     ray.data.read_csv, projected + sorted — oracle runs on the original
@@ -1151,6 +1173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "foreign_filter_rank": foreign_filter_rank_q,
         "rsb_scan_aggregate": rsb_scan_aggregate,
         "rsb_zonemap_scan": rsb_zonemap_scan,
+        "asof_join_events": asof_join_events,
         "csv_source_roundtrip": csv_source_roundtrip,
         "json_source_roundtrip": json_source_roundtrip,
         "encode_roundtrip_docs": encode_roundtrip_docs,
@@ -1612,6 +1635,16 @@ def oracle_sql() -> dict[str, str]:
         "rsb_zonemap_scan": """
             SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
             FROM orders WHERE o_orderkey BETWEEN 3000 AND 4500
+        """,
+        "asof_join_events": """
+            WITH r AS (
+              SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS od,
+                     max(o_orderkey) AS last_ok
+              FROM orders GROUP BY o_custkey, od)
+            SELECT event_id, last_ok
+            FROM events e ASOF JOIN r
+              ON e.user_id = r.o_custkey AND e.ts >= r.od
+            ORDER BY event_id
         """,
         "csv_source_roundtrip": """
             SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey

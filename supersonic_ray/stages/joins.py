@@ -261,6 +261,82 @@ def anti_join(ds_left, key_values: pa.Table | pa.Array, left_keys: list[str]):
     return _membership_filter(ds_left, key_values, left_keys, keep_members=False)
 
 
+class _AsofJoiner:
+    """Broadcast as-of probe: per actor, the right side is sorted and
+    split into per-key (ordinate array, payload frame) ONCE; each batch
+    does one vectorized searchsorted per key present in the batch."""
+
+    def __init__(self, right_ref, right_by, right_on, payload_cols):
+        right: pa.Table = _maybe_get(right_ref)
+        rdf = right.to_pandas().dropna(subset=[right_by, right_on])
+        rdf = rdf.sort_values([right_by, right_on], kind="mergesort")
+        self.per_key = {}
+        import numpy as np
+
+        for k, g in rdf.groupby(right_by, sort=False):
+            self.per_key[k] = (
+                g[right_on].astype("int64").to_numpy(),
+                {c: g[c].to_numpy() for c in payload_cols},
+            )
+        self.payload_cols = payload_cols
+
+    def probe(self, ldf: pd.DataFrame, left_by: str, left_on: str) -> pd.DataFrame:
+        import numpy as np
+
+        outs = []
+        for k, g in ldf.groupby(left_by, sort=False):
+            hit = self.per_key.get(k)
+            if hit is None:
+                continue
+            on_arr, payload = hit
+            idx = np.searchsorted(on_arr, g[left_on].astype("int64").to_numpy(), side="right") - 1
+            keep = idx >= 0
+            if not keep.any():
+                continue
+            part = g[keep].copy()
+            for c in self.payload_cols:
+                part[c] = payload[c][idx[keep]]
+            outs.append(part)
+        return pd.concat(outs, ignore_index=True) if outs else ldf.head(0).assign(**{c: pd.Series(dtype="object") for c in self.payload_cols})
+
+
+def asof_join(
+    ds_left,
+    right_table: pa.Table,
+    left_by: str,
+    right_by: str,
+    left_on: str,
+    right_on: str,
+    payload_cols: list[str],
+    concurrency=None,
+):
+    """As-of join (beyond the reference — the custom-operator case the
+    engine brief calls out): for every left row, attach the payload of
+    the LATEST right row with right_on <= left_on within the same key;
+    rows with no earlier right row drop (inner as-of).  Right side
+    broadcast once; ordinates compared as int64 (timestamps = epoch µs).
+    Determinism: make the right side unique per (by, on) upstream —
+    ties among identical ordinates are otherwise arbitrary."""
+    import ray
+
+    right_ref = ray.put(right_table)
+
+    def make_actor():
+        return _AsofJoiner(right_ref, right_by, right_on, payload_cols)
+
+    class _Stage:
+        def __init__(self):
+            self.joiner = make_actor()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = self.joiner.probe(batch.to_pandas(), left_by, left_on)
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds_left.map_batches(
+        _Stage, batch_format="pyarrow", concurrency=(1, concurrency or _pool_size())
+    )
+
+
 def foreign_filter_rank(ds_left, filter_keys: pa.Array | pa.Table, fk_col: str, rank_col: str = "fk_rank"):
     """The reference's exact ForeignFilter contract
     (cursor/core/foreign_filter.h:33-57): semi-join on sorted UNIQUE
