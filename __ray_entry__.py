@@ -611,6 +611,22 @@ def multimodal_decode(sf_dir: str):
     return out[["media_id", "width", "height", "channels"]].sort_values("media_id").reset_index(drop=True)
 
 
+def range_join_parts(sf_dir: str):
+    """Range (interval) join: parts banded by retail price via a
+    broadcast non-overlapping interval table."""
+    from supersonic_ray.stages.joins import range_join
+
+    bands = pa.table({
+        "lo": [0.0, 500.0, 1000.0, 1500.0],
+        "hi": [500.0, 1000.0, 1500.0, 1e9],
+        "band": ["low", "mid", "high", "lux"],
+    })
+    parts = _ld(sf_dir, "part", ["p_partkey", "p_retailprice"])
+    out = range_join(parts, bands, "p_retailprice").to_pandas()
+    out = out[["p_partkey", "band"]]
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
 def asof_join_events(sf_dir: str):
     """As-of join: each event gets the customer's LATEST order at or
     before the event time.  Right side pre-aggregated to one row per
@@ -1174,6 +1190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rsb_scan_aggregate": rsb_scan_aggregate,
         "rsb_zonemap_scan": rsb_zonemap_scan,
         "asof_join_events": asof_join_events,
+        "range_join_parts": range_join_parts,
         "csv_source_roundtrip": csv_source_roundtrip,
         "json_source_roundtrip": json_source_roundtrip,
         "encode_roundtrip_docs": encode_roundtrip_docs,
@@ -1635,6 +1652,14 @@ def oracle_sql() -> dict[str, str]:
         "rsb_zonemap_scan": """
             SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
             FROM orders WHERE o_orderkey BETWEEN 3000 AND 4500
+        """,
+        "range_join_parts": """
+            WITH bands(lo, hi, band) AS (
+              VALUES (0.0, 500.0, 'low'), (500.0, 1000.0, 'mid'),
+                     (1000.0, 1500.0, 'high'), (1500.0, 1000000000.0, 'lux'))
+            SELECT p_partkey, band
+            FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+            ORDER BY p_partkey
         """,
         "asof_join_events": """
             WITH r AS (

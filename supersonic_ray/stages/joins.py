@@ -337,6 +337,53 @@ def asof_join(
     )
 
 
+def range_join(
+    ds_left,
+    intervals: pa.Table,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    keep_bounds: bool = False,
+):
+    """Range join (beyond the reference — the second custom-operator
+    case the brief names): attach interval payload to every left row
+    whose value falls in [lo, hi).  Intervals are broadcast, must be
+    sorted and NON-overlapping (validated at build time — the common
+    banding/tiering case); probe is one vectorized searchsorted per
+    batch.  Rows outside every interval drop (inner)."""
+    import numpy as np
+    import ray
+
+    lo = np.asarray(intervals.column(lo_col).to_pylist(), dtype=np.float64)
+    hi = np.asarray(intervals.column(hi_col).to_pylist(), dtype=np.float64)
+    order = np.argsort(lo, kind="stable")
+    lo, hi = lo[order], hi[order]
+    if (hi <= lo).any():
+        raise ValueError("range_join: empty interval (hi <= lo)")
+    if (lo[1:] < hi[:-1]).any():
+        raise ValueError("range_join: overlapping intervals — not supported")
+    payload_cols = [c for c in intervals.column_names if c not in (lo_col, hi_col)]
+    payload = {c: np.asarray(intervals.column(c).to_pylist(), dtype=object)[order] for c in payload_cols}
+    ref = ray.put((lo, hi, payload))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        blo, bhi, pay = ray.get(ref)
+        vals_arr = batch.column(value_col)
+        vals = np.asarray(pc.fill_null(vals_arr, np.nan).cast(pa.float64()))
+        idx = np.searchsorted(blo, vals, side="right") - 1
+        idx_c = np.clip(idx, 0, len(blo) - 1)
+        member = (idx >= 0) & (vals < bhi[idx_c]) & ~np.isnan(vals)
+        out = batch
+        for c in payload_cols:
+            out = out.append_column(c, pa.array(pay[c][idx_c]))
+        if keep_bounds:
+            out = out.append_column(lo_col, pa.array(blo[idx_c]))
+            out = out.append_column(hi_col, pa.array(bhi[idx_c]))
+        return out.filter(pa.array(member))
+
+    return ds_left.map_batches(fn, batch_format="pyarrow")
+
+
 def foreign_filter_rank(ds_left, filter_keys: pa.Array | pa.Table, fk_col: str, rank_col: str = "fk_rank"):
     """The reference's exact ForeignFilter contract
     (cursor/core/foreign_filter.h:33-57): semi-join on sorted UNIQUE
