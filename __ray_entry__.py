@@ -649,6 +649,25 @@ def asof_join_events(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def sketch_distinct_freq(sf_dir: str):
+    """Mergeable sketches (rows-only: approximate by design, accuracy
+    bounds pinned in tests/test_sketches.py): HLL distinct suppliers +
+    Count-Min language frequencies over one pass each, fixed-size
+    partials, zero shuffle."""
+    from supersonic_ray.stages.sketches import approx_count_distinct, approx_frequencies
+
+    li = _ld(sf_dir, "lineitem", ["l_suppkey"])
+    n_supp = approx_count_distinct(li, "l_suppkey", p=12)
+    docs = _ld(sf_dir, "documents", ["lang"])
+    freqs = approx_frequencies(docs, "lang", ["en", "de", "fr"])
+    return pd.DataFrame(
+        {
+            "metric": ["hll_distinct_suppkey", "cms_en", "cms_de", "cms_fr"],
+            "value": [n_supp, freqs["en"], freqs["de"], freqs["fr"]],
+        }
+    )
+
+
 def csv_source_roundtrip(sf_dir: str):
     """Multi-format ingest: nation re-staged as CSV, read back through
     ray.data.read_csv, projected + sorted — oracle runs on the original
@@ -1191,6 +1210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rsb_zonemap_scan": rsb_zonemap_scan,
         "asof_join_events": asof_join_events,
         "range_join_parts": range_join_parts,
+        "sketch_distinct_freq": sketch_distinct_freq,
         "csv_source_roundtrip": csv_source_roundtrip,
         "json_source_roundtrip": json_source_roundtrip,
         "encode_roundtrip_docs": encode_roundtrip_docs,

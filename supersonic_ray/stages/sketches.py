@@ -1,0 +1,115 @@
+"""Mergeable sketches — the distributed-aggregation structures a
+100 TB pipeline uses where exact answers would shuffle everything.
+
+- HyperLogLog: approximate COUNT(DISTINCT) — per-batch register arrays
+  (2^p bytes), merged by element-wise max.  One small fixed-size array
+  per batch crosses the wire; no shuffle at all.
+- Count-Min: approximate frequencies / heavy hitters — per-batch count
+  matrices merged by addition; estimate = min over depth rows
+  (overestimate bounded by eps*N with prob 1-delta).
+
+Both use the stable SipHash from pandas (never Python hash() — its
+per-process seed would desync workers).  All estimates are
+DETERMINISTIC given the fixed hash keys: same input → same estimate on
+any cluster shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_HLL_KEY = "raysonic-hll-000"  # exactly 16 bytes (pandas hash_key contract)
+_CMS_KEYS = ["raysonic-cms-%03d" % i for i in range(16)]  # 16-byte keys
+
+
+def _stable_hash(vals, key: str) -> np.ndarray:
+    arr = np.asarray(vals, dtype=object)
+    return pd.util.hash_array(arr, hash_key=key)
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length (no float log — float64 rounding is
+    wrong near 2^53+)."""
+    bl = np.zeros(x.shape, dtype=np.int64)
+    cur = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        big = cur >= (np.uint64(1) << np.uint64(s))
+        bl[big] += s
+        cur[big] >>= np.uint64(s)
+    bl[x > 0] += 1
+    return bl
+
+
+def hll_registers(vals, p: int = 12) -> np.ndarray:
+    """Register array (2^p uint8) for one batch of values."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(vals) == 0:
+        return regs
+    h = _stable_hash(vals, _HLL_KEY)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rem = (h << np.uint64(p)).astype(np.uint64)  # top 64-p bits left-justified
+    # rank = leading zeros of rem (within 64 bits) + 1, capped
+    rank = (64 - _bit_length_u64(rem) + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with linear-counting small-range
+    correction (Flajolet et al., 2007)."""
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def approx_count_distinct(ds, col: str, p: int = 12) -> int:
+    """Distributed approximate COUNT(DISTINCT): per-batch registers →
+    element-wise max on the driver (each partial is 2^p bytes,
+    regardless of input size).  Typical error ~1.04/sqrt(2^p)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).drop_null().to_pylist()
+        return pa.table({"regs": [hll_registers(vals, p).tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    for b in parts["regs"]:
+        regs = np.maximum(regs, np.frombuffer(b, dtype=np.uint8))
+    return int(round(hll_estimate(regs)))
+
+
+def cms_counts(vals, depth: int = 4, width: int = 2048) -> np.ndarray:
+    cm = np.zeros((depth, width), dtype=np.int64)
+    if len(vals) == 0:
+        return cm
+    for d in range(depth):
+        idx = (_stable_hash(vals, _CMS_KEYS[d]) % np.uint64(width)).astype(np.int64)
+        np.add.at(cm[d], idx, 1)
+    return cm
+
+
+def approx_frequencies(ds, col: str, items: list, depth: int = 4, width: int = 2048) -> dict:
+    """Distributed Count-Min: per-batch count matrices summed on the
+    driver (depth×width int64 per batch); item frequency = min over
+    rows.  Overestimates by ≤ e/width · N with prob 1 - e^-depth."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).drop_null().to_pylist()
+        return pa.table({"cm": [cms_counts(vals, depth, width).tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cm = np.zeros((depth, width), dtype=np.int64)
+    for b in parts["cm"]:
+        cm += np.frombuffer(b, dtype=np.int64).reshape(depth, width)
+    out = {}
+    for it in items:
+        ests = [cm[d][int(_stable_hash([it], _CMS_KEYS[d])[0] % np.uint64(width))] for d in range(depth)]
+        out[it] = int(min(ests))
+    return out

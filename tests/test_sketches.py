@@ -1,0 +1,49 @@
+"""Mergeable sketches: accuracy bounds + merge associativity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_hll_accuracy_and_merge(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    from supersonic_ray.stages.sketches import approx_count_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    est = approx_count_distinct(ds, "l_partkey", p=12)
+    exact = duckdb.connect().execute(
+        f"SELECT count(DISTINCT l_partkey) FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchone()[0]
+    # 2^12 registers → ~1.6% typical error; allow 5%
+    assert abs(est - exact) <= max(3, 0.05 * exact), (est, exact)
+
+
+def test_hll_registers_merge_is_batch_independent():
+    from supersonic_ray.stages.sketches import hll_estimate, hll_registers
+
+    vals = [f"item-{i}" for i in range(5000)]
+    whole = hll_registers(vals, p=10)
+    split = np.maximum(hll_registers(vals[:1234], p=10), hll_registers(vals[1234:], p=10))
+    assert (whole == split).all()  # merge is exact, not approximate
+    assert abs(hll_estimate(whole) - 5000) < 0.1 * 5000
+
+
+def test_cms_frequencies_overestimate_only(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    from supersonic_ray.stages.sketches import approx_frequencies
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    langs = ["en", "de", "fr"]
+    est = approx_frequencies(ds, "lang", langs, depth=4, width=2048)
+    con = duckdb.connect()
+    for lang in langs:
+        exact = con.execute(
+            f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet') WHERE lang = ?", [lang]
+        ).fetchone()[0]
+        assert est[lang] >= exact  # CMS never underestimates
+        assert est[lang] <= exact + 50  # tight at this scale
