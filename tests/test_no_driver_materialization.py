@@ -18,7 +18,7 @@ LIB = Path(__file__).resolve().parent.parent / "supersonic_ray"
 # file → audited number of driver/worker collect call sites
 AUDITED = {
     "stages/aggregates.py": 8,  # per-batch worker conversions (3), 1-row/batch partial collect, limit(1) take_all, holistic CONCAT fallback (documented), limit(K) head, 1-row overflow
-    "stages/joins.py": 3,  # broadcast RHS index build (once/actor), per-batch probe conversion, rowid gather
+    "stages/joins.py": 5,  # broadcast RHS index builds (hash + asof, once/actor), per-batch probe conversions (x2), rowid gather
     "stages/skew.py": 1,  # sampled hot-key histogram (bounded by sample)
     "stages/vectors.py": 2,  # IVF training sample (limit N), dim probe take(1)
     "stages/text.py": 0,
