@@ -1005,6 +1005,16 @@ def sample_bernoulli(sf_dir: str):
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def sample_by_hash(sf_dir: str):
+    """Key-hash Bernoulli sampling — reproducible under any
+    partitioning and SQL-verifiable (md5-hex p-quantile)."""
+    from supersonic_ray.stages.ops import hash_sample
+
+    ds = _ld(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = hash_sample(ds, "o_orderkey", 0.1, seed=7, hasher="md5").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def full_outer_join(sf_dir: str):
     """FULL OUTER hash-partitioned join (beyond the reference's
     INNER/LEFT_OUTER, hash_join.h:37-38 — free via the partitioned
@@ -1199,6 +1209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_clusters_sorted": agg_clusters_sorted,
         "group_with_limit": group_with_limit,
         "sample_bernoulli": sample_bernoulli,
+        "sample_by_hash": sample_by_hash,
         "full_outer_join": full_outer_join,
         "expr_date_local": expr_date_local,
         "expr_is_normal": expr_is_normal,
@@ -1672,6 +1683,12 @@ def oracle_sql() -> dict[str, str]:
         "rsb_zonemap_scan": """
             SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
             FROM orders WHERE o_orderkey BETWEEN 3000 AND 4500
+        """,
+        "sample_by_hash": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE substring(md5('7:' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+                  < '19999999'
+            ORDER BY o_orderkey
         """,
         "range_join_parts": """
             WITH bands(lo, hi, band) AS (

@@ -200,6 +200,47 @@ def fanout(ds, n_consumers: int = 2):
     return ds.materialize()
 
 
+def hash_sample(ds, key_col: str, p: float, seed: int = 0, hasher: str = "sip"):
+    """Deterministic Bernoulli sampling by KEY hash: a row is kept iff
+    hash(seed:key) falls under the p-quantile of hash space.  Unlike
+    RNG-stream sampling this is reproducible under ANY partitioning or
+    cluster shape, and rows for the same key always sample together.
+
+    hasher="sip" (default): vectorized pandas SipHash — the production
+    path.  hasher="md5": per-row md5, slower, but SQL-replicable (the
+    oracle compares the first 8 md5 hex chars lexicographically, which
+    equals the numeric compare for fixed-width lowercase hex)."""
+    threshold = int(p * (1 << 32))
+    if hasher == "md5":
+        import hashlib
+
+        hex_thresh = format(threshold, "08x")
+
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = pc.cast(batch.column(key_col), pa.string()).to_pylist()
+            mask = [
+                k is not None
+                and hashlib.md5(f"{seed}:{k}".encode()).hexdigest()[:8] < hex_thresh
+                for k in keys
+            ]
+            return batch.filter(pa.array(mask))
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    import numpy as np
+    import pandas as pd
+
+    key = f"raysonic-smp-{seed:03d}"[:16].ljust(16, "0")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = pc.cast(batch.column(key_col), pa.string()).to_pylist()
+        h = pd.util.hash_array(np.array(keys, dtype=object), hash_key=key)
+        mask = (h >> np.uint64(32)) < np.uint64(threshold)
+        return batch.filter(pa.array(mask & pa.array([k is not None for k in keys]).to_numpy(zero_copy_only=False)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def spy(ds, listener: Callable[[pa.Table], None], label: str = "spy"):
     """Spy (cursor/core/spy.h:40-80): pass-through observer."""
 
