@@ -649,6 +649,27 @@ def asof_join_events(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def training_pipeline_docs(sf_dir: str):
+    """Flagship composite: the training-data pipeline end-to-end —
+    quality filter (token count + stopword ratio) → exact dedup (min-id
+    winner per content) → deterministic key-hash sampling — all stages
+    distributed, the WHOLE chain verified by one SQL oracle."""
+    from supersonic_ray.stages.ops import hash_sample
+    from supersonic_ray.stages.text import exact_dedup, token_count
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ds = token_count(ds, "text", "n_tok")
+
+    def quality(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("n_tok"), 20))
+
+    ds = ds.map_batches(quality, batch_format="pyarrow")
+    ds = exact_dedup(ds, "text", "doc_id")
+    ds = hash_sample(ds, "doc_id", 0.5, seed=3, hasher="md5")
+    out = ds.to_pandas()[["doc_id", "lang", "n_tok"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def sketch_distinct_freq(sf_dir: str):
     """Mergeable sketches (rows-only: approximate by design, accuracy
     bounds pinned in tests/test_sketches.py): HLL distinct suppliers +
@@ -1222,6 +1243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events": asof_join_events,
         "range_join_parts": range_join_parts,
         "sketch_distinct_freq": sketch_distinct_freq,
+        "training_pipeline_docs": training_pipeline_docs,
         "csv_source_roundtrip": csv_source_roundtrip,
         "json_source_roundtrip": json_source_roundtrip,
         "encode_roundtrip_docs": encode_roundtrip_docs,
@@ -1683,6 +1705,18 @@ def oracle_sql() -> dict[str, str]:
         "rsb_zonemap_scan": """
             SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
             FROM orders WHERE o_orderkey BETWEEN 3000 AND 4500
+        """,
+        "training_pipeline_docs": """
+            WITH t AS (
+              SELECT doc_id, text, lang,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                          ELSE length(regexp_extract_all(trim(text), '\\S+')) END AS n_tok
+              FROM documents),
+            q AS (SELECT * FROM t WHERE n_tok >= 20),
+            d AS (SELECT * FROM q WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY text))
+            SELECT doc_id, lang, n_tok FROM d
+            WHERE substring(md5('3:' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+            ORDER BY doc_id
         """,
         "sample_by_hash": """
             SELECT o_orderkey, o_totalprice FROM orders
