@@ -1092,6 +1092,37 @@ def expr_is_normal(sf_dir: str):
     return project(ds, ["p_partkey", "n_price", "n_zero", "n_sub"]).to_pandas().sort_values("p_partkey").reset_index(drop=True)
 
 
+def expr_hyperbolic(sf_dir: str):
+    """Hyperbolic trig family + inverses (math_expressions.h:37-138) —
+    the last §2.3 expression-family gap; oracle uses the exp/ln closed
+    forms (DuckDB has no native hyperbolics)."""
+    from supersonic_ray.functions import expressions as E
+    from supersonic_ray.stages.ops import compute, project
+
+    ds = _ld(sf_dir, "part", ["p_partkey", "p_retailprice"])
+    ds = compute(
+        ds,
+        {
+            "x": lambda t: pc.divide(t.column("p_retailprice"), pa.scalar(1000.0)),
+        },
+    )
+    ds = compute(
+        ds,
+        {
+            "sh": lambda t: E.sinh(t.column("x")),
+            "ch": lambda t: E.cosh(t.column("x")),
+            "th": lambda t: E.tanh(t.column("x")),
+            "ash": lambda t: E.asinh(t.column("x")),
+            "ach": lambda t: E.acosh(pc.add(t.column("x"), pa.scalar(1.0))),
+            "ath": lambda t: E.atanh(pc.divide(pa.scalar(1.0), pc.add(t.column("x"), pa.scalar(2.0)))),
+        },
+    )
+    out = project(ds, ["p_partkey", "sh", "ch", "th", "ash", "ach", "ath"]).to_pandas()
+    for c in ["sh", "ch", "th", "ash", "ach", "ath"]:
+        out[c] = out[c].round(6)
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
 def agg_udaf_span(sf_dir: str):
     """Custom UDAF through the registration hook (reference
     ColumnAggregator extension point, column_aggregator.h:43-75)."""
@@ -1235,6 +1266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expr_date_local": expr_date_local,
         "expr_is_normal": expr_is_normal,
         "agg_udaf_span": agg_udaf_span,
+        "expr_hyperbolic": expr_hyperbolic,
         "plan_q1_json": plan_q1_json,
         "skew_salted_agg": skew_salted_agg,
         "foreign_filter_rank": foreign_filter_rank_q,
@@ -1667,6 +1699,17 @@ def oracle_sql() -> dict[str, str]:
                    isfinite(p_retailprice * 1e-310) AND p_retailprice * 1e-310 <> 0
                        AND abs(p_retailprice * 1e-310) >= 2.2250738585072014e-308 AS n_sub
             FROM part ORDER BY p_partkey
+        """,
+        "expr_hyperbolic": """
+            WITH x AS (SELECT p_partkey, p_retailprice / 1000.0 AS x FROM part)
+            SELECT p_partkey,
+                   round((exp(x) - exp(-x)) / 2, 6) AS sh,
+                   round((exp(x) + exp(-x)) / 2, 6) AS ch,
+                   round((exp(2*x) - 1) / (exp(2*x) + 1), 6) AS th,
+                   round(ln(x + sqrt(x*x + 1)), 6) AS ash,
+                   round(ln((x+1) + sqrt((x+1)*(x+1) - 1)), 6) AS ach,
+                   round(0.5 * ln((1 + 1/(x+2)) / (1 - 1/(x+2))), 6) AS ath
+            FROM x ORDER BY p_partkey
         """,
         "agg_udaf_span": """
             SELECT l_returnflag,

@@ -1,0 +1,69 @@
+"""Vectorized cryptographic hash kernels.
+
+The reference's per-row hash expressions (hashing Fingerprint/Hash,
+supersonic/expression/core/stateful_expressions.h analog usage) need a
+batch kernel on the Ray side; Arrow ships no md5/sha kernel and a
+Python ``hashlib`` loop is the hottest per-row cost in the text paths
+(round-2 verdict item #6).  DuckDB is in-process, columnar and
+zero-copy over Arrow — so we use its C++ ``md5``/``sha256`` functions
+as the batch kernel: register the Arrow table, run one relational
+projection, get an Arrow array back.  One connection per worker
+process, created lazily (actor/task ``__init__``-equivalent)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_CON = None
+
+
+def _con():
+    global _CON
+    if _CON is None:
+        import duckdb
+
+        _CON = duckdb.connect()
+        # hash kernels are memory-light; keep DuckDB from grabbing workers' RAM
+        _CON.execute("SET memory_limit='256MB'; SET threads=1")
+    return _CON
+
+
+def _run_on_column(arr: pa.Array | pa.ChunkedArray, select_expr: str) -> pa.ChunkedArray:
+    """Project ``select_expr`` (over column ``v``) across one Arrow
+    column, preserving row order (DuckDB projections are order-stable)."""
+    con = _con()
+    t = pa.table({"v": arr})
+    con.register("__hash_in", t)
+    try:
+        out = con.execute(f"SELECT {select_expr} AS h FROM __hash_in").arrow()
+    finally:
+        con.unregister("__hash_in")
+    return out.column("h")
+
+
+def md5_hex(arr: pa.Array | pa.ChunkedArray) -> pa.ChunkedArray:
+    """md5 hex digest per row (NULL → NULL); input cast to string."""
+    if not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
+        arr = pc.cast(arr, pa.string())
+    return _run_on_column(arr, "md5(v)")
+
+
+def sha256_hex(arr: pa.Array | pa.ChunkedArray) -> pa.ChunkedArray:
+    if not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
+        arr = pc.cast(arr, pa.string())
+    return _run_on_column(arr, "sha256(v)")
+
+
+def md5_sample_mask(
+    arr: pa.Array | pa.ChunkedArray, seed: int, hex_thresh: str
+) -> pa.ChunkedArray:
+    """Key-hash Bernoulli mask: md5(seed:key)[:8] < hex_thresh, NULL
+    keys → False (never sampled).  Matches the SQL oracle expression
+    ``substring(md5(seed || ':' || key), 1, 8) < thresh`` exactly."""
+    if not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
+        arr = pc.cast(arr, pa.string())
+    mask = _run_on_column(
+        arr, f"substring(md5('{int(seed)}:' || v), 1, 8) < '{hex_thresh}'"
+    )
+    return pc.fill_null(mask, False)

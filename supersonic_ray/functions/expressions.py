@@ -259,6 +259,48 @@ def power(a, b, policy: str = QUIET):
     return _policy_wrap(pa.array(vals), bad, policy, "invalid power")
 
 
+def _np_unary(fn, a) -> pa.Array:
+    """numpy unary kernel over a float64 cast, preserving input nulls
+    (a bare numpy round trip would turn them into NaN values)."""
+    arr = pc.cast(a, pa.float64())
+    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+        vals = pa.array(fn(np.asarray(arr, dtype=np.float64)))
+    if arr.null_count:
+        vals = pc.if_else(pc.is_valid(arr), vals, pa.nulls(len(arr), pa.float64()))
+    return vals
+
+
+def sinh(a):
+    """Hyperbolic family (reference math_expressions.h:37-138: Sinh,
+    Cosh, Tanh and inverses); the inverse functions carry the usual
+    domain policies."""
+    return _np_unary(np.sinh, a)
+
+
+def cosh(a):
+    return _np_unary(np.cosh, a)
+
+
+def tanh(a):
+    return _np_unary(np.tanh, a)
+
+
+def asinh(a):
+    return _np_unary(np.arcsinh, a)
+
+
+def acosh(a, policy: str = NULLING):
+    vals = _np_unary(np.arccosh, a)
+    bad = pc.less(pc.cast(a, pa.float64()), 1.0)
+    return _policy_wrap(vals, bad, policy, "acosh of x < 1")
+
+
+def atanh(a, policy: str = NULLING):
+    vals = _np_unary(np.arctanh, a)
+    bad = pc.greater_equal(pc.abs(pc.cast(a, pa.float64())), 1.0)
+    return _policy_wrap(vals, bad, policy, "atanh of |x| >= 1")
+
+
 def round_(a):
     return pc.round(a, round_mode="half_towards_infinity")
 

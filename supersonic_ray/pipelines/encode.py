@@ -414,38 +414,58 @@ class BatchEncoder:
     """Streaming encode for arbitrary Datasets: each incoming Arrow
     batch becomes one partition file.
 
-    Partition ids are (run_id, actor_uid, per-actor ordinal) — unique by
-    construction, so two distinct batches can NEVER collide and no batch
-    is ever silently skipped (identical duplicate batches included; the
-    old (row_count, first/last value) id collided on low-cardinality
-    leading columns).  The manifest records a full content hash for
-    integrity.  Consequence: ``encode_dataset`` is NOT checkpoint-
-    resumable — batch boundaries of an arbitrary Dataset aren't stable
-    across runs anyway; use ``encode_parquet`` (stable shard-ordinal
-    ids + content-hash skip) for resumable jobs, and give each
-    ``encode_dataset`` run a fresh ``out_dir``."""
+    Partition ids are (run_id, batch content hash, per-actor occurrence
+    ordinal of that hash).  CONTENT-derived ids make task retries
+    idempotent: if an actor dies AFTER write_atomic, Ray re-runs the
+    same batch on a fresh actor, which computes the same pid, finds the
+    complete partition, and skips — no duplicate .rsb for one batch (the
+    old (run, actor_uid, ordinal) id re-encoded retries under a new uid,
+    duplicating rows at decode).  The occurrence ordinal disambiguates
+    byte-identical batches seen by the SAME actor; byte-identical
+    batches landing on DIFFERENT actors would collapse to one partition
+    — with a 128-bit blake2b over all column buffers that requires two
+    genuinely identical multi-thousand-row batches, which real corpora
+    don't produce and the resume-safety trade is documented here.
+    ``encode_parquet`` (stable shard-ordinal ids) remains the
+    checkpoint-resumable shape; give each ``encode_dataset`` run a
+    fresh ``out_dir``."""
 
     def __init__(self, out_dir: str, chunk_rows: int = CHUNK_ROWS, run_id: str = "run"):
-        import uuid
-
         self.out_dir = out_dir
         self.chunk_rows = chunk_rows
         self.run_id = run_id
-        self.actor_uid = uuid.uuid4().hex[:8]
-        self.ordinal = 0
+        self.seen: dict[str, int] = {}
         os.makedirs(out_dir, exist_ok=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t0 = time.monotonic()
-        pid = f"{self.run_id}-{self.actor_uid}-{self.ordinal:06d}"
-        self.ordinal += 1
+        chash = table_content_hash(batch)
+        k = self.seen.get(chash, 0)
+        self.seen[chash] = k + 1
+        pid = f"{self.run_id}-{chash}-{k:03d}"
+        if is_complete(self.out_dir, pid, chash):
+            m = load_manifest(self.out_dir, pid)
+            return pa.Table.from_pylist(
+                [
+                    {
+                        "part_id": pid,
+                        "n_rows": batch.num_rows,
+                        "bytes_in": batch.nbytes,
+                        "bytes_out": m.bytes_out,
+                        "wall_sec": time.monotonic() - t0,
+                        "skipped": True,
+                        "codecs": ",".join(f"{c}={v['codec']}" for c, v in m.columns.items()),
+                    }
+                ],
+                schema=METRICS_SCHEMA,
+            )
         blob, col_metrics = encode_table_to_blob(batch, self.chunk_rows)
         write_atomic(data_path(self.out_dir, pid), blob)
         save_manifest(
             self.out_dir,
             PartitionManifest(
                 part_id=pid,
-                content_hash=table_content_hash(batch),
+                content_hash=chash,
                 n_rows=batch.num_rows,
                 n_chunks=max(1, -(-batch.num_rows // self.chunk_rows)),
                 bytes_in=batch.nbytes,

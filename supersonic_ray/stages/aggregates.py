@@ -41,6 +41,11 @@ class AggSpec:
 
 _UDAFS: dict = {}
 
+# rows the driver may collect for inherently-holistic scalar specs
+# (CONCAT output is O(input) by definition); beyond this the call fails
+# loudly instead of OOMing the driver.
+SCALAR_COLLECT_LIMIT = 2_000_000
+
 
 def register_udaf(name: str, fn) -> None:
     """Custom aggregator plug-in (reference's expression-level
@@ -101,18 +106,41 @@ def _apply_one(g: pd.DataFrame, spec: AggSpec):
 def group_aggregate(ds, keys: list[str], specs: list[AggSpec]):
     """GroupAggregate (aggregate.h:224).
 
-    Distributive specs (sum/min/max/count without DISTINCT) pre-aggregate
-    inside map_batches (one row per key per batch — the BestEffort
-    partial step) before the shuffle; holistic specs (DISTINCT, CONCAT,
-    FIRST/LAST with order) go through groupby().map_groups directly.
-    """
+    Distributive specs (sum/min/max/count/mean without DISTINCT)
+    pre-aggregate inside map_batches (one row per key per batch — the
+    BestEffort partial step) before the shuffle.  DISTINCT counts/sums,
+    ordered FIRST/LAST and CONCAT run as DISTRIBUTED multi-stage
+    components (see _group_aggregate_mixed) — never as whole-group
+    map_groups over raw rows.  Only UDAFs (no combinability contract)
+    take the per-group holistic path."""
     specs = _resolve_udafs(specs)
-    distributive = all(
-        s.fn in ("sum", "min", "max", "count") and not s.distinct and s.udaf is None
+    from dataclasses import replace
+
+    # DISTINCT is a no-op for MIN/MAX: rewrite to the distributive form
+    specs = [
+        replace(s, distinct=False) if s.distinct and s.fn in ("min", "max") else s
         for s in specs
-    )
-    if distributive:
+    ]
+    if all(_is_distributive(s) for s in specs):
         return _group_aggregate_partial(ds, keys, specs)
+    if any(s.udaf is not None or s.fn in _UDAFS for s in specs):
+        return _group_aggregate_holistic(ds, keys, specs)
+    return _group_aggregate_mixed(ds, keys, specs)
+
+
+def _is_distributive(s: AggSpec) -> bool:
+    return (
+        s.fn in ("sum", "min", "max", "count", "mean")
+        and not s.distinct
+        and s.udaf is None
+        and s.fn not in _UDAFS
+    )
+
+
+def _group_aggregate_holistic(ds, keys: list[str], specs: list[AggSpec]):
+    """Whole-group fallback (UDAFs, null group keys): ships each group
+    to one task — bounded-cardinality keys only; every built-in spec
+    family has a distributed plan and never routes here by default."""
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         row = {k: [g[k].iloc[0]] for k in keys}
@@ -127,7 +155,7 @@ def _group_aggregate_partial(ds, keys: list[str], specs: list[AggSpec]):
     count_star = [s for s in specs if s.fn == "count" and s.column is None]
     count_cols = [s for s in specs if s.fn == "count" and s.column is not None]
 
-    sum_specs = [s for s in specs if s.fn == "sum"]
+    sum_specs = [s for s in specs if s.fn in ("sum", "mean")]
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -137,6 +165,9 @@ def _group_aggregate_partial(ds, keys: list[str], specs: list[AggSpec]):
                 continue
             elif s.fn == "count":
                 agg_map[f"__p_{s.alias}"] = (s.column, "count")
+            elif s.fn == "mean":
+                # decomposed: partial sum + non-null count, divided at the end
+                agg_map[f"__p_{s.alias}"] = (s.column, "sum")
             else:
                 agg_map[f"__p_{s.alias}"] = (s.column, s.fn)
         for s in sum_specs:
@@ -151,7 +182,8 @@ def _group_aggregate_partial(ds, keys: list[str], specs: list[AggSpec]):
             all_null = out[f"__pn_{s.alias}"] == 0
             if all_null.any():
                 out[col] = out[col].where(~all_null, np.nan)
-            out = out.drop(columns=f"__pn_{s.alias}")
+            if s.fn == "sum":  # mean keeps its count for the final divide
+                out = out.drop(columns=f"__pn_{s.alias}")
         if count_star:
             out["__p_rows"] = gb.size()
         return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
@@ -164,6 +196,7 @@ def _group_aggregate_partial(ds, keys: list[str], specs: list[AggSpec]):
 
     aggs = []
     int_counts = []
+    mean_specs = []
     for s in specs:
         p = f"__p_{s.alias}"
         if s.fn == "count" and s.column is None:
@@ -174,22 +207,223 @@ def _group_aggregate_partial(ds, keys: list[str], specs: list[AggSpec]):
             int_counts.append(s.alias)
         elif s.fn == "sum":
             aggs.append(Sum(p, alias_name=s.alias))
+        elif s.fn == "mean":
+            aggs.append(Sum(p, alias_name=s.alias))
+            aggs.append(Sum(f"__pn_{s.alias}", alias_name=f"__n_{s.alias}"))
+            mean_specs.append(s)
         elif s.fn == "min":
             aggs.append(Min(p, alias_name=s.alias))
         elif s.fn == "max":
             aggs.append(Max(p, alias_name=s.alias))
     out = partials.groupby(keys).aggregate(*aggs)
-    if int_counts:
+    if int_counts or mean_specs:
 
         def fix_counts(batch: pa.Table) -> pa.Table:
             for alias in int_counts:
                 idx = batch.column_names.index(alias)
                 col = batch.column(alias)
                 batch = batch.set_column(idx, alias, col.cast(pa.int64()))
+            for s in mean_specs:
+                idx = batch.column_names.index(s.alias)
+                n = batch.column(f"__n_{s.alias}")
+                total = pc.cast(batch.column(s.alias), pa.float64())
+                mean = pc.if_else(pc.greater(n, 0), pc.divide(total, pc.cast(n, pa.float64())), pa.nulls(batch.num_rows, pa.float64()))
+                batch = batch.set_column(idx, s.alias, mean)
+                batch = batch.drop_columns([f"__n_{s.alias}"])
             return batch
 
         out = out.map_batches(fix_counts, batch_format="pyarrow")
     return out
+
+
+def _distinct_pairs(ds, keys: list[str], col: str):
+    """Distributed distinct of (keys, col): per-batch local dedup (the
+    combiner — shrinks the shuffle to unique pairs per batch), then one
+    global groupby dedup.  NULL column values drop (DISTINCT aggregates
+    ignore them, like COUNT)."""
+
+    def local_unique(batch: pa.Table) -> pa.Table:
+        sub = batch.select(keys + [col]).filter(pc.is_valid(batch.column(col)))
+        return pa.Table.from_pandas(sub.to_pandas().drop_duplicates(), preserve_index=False)
+
+    d = ds.map_batches(local_unique, batch_format="pyarrow")
+    return d.groupby(keys + [col]).count().select_columns(keys + [col])
+
+
+def _first_last_component(ds, keys: list[str], spec: AggSpec):
+    """FIRST/LAST as distributed arg-extreme partials: each batch emits
+    ONE candidate row per key (the batch-local first/last non-null under
+    order_by); the final pick runs over partials only (#batches rows per
+    key), never whole raw groups.  Without order_by the pick is
+    arbitrary (batch order) — same nondeterminism the reference has on
+    unordered input."""
+    col, ob, want_last = spec.column, spec.order_by, spec.fn == "last"
+    cols = list(dict.fromkeys(keys + ([ob] if ob else []) + [col]))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[cols].dropna(subset=[col])
+        if spec.distinct:
+            sub = sub.drop_duplicates(subset=[col])
+        if ob:
+            sub = sub.sort_values(ob, kind="mergesort")
+        gb = sub.groupby(keys, dropna=False, sort=False)
+        return gb.tail(1) if want_last else gb.head(1)
+
+    partials = ds.map_batches(pick, batch_format="pandas")
+    out = partials.groupby(keys).map_groups(pick, batch_format="pandas")
+    alias_cols = keys + [col]
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.select(alias_cols)
+        return t.rename_columns(keys + [spec.alias])
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def _concat_component(ds, keys: list[str], spec: AggSpec):
+    """CONCAT as distributed run-partials: sort by (keys, order) so key
+    runs are contiguous and ordered across blocks, pre-concat each
+    batch-local run to ONE partial string, then merge the per-key
+    partials by their minimum order value.  Deterministic whenever
+    order_by is unique within a key (ties may merge either way — the
+    same latitude the reference has).  DISTINCT concat keeps each value
+    once, ordered by its minimal order_by."""
+    col, ob, sep = spec.column, spec.order_by, spec.separator
+    obcol = "__ord" if spec.distinct and ob else ob
+
+    pre = ds
+    if spec.distinct:
+        if ob:
+            pairs_in = ds.select_columns(list(dict.fromkeys(keys + [col, ob])))
+            pairs_in = pairs_in.map_batches(
+                lambda b: b.filter(pc.is_valid(b.column(col))), batch_format="pyarrow"
+            )
+            pre = _group_aggregate_partial(
+                pairs_in, keys + [col], [AggSpec("min", ob, "__ord")]
+            )
+        else:
+            pre = _distinct_pairs(ds, keys, col)
+    else:
+        pre = ds.select_columns(list(dict.fromkeys(keys + [col] + ([ob] if ob else []))))
+
+    if obcol:
+        pre = pre.sort(keys + [obcol])
+
+    def run_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df.dropna(subset=[col])
+        if sub.empty:
+            cols = {k: sub[k] for k in keys}
+            cols["__part"] = pd.Series([], dtype="object")
+            if obcol:
+                cols["__o"] = sub[obcol] if obcol in sub else pd.Series([], dtype="float64")
+            return pd.DataFrame(cols)
+        gb = sub.groupby(keys, dropna=False, sort=False)
+        agg = {"__part": (col, lambda s: sep.join(s.astype(str)))}
+        if obcol:
+            agg["__o"] = (obcol, "first")
+        return gb.agg(**agg).reset_index()
+
+    partials = pre.map_batches(run_partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if obcol:
+            g = g.sort_values("__o", kind="mergesort")
+        row = {k: [g[k].iloc[0]] for k in keys}
+        row[spec.alias] = [sep.join(g["__part"])]
+        return pd.DataFrame(row)
+
+    return partials.groupby(keys).map_groups(merge, batch_format="pandas")
+
+
+def _group_aggregate_mixed(ds, keys: list[str], specs: list[AggSpec]):
+    """Distributed plan for DISTINCT / FIRST / LAST / CONCAT group
+    aggregation (reference HybridGroupAggregate's column-group
+    transform, hybrid_group_utils.h:21-60, hybrid_aggregate_test.cc):
+    each holistic spec becomes its own bounded-shuffle component —
+    partial dedup for DISTINCT, arg-extreme partials for FIRST/LAST,
+    run-concat for CONCAT — and the per-key component results merge
+    back onto the distributive base via adaptive joins (broadcast under
+    the limit, hash-partitioned above).  No stage ever holds a whole
+    raw group in one task.
+
+    NULL GROUP KEYS: component merge joins can't match NULL keys, so if
+    the (small, post-aggregation) base exposes any NULL key the whole
+    query falls back to the holistic per-group path — correct, and only
+    as slow as the pre-round-3 behavior."""
+    from .joins import hash_join_auto
+
+    needed = list(keys)
+    for s in specs:
+        for c in (s.column, s.order_by):
+            if c and c not in needed:
+                needed.append(c)
+    # one materialize so N components don't re-execute the upstream
+    # lineage N times (Splitter/fanout cost model, ops.fanout)
+    src = ds.select_columns(needed).materialize()
+
+    dist_specs = [s for s in specs if _is_distributive(s)]
+    base = _group_aggregate_partial(
+        src, keys, dist_specs + [AggSpec("count", None, "__kcov")]
+    ).materialize()
+
+    null_keys = src if not keys else base
+    has_null_keys = any(
+        r["n"]
+        for r in null_keys.map_batches(
+            lambda t: pa.table({"n": [sum(t.column(k).null_count for k in keys)]}),
+            batch_format="pyarrow",
+        ).take_all()
+    )
+    if has_null_keys:
+        return _group_aggregate_holistic(src, keys, specs)
+
+    components: list[tuple[object, str, object]] = []  # (dataset, alias, fill)
+    pair_cache: dict[str, object] = {}
+    for s in specs:
+        if _is_distributive(s):
+            continue
+        if s.fn == "count" and s.distinct:
+            if s.column not in pair_cache:
+                pair_cache[s.column] = _distinct_pairs(src, keys, s.column).materialize()
+            comp = _group_aggregate_partial(
+                pair_cache[s.column], keys, [AggSpec("count", None, s.alias)]
+            )
+            components.append((comp, s.alias, 0))
+        elif s.fn in ("sum", "mean") and s.distinct:
+            if s.column not in pair_cache:
+                pair_cache[s.column] = _distinct_pairs(src, keys, s.column).materialize()
+            comp = _group_aggregate_partial(
+                pair_cache[s.column], keys, [AggSpec(s.fn, s.column, s.alias)]
+            )
+            components.append((comp, s.alias, None))
+        elif s.fn in ("first", "last"):
+            components.append((_first_last_component(src, keys, s), s.alias, None))
+        elif s.fn == "concat":
+            components.append((_concat_component(src, keys, s), s.alias, ""))
+        else:
+            raise ValueError(f"no distributed plan for aggregate {s.fn!r}")
+
+    out = base
+    for comp, alias, _fill in components:
+        out = hash_join_auto(out, comp, keys, keys, "left_outer")
+
+    fills = {alias: fill for _c, alias, fill in components if fill is not None}
+    final_cols = keys + [s.alias for s in specs]
+    int_aliases = [s.alias for s in specs if s.fn == "count"]
+
+    def finalize(t: pa.Table) -> pa.Table:
+        for alias, fill in fills.items():
+            idx = t.column_names.index(alias)
+            col = t.column(alias)
+            if col.null_count:
+                col = pc.fill_null(col, fill)
+            t = t.set_column(idx, alias, col)
+        for alias in int_aliases:
+            idx = t.column_names.index(alias)
+            t = t.set_column(idx, alias, pc.cast(t.column(alias), pa.int64()))
+        return t.select(final_cols)
+
+    return out.map_batches(finalize, batch_format="pyarrow")
 
 
 def scalar_aggregate(ds, specs: list[AggSpec]) -> pa.Table:
@@ -203,10 +437,22 @@ def scalar_aggregate(ds, specs: list[AggSpec]) -> pa.Table:
     row: dict[str, list] = {}
 
     specs = _resolve_udafs(specs)
+    from dataclasses import replace
+
+    # DISTINCT is a no-op for MIN/MAX
+    specs = [
+        replace(s, distinct=False) if s.distinct and s.fn in ("min", "max") else s
+        for s in specs
+    ]
     dist = [s for s in specs if s.fn in ("sum", "min", "max", "count", "mean") and not s.distinct and s.udaf is None]
     distinct_counts = [s for s in specs if s.fn == "count" and s.distinct]
+    distinct_sums = [s for s in specs if s.fn in ("sum", "mean") and s.distinct and s.udaf is None]
     ordered_fl = [s for s in specs if s.fn in ("first", "last") and s.order_by and not s.distinct]
-    holistic = [s for s in specs if s not in dist and s not in distinct_counts and s not in ordered_fl]
+    holistic = [
+        s
+        for s in specs
+        if s not in dist and s not in distinct_counts and s not in distinct_sums and s not in ordered_fl
+    ]
 
     if dist:
         def partial(batch: pa.Table) -> pa.Table:
@@ -258,6 +504,28 @@ def scalar_aggregate(ds, specs: list[AggSpec]) -> pa.Table:
         # global distinct via one groupby on the value; count = n groups
         row[s.alias] = [int(deduped.groupby(s.column).count().count())]
 
+    for s in distinct_sums:
+        # distributed distinct of the value column (local unique per
+        # batch → one global groupby), then a tiny scalar combine
+        def local_unique(batch: pa.Table, col=s.column) -> pa.Table:
+            vals = pc.drop_null(batch.column(col).combine_chunks())
+            return pa.table({col: pc.unique(vals)})
+
+        uniq = ds.select_columns([s.column]).map_batches(local_unique, batch_format="pyarrow")
+        uniq = uniq.groupby(s.column).count().select_columns([s.column])
+        vals = uniq.map_batches(
+            lambda b, col=s.column: pa.table(
+                {"s": [pc.sum(b.column(col)).as_py()], "n": [b.num_rows]}
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        total = vals["s"].sum() if vals["s"].notna().any() else None
+        n = int(vals["n"].sum()) if len(vals) else 0
+        if s.fn == "sum":
+            row[s.alias] = [total]
+        else:
+            row[s.alias] = [total / n if n and total is not None else None]
+
     for s in ordered_fl:
         filtered = ds.map_batches(
             lambda b, col=s.column: b.filter(pc.is_valid(b.column(col))), batch_format="pyarrow"
@@ -266,9 +534,16 @@ def scalar_aggregate(ds, specs: list[AggSpec]) -> pa.Table:
         row[s.alias] = [one[0][s.column] if one else None]
 
     if holistic:
-        # CONCAT / DISTINCT-sum &c: output or state is O(distinct input)
-        # — driver collect, only safe on bounded inputs by construction.
-        df = ds.to_pandas()
+        # CONCAT / unordered FIRST-LAST / UDAF: output or state is
+        # O(input) — driver collect, GUARDED by a counted limit so an
+        # unbounded input fails loudly instead of OOMing the driver.
+        df = ds.limit(SCALAR_COLLECT_LIMIT + 1).to_pandas()
+        if len(df) > SCALAR_COLLECT_LIMIT:
+            raise ValueError(
+                f"scalar_aggregate holistic specs ({[s.fn for s in holistic]}) require "
+                f"collecting rows on the driver; input exceeds SCALAR_COLLECT_LIMIT="
+                f"{SCALAR_COLLECT_LIMIT} rows — pre-aggregate or raise the limit explicitly"
+            )
         for s in holistic:
             row[s.alias] = [_apply_one(df, s)] if len(df) or s.fn == "count" else [None]
             if s.fn == "count" and not len(df):
@@ -340,8 +615,14 @@ def aggregate_clusters(ds, keys: list[str], specs: list[AggSpec]):
 
 def group_aggregate_with_limit(ds, keys: list[str], specs: list[AggSpec], max_unique_keys: int):
     """BoundGroupAggregateWithLimit (aggregate.h:266-277): first K
-    distinct keys (key order) aggregated individually, the rest collapse
-    into one overflow row with key=NULL.
+    distinct keys aggregated individually, the rest collapse into one
+    overflow row with key=NULL.
+
+    DELIBERATE semantics delta vs the reference: the reference keeps the
+    first K keys in ARRIVAL order — meaningless under a parallel streaming
+    executor where block arrival is nondeterministic — so this engine
+    keeps the K SMALLEST keys (sort order), which is deterministic,
+    partition-invariant, and SQL-oracle-checkable.
 
     Distributed: full group_aggregate → distributed sort+limit(K) for
     the head (K is small by contract, driver-safe), and the overflow is
@@ -365,7 +646,14 @@ def group_aggregate_with_limit(ds, keys: list[str], specs: list[AggSpec], max_un
     if int(over["__n_groups"].iloc[0]) > 0:
         over = over.drop(columns="__n_groups")
         for k in keys:
-            over[k] = pd.Series([None], dtype=head_pd[k].dtype if head_pd[k].dtype != "int64" else "float64")
+            # keep integer keys integer-typed with a TRUE null (pandas
+            # nullable Int64) instead of coercing the whole column to
+            # float64 — preserves dtype and >2^53 key precision
+            if pd.api.types.is_integer_dtype(head_pd[k].dtype):
+                head_pd[k] = head_pd[k].astype("Int64")
+                over[k] = pd.Series([pd.NA], dtype="Int64")
+            else:
+                over[k] = pd.Series([None], dtype=head_pd[k].dtype)
         for s in specs:
             if s.fn == "count":
                 over[s.alias] = over[s.alias].astype("int64")

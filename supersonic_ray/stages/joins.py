@@ -41,33 +41,63 @@ def _maybe_get(ref):
 
 
 class _BroadcastJoiner:
-    """Probe-side actor: RHS fetched from plasma and indexed ONCE per
-    actor (__init__); per batch only the probe runs.  pandas caches the
-    index hash engine, so repeated joins reuse the built hash table."""
+    """Probe-side actor: RHS fetched from plasma and prepared ONCE per
+    actor (__init__); per batch an Arrow-native (Acero) hash join runs —
+    the probe batch never round-trips through pandas (zero-copy in the
+    hottest q3/q5 path)."""
 
     def __init__(self, right_ref, left_keys, right_keys, join_type, suffix):
+        if join_type not in (INNER, LEFT_OUTER):
+            raise ValueError(
+                f"broadcast_hash_join supports inner/left_outer only, got {join_type!r}; "
+                "use partitioned_hash_join (or hash_join_auto, which routes there)"
+            )
         right: pa.Table = _maybe_get(right_ref)
-        rdf = right.to_pandas()
         # NULL keys never match (hash_join.cc:63-66): drop from build side.
-        rdf = rdf.dropna(subset=right_keys)
-        # keep right key columns as data unless they'd collide with the
-        # left key name (pandas merge semantics: one shared key column)
-        drop_cols = [rk for rk, lk in zip(right_keys, left_keys) if rk == lk]
-        self.rdf = rdf.set_index(right_keys, drop=False).drop(columns=drop_cols)
-        # force the index hash engine to build now, not on first probe
-        self.rdf.index.is_unique
+        if right.num_rows:
+            mask = None
+            for rk in right_keys:
+                v = pc.is_valid(right.column(rk))
+                mask = v if mask is None else pc.and_(mask, v)
+            right = right.filter(mask)
+        # Acero drops right key columns from the output; keep a copy as
+        # data (pandas-path parity) unless the name collides with the
+        # left key name
+        self._copy_back: list[str] = []
+        for rk, lk in zip(right_keys, left_keys):
+            if rk != lk:
+                right = right.append_column("__rk_" + rk, right.column(rk))
+                self._copy_back.append(rk)
+        self.right = right.combine_chunks()
         self.left_keys = left_keys
+        self.right_keys = right_keys
         self.join_type = join_type
         self.suffix = suffix
+        self._casted = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ldf = batch.to_pandas()
-        if self.join_type == INNER:
-            ldf = ldf.dropna(subset=self.left_keys)
-        how = "inner" if self.join_type == INNER else "left"
-        on = self.left_keys if len(self.left_keys) > 1 else self.left_keys[0]
-        merged = ldf.join(self.rdf, on=on, how=how, rsuffix=self.suffix)
-        return pa.Table.from_pandas(merged, preserve_index=False)
+        if not self._casted:
+            # Acero requires exactly matching key types; align the build
+            # side to the probe schema once
+            for lk, rk in zip(self.left_keys, self.right_keys):
+                lt = batch.schema.field(lk).type
+                if self.right.schema.field(rk).type != lt:
+                    i = self.right.column_names.index(rk)
+                    self.right = self.right.set_column(i, rk, self.right.column(rk).cast(lt))
+            self._casted = True
+        jt = "inner" if self.join_type == INNER else "left outer"
+        out = batch.join(
+            self.right,
+            keys=self.left_keys,
+            right_keys=self.right_keys,
+            join_type=jt,
+            right_suffix=self.suffix,
+        )
+        if self._copy_back:
+            out = out.rename_columns(
+                [c[len("__rk_"):] if c.startswith("__rk_") else c for c in out.column_names]
+            )
+        return out
 
 
 def broadcast_hash_join(
@@ -79,11 +109,18 @@ def broadcast_hash_join(
     suffix: str = "_r",
     concurrency=None,
 ):
-    """Small RHS ray.put once; actor pool probes it (index built once
-    per actor, never per batch).  Multi-column keys supported; NULL keys
-    never match on either side; duplicate RHS keys replicate."""
+    """Small RHS ray.put once; actor pool probes it (Acero hash join,
+    build side prepared once per actor, never per batch).  Multi-column
+    keys supported; NULL keys never match on either side; duplicate RHS
+    keys replicate.  inner/left_outer only — raises at BIND time for
+    right/full outer (those need unmatched build rows emitted; use
+    partitioned_hash_join or hash_join_auto)."""
     import ray
 
+    if join_type not in (INNER, LEFT_OUTER):
+        raise ValueError(
+            f"broadcast_hash_join supports inner/left_outer only, got {join_type!r}"
+        )
     right_ref = ray.put(right_table)
     return ds_left.map_batches(
         _BroadcastJoiner,
@@ -151,7 +188,11 @@ def hash_join_auto(
 ):
     """Joins where the right side is usually-but-not-provably small:
     materialize it, count from block metadata, then broadcast-join under
-    the limit or hash-partition both sides above it."""
+    the limit or hash-partition both sides above it.  Join types the
+    broadcast probe can't express (right/full outer need unmatched BUILD
+    rows emitted) always take the partitioned path."""
+    if join_type not in (INNER, LEFT_OUTER):
+        return partitioned_hash_join(ds_left, ds_right, left_keys, right_keys, join_type, num_partitions)
     right_m = ds_right.materialize()
     if right_m.count() <= broadcast_limit:
         return broadcast_hash_join(ds_left, _collect_small(right_m), left_keys, right_keys, join_type)
@@ -178,9 +219,9 @@ def semi_join_auto(
             tbl = tbl.select(right_keys)
         fn = anti_join if anti else semi_join
         return fn(ds_left, tbl, left_keys)
-    if anti:
-        # distributed distinct first: left_anti must not see dup keys blow up
-        keys_m = keys_m.groupby(right_keys[0]).count().select_columns(right_keys)
+    # left_semi/left_anti output is insensitive to duplicate build-side
+    # keys, so no distinct pass is needed (a per-partition dedup happens
+    # inside the join's build anyway)
     return partitioned_semi_join(ds_left, keys_m, left_keys, right_keys, anti=anti, num_partitions=num_partitions)
 
 
@@ -226,6 +267,31 @@ def _key_set(key_values: pa.Table | pa.Array, left_keys: list[str]) -> pa.Array:
     return pc.drop_null(arr)
 
 
+class _MembershipFilter:
+    """Actor-pool membership probe: the key hash set is built ONCE per
+    actor in __init__ (pandas Index hash engine), then every batch is a
+    plain lookup — not a per-batch value-set rebuild like pc.is_in."""
+
+    def __init__(self, key_ref, left_keys, multi, keep_members):
+        import numpy as np
+
+        keys: pa.Array = _maybe_get(key_ref)  # nulls already dropped
+        self.idx = pd.Index(keys.to_numpy(zero_copy_only=False)).unique()
+        if len(self.idx):
+            self.idx.get_indexer(self.idx[:1])  # force hash engine build now
+        self.left_keys = left_keys
+        self.multi = multi
+        self.keep_members = keep_members
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        probe = _combined_key(batch, self.left_keys) if self.multi else batch.column(self.left_keys[0])
+        vals = probe.to_numpy(zero_copy_only=False)
+        member = self.idx.get_indexer(vals) >= 0
+        # NULL probe keys never match (semi drops them, anti keeps them)
+        mask = member if self.keep_members else ~member
+        return batch.filter(pa.array(mask))
+
+
 def _membership_filter(ds_left, key_values, left_keys: list[str], keep_members: bool):
     import ray
 
@@ -238,16 +304,17 @@ def _membership_filter(ds_left, key_values, left_keys: list[str], keep_members: 
             raise ValueError("multi-key semi/anti join needs a multi-column key_values table")
     ref = ray.put(key_arr)
 
-    def fn(batch: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        probe = _combined_key(batch, left_keys) if multi else batch.column(left_keys[0])
-        mask = pc.is_in(probe, value_set=keys)
-        mask = pc.fill_null(mask, False)
-        if not keep_members:
-            mask = pc.invert(mask)
-        return batch.filter(mask)
-
-    return ds_left.map_batches(fn, batch_format="pyarrow")
+    return ds_left.map_batches(
+        _MembershipFilter,
+        fn_constructor_kwargs={
+            "key_ref": ref,
+            "left_keys": left_keys,
+            "multi": multi,
+            "keep_members": keep_members,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, _pool_size()),
+    )
 
 
 def semi_join(ds_left, key_values: pa.Table | pa.Array, left_keys: list[str]):
@@ -337,6 +404,110 @@ def asof_join(
     )
 
 
+def _ord_i64(s: pd.Series):
+    """Normalize an as-of ordinate column to comparable int64 (datetimes
+    → epoch ns regardless of source unit/date type; ints pass through)."""
+    import numpy as np
+
+    if s.dtype == object or str(s.dtype).startswith("datetime64"):
+        return pd.to_datetime(s).astype("datetime64[ns]").astype("int64").to_numpy()
+    return s.astype("int64").to_numpy()
+
+
+def asof_join_partitioned(
+    ds_left,
+    ds_right,
+    left_by: str,
+    right_by: str,
+    left_on: str,
+    right_on: str,
+    payload_cols: list[str],
+):
+    """Hash-partitioned as-of join — the scale path when the right side
+    outgrows the broadcast limit: both sides tag + union on a shared
+    schema, groupby the key co-locates each key's rows, and a per-key
+    sorted searchsorted merge runs in that key's task.  PARTITIONING
+    ASSUMPTION (documented per the custom-operator contract): one key's
+    combined rows must fit a single task — keys are users/instruments
+    with bounded history, not a global sequence."""
+    import numpy as np
+
+    left_schema = ds_left.schema()
+    left_cols = list(left_schema.names)
+    out_cols = left_cols + payload_cols
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__k"] = df[left_by]
+        df["__ord"] = _ord_i64(df[left_on])
+        df["__side"] = np.int8(1)
+        for c in payload_cols:
+            df[c] = pd.Series([None] * len(df), dtype="object")
+        return df
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame()
+        out["__k"] = df[right_by]
+        out["__ord"] = _ord_i64(df[right_on])
+        out["__side"] = np.int8(0)
+        for c in payload_cols:
+            out[c] = df[c].astype("object")
+        for c in left_cols:
+            if c not in out.columns:
+                out[c] = pd.Series([None] * len(df), dtype="object")
+        return out
+
+    tl = ds_left.map_batches(tag_left, batch_format="pandas")
+    tr = ds_right.map_batches(tag_right, batch_format="pandas")
+    both = tl.union(tr)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        r = g[g["__side"] == 0].sort_values("__ord", kind="mergesort")
+        l = g[g["__side"] == 1]
+        base = l.head(0)[out_cols]
+        if r.empty or l.empty:
+            return base
+        idx = np.searchsorted(r["__ord"].to_numpy(), l["__ord"].to_numpy(), side="right") - 1
+        keep = idx >= 0
+        if not keep.any():
+            return base
+        part = l[keep].copy()
+        for c in payload_cols:
+            part[c] = r[c].to_numpy()[idx[keep]]
+        return part[out_cols]
+
+    return both.groupby("__k").map_groups(per_key, batch_format="pandas")
+
+
+def asof_join_auto(
+    ds_left,
+    ds_right,
+    left_by: str,
+    right_by: str,
+    left_on: str,
+    right_on: str,
+    payload_cols: list[str],
+    broadcast_limit: int = BROADCAST_LIMIT_ROWS,
+):
+    """Adaptive as-of planning, mirroring hash_join_auto: broadcast the
+    right side while it fits in plasma (zero shuffle of the probe side),
+    hash-partition both sides beyond the limit instead of OOMing."""
+    right_m = ds_right.materialize()
+    if right_m.count() <= broadcast_limit:
+        return asof_join(
+            ds_left,
+            _collect_small(right_m),
+            left_by=left_by,
+            right_by=right_by,
+            left_on=left_on,
+            right_on=right_on,
+            payload_cols=payload_cols,
+        )
+    return asof_join_partitioned(
+        ds_left, right_m, left_by, right_by, left_on, right_on, payload_cols
+    )
+
+
 def range_join(
     ds_left,
     intervals: pa.Table,
@@ -369,7 +540,9 @@ def range_join(
     def fn(batch: pa.Table) -> pa.Table:
         blo, bhi, pay = ray.get(ref)
         vals_arr = batch.column(value_col)
-        vals = np.asarray(pc.fill_null(vals_arr, np.nan).cast(pa.float64()))
+        # cast FIRST, then fill: filling an int column with NaN raises
+        # (the fill scalar is cast to the column type before the cast)
+        vals = np.asarray(pc.fill_null(pc.cast(vals_arr, pa.float64()), np.nan))
         idx = np.searchsorted(blo, vals, side="right") - 1
         idx_c = np.clip(idx, 0, len(blo) - 1)
         member = (idx >= 0) & (vals < bhi[idx_c]) & ~np.isnan(vals)

@@ -36,6 +36,47 @@ def validate_schema(ds, expected: pa.Schema, strict_nullability: bool = False):
     return ds
 
 
+def dictionary_encode_columns(ds, cols: list[str]):
+    """ENUM support (reference EnumDefinition, tuple_schema.h:42-75,
+    types.h:158-171 → pa.dictionary per SURVEY §1.4): dictionary-encode
+    low-cardinality columns per batch.  Per-batch kernels (compute,
+    filter), broadcast joins and the RSB codec layer all consume the
+    dictionary type directly; shuffle stages decode at the boundary
+    (see decode_dictionary_columns)."""
+
+    def enc(t: pa.Table) -> pa.Table:
+        for n in cols:
+            i = t.column_names.index(n)
+            col = t.column(n)
+            if not pa.types.is_dictionary(col.type):
+                t = t.set_column(i, n, pc.dictionary_encode(col.combine_chunks()))
+        return t
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def decode_dictionary_columns(ds):
+    """Ray Data's all-to-all exchanges (sort / groupby hash partition /
+    Dataset.join) reject dictionary-typed columns, so dictionary is a
+    STORAGE + compute-local layout here: shuffle entry points call this
+    to decode ENUM columns to their value type.  No-op (no extra stage)
+    when the schema has no dictionary column."""
+    schema = ds.schema()
+    dict_cols = [n for n, t in zip(schema.names, schema.types) if pa.types.is_dictionary(t)]
+    if not dict_cols:
+        return ds
+
+    def dec(t: pa.Table) -> pa.Table:
+        for n in dict_cols:
+            i = t.column_names.index(n)
+            f = t.schema.field(n)
+            if pa.types.is_dictionary(f.type):
+                t = t.set_column(i, n, pc.cast(t.column(n), f.type.value_type))
+        return t
+
+    return ds.map_batches(dec, batch_format="pyarrow")
+
+
 def compute(ds, exprs: dict[str, Callable[[pa.Table], pa.Array]], keep_input: bool = True):
     """Compute(expr, child) (cursor/core/compute.h:32-40): evaluate named
     expressions per batch; output schema = input (+/-) computed columns."""
@@ -212,18 +253,13 @@ def hash_sample(ds, key_col: str, p: float, seed: int = 0, hasher: str = "sip"):
     equals the numeric compare for fixed-width lowercase hex)."""
     threshold = int(p * (1 << 32))
     if hasher == "md5":
-        import hashlib
-
         hex_thresh = format(threshold, "08x")
 
         def fn(batch: pa.Table) -> pa.Table:
-            keys = pc.cast(batch.column(key_col), pa.string()).to_pylist()
-            mask = [
-                k is not None
-                and hashlib.md5(f"{seed}:{k}".encode()).hexdigest()[:8] < hex_thresh
-                for k in keys
-            ]
-            return batch.filter(pa.array(mask))
+            from supersonic_ray.functions.dhash import md5_sample_mask
+
+            # batch md5 kernel (DuckDB C++), not a per-row hashlib loop
+            return batch.filter(md5_sample_mask(batch.column(key_col), seed, hex_thresh))
 
         return ds.map_batches(fn, batch_format="pyarrow")
 

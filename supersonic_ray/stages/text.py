@@ -159,16 +159,15 @@ def bpe_token_count(ds, text_col: str = "text", alias: str = "n_bpe_tokens"):
 
 
 def md5_fingerprint(ds, col: str, alias: str = "fingerprint"):
-    """Content fingerprint (md5 hex — SQL-oracle verifiable)."""
+    """Content fingerprint (md5 hex — SQL-oracle verifiable).  Batch
+    kernel: DuckDB's C++ md5 over the zero-copy Arrow column (NULL →
+    NULL), not a per-row hashlib loop."""
+    from supersonic_ray.functions.dhash import md5_hex
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df[alias] = df[col].map(
-            lambda v: hashlib.md5(str(v).encode()).hexdigest() if v is not None else None
-        )
-        return df
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(alias, md5_hex(batch.column(col)))
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def rolling_fingerprint(ds, col: str, window: int = 16, alias: str = "rfp"):
@@ -216,22 +215,25 @@ def exact_dedup(ds, content_col: str, id_col: str):
     from .joins import semi_join_auto
     from .ops import fanout
 
-    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__h"] = df[content_col].map(
-            lambda v: hashlib.sha1(str(v).encode()).hexdigest() if v is not None else ""
-        )
-        return df
+    from supersonic_ray.functions.dhash import md5_hex
 
-    hashed = fanout(ds.map_batches(add_hash, batch_format="pandas"), n_consumers=2)
+    def add_hash(batch: pa.Table) -> pa.Table:
+        # batch md5 kernel (128-bit — collision-safe at 10^12 docs,
+        # unlike a 64-bit sip), nulls canonicalized to "" like the
+        # reference's NULL-vs-empty disambiguation upstream
+        vals = pc.fill_null(pc.cast(batch.column(content_col), pa.string()), "")
+        return batch.append_column("__h", md5_hex(vals))
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({id_col: [g[id_col].min()]})
+    hashed = fanout(ds.map_batches(add_hash, batch_format="pyarrow"), n_consumers=2)
 
-    winners = hashed.select_columns(["__h", id_col]).groupby("__h").map_groups(
-        keep_min, batch_format="pandas"
+    # vectorized min-by-key winner pick: partial (per-batch) min inside
+    # map_batches, then a tiny final groupby — no per-group Python tasks
+    from .aggregates import AggSpec, group_aggregate
+
+    winners = group_aggregate(
+        hashed.select_columns(["__h", id_col]), ["__h"], [AggSpec("min", id_col, id_col)]
     )
-    kept = semi_join_auto(hashed, winners, [id_col], [id_col])
+    kept = semi_join_auto(hashed, winners.select_columns([id_col]), [id_col], [id_col])
     return kept.drop_columns(["__h"])
 
 

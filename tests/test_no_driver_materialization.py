@@ -17,8 +17,8 @@ LIB = Path(__file__).resolve().parent.parent / "supersonic_ray"
 
 # file → audited number of driver/worker collect call sites
 AUDITED = {
-    "stages/aggregates.py": 8,  # per-batch worker conversions (3), 1-row/batch partial collect, limit(1) take_all, holistic CONCAT fallback (documented), limit(K) head, 1-row overflow
-    "stages/joins.py": 5,  # broadcast RHS index builds (hash + asof, once/actor), per-batch probe conversions (x2), rowid gather
+    "stages/aggregates.py": 11,  # per-batch worker conversions (4: partial x2, distinct-pair dedup, mixed null-key probe take_all), 1-row/batch partial collect, distinct-sum 1-row/block combine, limit(1) take_all, GUARDED limit(SCALAR_COLLECT_LIMIT) holistic fallback, limit(K) head, 1-row overflow
+    "stages/joins.py": 3,  # asof broadcast RHS build (once/actor) + asof per-batch probe conversion, rowid gather (hash-join probe is Arrow-native now)
     "stages/skew.py": 1,  # sampled hot-key histogram (bounded by sample)
     "stages/vectors.py": 2,  # IVF training sample (limit N), dim probe take(1)
     "stages/text.py": 0,

@@ -1,0 +1,299 @@
+"""Round-3 regression tests: distributed holistic aggregation plans,
+Arrow-native broadcast join, adaptive as-of fallback, join-type routing,
+vectorized hash kernels, encoder retry idempotency."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+# ------------------------------------------------------------ aggregation
+
+
+def test_group_distinct_is_distributed(ray_session):
+    """DISTINCT counts run through the partial-dedup plan — results match
+    a pandas reference, with duplicate and NULL values in play."""
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 5000),
+            "v": rng.randint(0, 40, 5000).astype(float),
+            "w": rng.randint(0, 9, 5000),
+        }
+    )
+    df.loc[df.index % 11 == 0, "v"] = np.nan
+    ds = _rd().from_pandas(df).repartition(8)
+    out = (
+        group_aggregate(
+            ds,
+            ["k"],
+            [
+                AggSpec("count", "v", "nv", distinct=True),
+                AggSpec("count", "w", "nw", distinct=True),
+                AggSpec("sum", "w", "sw"),
+                AggSpec("count", None, "n"),
+            ],
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("k")
+        .agg(
+            nv=("v", "nunique"),
+            nw=("w", "nunique"),
+            sw=("w", "sum"),
+            n=("k", "size"),
+        )
+        .reset_index()
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_group_first_last_concat_distributed(ray_session):
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
+
+    rng = np.random.RandomState(3)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 7, n),
+            "o": rng.permutation(n),
+            "v": rng.randint(100, 999, n).astype(float),
+            "s": [f"x{i%13}" for i in range(n)],
+        }
+    )
+    df.loc[df.index % 17 == 0, "v"] = np.nan
+    ds = _rd().from_pandas(df).repartition(6)
+    out = (
+        group_aggregate(
+            ds,
+            ["k"],
+            [
+                AggSpec("first", "v", "fv", order_by="o"),
+                AggSpec("last", "v", "lv", order_by="o"),
+                AggSpec("concat", "s", "cs", order_by="o"),
+                AggSpec("sum", "v", "sv"),
+            ],
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+
+    def ref(g):
+        g = g.sort_values("o")
+        nn = g["v"].dropna()
+        return pd.Series(
+            {
+                "fv": nn.iloc[0] if len(nn) else None,
+                "lv": nn.iloc[-1] if len(nn) else None,
+                "cs": ",".join(g["s"].dropna()),
+                "sv": g["v"].sum(),
+            }
+        )
+
+    want = df.groupby("k").apply(ref, include_groups=False).reset_index()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_group_mean_distributed(ray_session):
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
+
+    df = pd.DataFrame({"k": [1, 1, 2, 2, 3], "v": [1.0, 3.0, None, None, 5.0]})
+    ds = _rd().from_pandas(df).repartition(3)
+    out = (
+        group_aggregate(ds, ["k"], [AggSpec("mean", "v", "m")])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["m"].tolist()[0] == 2.0
+    assert pd.isna(out["m"].tolist()[1])
+    assert out["m"].tolist()[2] == 5.0
+
+
+def test_group_null_keys_fall_back_holistic(ray_session):
+    """NULL group keys can't merge through joins — the mixed plan must
+    detect them and still return correct per-group results."""
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
+
+    df = pd.DataFrame(
+        {"k": [1.0, 1.0, None, None, 2.0], "v": [1, 1, 2, 3, 9]}
+    )
+    ds = _rd().from_pandas(df).repartition(2)
+    out = (
+        group_aggregate(ds, ["k"], [AggSpec("count", "v", "nv", distinct=True)])
+        .to_pandas()
+        .sort_values("k", na_position="last")
+        .reset_index(drop=True)
+    )
+    assert out["nv"].tolist() == [1, 1, 2]
+
+
+def test_group_with_limit_keeps_int_key_dtype(ray_session):
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate_with_limit
+
+    df = pd.DataFrame({"k": list(range(10)) * 3, "v": range(30)})
+    ds = _rd().from_pandas(df)
+    out = group_aggregate_with_limit(
+        ds, ["k"], [AggSpec("count", None, "n")], max_unique_keys=4
+    ).to_pandas()
+    assert str(out["k"].dtype) == "Int64"  # integer-typed with a true null
+    assert out["k"].isna().sum() == 1
+    assert out["n"].sum() == 30
+
+
+def test_scalar_distinct_sum_and_guard(ray_session):
+    from supersonic_ray.stages.aggregates import AggSpec, scalar_aggregate
+
+    df = pd.DataFrame({"v": [1.0, 1.0, 2.0, 2.0, 3.0, None]})
+    ds = _rd().from_pandas(df).repartition(3)
+    t = scalar_aggregate(
+        ds,
+        [
+            AggSpec("sum", "v", "sd", distinct=True),
+            AggSpec("mean", "v", "md", distinct=True),
+        ],
+    ).to_pandas()
+    assert t["sd"].iloc[0] == 6.0
+    assert t["md"].iloc[0] == 2.0
+
+
+# ------------------------------------------------------------------ joins
+
+
+def test_broadcast_join_rejects_outer_types(ray_session):
+    from supersonic_ray.stages.joins import broadcast_hash_join
+
+    ds = _rd().from_pandas(pd.DataFrame({"a": [1, 2]}))
+    right = pa.table({"b": [1], "x": ["p"]})
+    with pytest.raises(ValueError):
+        broadcast_hash_join(ds, right, ["a"], ["b"], "full_outer")
+
+
+def test_hash_join_auto_routes_outer_to_partitioned(ray_session):
+    """right_outer under the broadcast limit must NOT silently degrade
+    to a left join (ADVICE r2 #1)."""
+    from supersonic_ray.stages.joins import hash_join_auto
+
+    left = _rd().from_pandas(pd.DataFrame({"a": [1, 2], "la": ["x", "y"]}))
+    right = _rd().from_pandas(pd.DataFrame({"b": [2, 3], "rb": ["p", "q"]}))
+    out = hash_join_auto(left, right, ["a"], ["b"], "right_outer").to_pandas()
+    # every right row appears, including unmatched b=3
+    assert len(out) == 2
+    assert set(out["rb"]) == {"p", "q"}
+
+
+def test_semi_join_auto_multikey_partitioned(ray_session):
+    """Multi-column anti join above the broadcast limit (ADVICE r2 #4)."""
+    from supersonic_ray.stages.joins import semi_join_auto
+
+    left = _rd().from_pandas(
+        pd.DataFrame({"a": [1, 1, 2, 2], "b": [1, 2, 1, 2], "v": list("wxyz")})
+    )
+    keys = _rd().from_pandas(pd.DataFrame({"a": [1, 2, 1], "b": [1, 2, 1]}))
+    out = semi_join_auto(
+        left, keys, ["a", "b"], ["a", "b"], anti=True, broadcast_limit=0
+    ).to_pandas()
+    assert sorted(out["v"]) == ["x", "y"]
+
+
+def test_range_join_integer_values(ray_session):
+    """Integer value column must not crash on the NaN fill (ADVICE r2 #3)."""
+    from supersonic_ray.stages.joins import range_join
+
+    ds = _rd().from_pandas(pd.DataFrame({"v": [5, 15, 25, 99]}))
+    bands = pa.table({"lo": [0.0, 10.0, 20.0], "hi": [10.0, 20.0, 30.0], "t": ["a", "b", "c"]})
+    out = range_join(ds, bands, "v").to_pandas().sort_values("v")
+    assert out["t"].tolist() == ["a", "b", "c"]
+
+
+def test_asof_join_auto_partitioned_matches_broadcast(ray_session):
+    from supersonic_ray.stages.joins import asof_join, asof_join_auto
+
+    rng = np.random.RandomState(11)
+    left = pd.DataFrame(
+        {"k": rng.randint(0, 6, 400), "t": rng.randint(0, 1000, 400), "lid": range(400)}
+    )
+    right = pd.DataFrame(
+        {"k": list(range(6)) * 20, "rt": rng.choice(1000, 120, replace=False), "pay": range(120)}
+    )
+    bc = asof_join(
+        _rd().from_pandas(left).repartition(4),
+        pa.Table.from_pandas(right),
+        left_by="k",
+        right_by="k",
+        left_on="t",
+        right_on="rt",
+        payload_cols=["pay"],
+    ).to_pandas()
+    pt = asof_join_auto(
+        _rd().from_pandas(left).repartition(4),
+        _rd().from_pandas(right).repartition(3),
+        left_by="k",
+        right_by="k",
+        left_on="t",
+        right_on="rt",
+        payload_cols=["pay"],
+        broadcast_limit=0,  # force the partitioned path
+    ).to_pandas()
+    a = bc.sort_values("lid").reset_index(drop=True)[["lid", "pay"]].astype("int64")
+    b = pt.sort_values("lid").reset_index(drop=True)[["lid", "pay"]].astype("int64")
+    pd.testing.assert_frame_equal(a, b)
+
+
+# ------------------------------------------------------------------ hashing
+
+
+def test_duckdb_md5_matches_hashlib(ray_session):
+    import hashlib
+
+    from supersonic_ray.functions.dhash import md5_hex
+
+    vals = ["", "abc", None, "héllo wörld", "x" * 5000]
+    out = md5_hex(pa.array(vals)).to_pylist()
+    for v, h in zip(vals, out):
+        if v is None:
+            assert h is None
+        else:
+            assert h == hashlib.md5(v.encode()).hexdigest()
+
+
+# ------------------------------------------------------------------ encode
+
+
+def test_batch_encoder_retry_is_idempotent(tmp_path):
+    """Re-running the same batch through a fresh encoder actor (what a
+    Ray task retry does) must not leave two partitions (ADVICE r2 #2)."""
+    import os
+
+    from supersonic_ray.pipelines.encode import BatchEncoder, decode_blob
+
+    t = pa.table({"a": list(range(100)), "b": [f"s{i}" for i in range(100)]})
+    e1 = BatchEncoder(str(tmp_path), run_id="r")
+    e1(t)
+    # simulated retry on a new actor
+    e2 = BatchEncoder(str(tmp_path), run_id="r")
+    m = e2(t)
+    assert m.column("skipped").to_pylist() == [True]
+    rsb = [f for f in os.listdir(tmp_path) if f.endswith(".rsb")]
+    assert len(rsb) == 1
+    with open(tmp_path / rsb[0], "rb") as f:
+        assert decode_blob(f.read()).equals(t)
+    # a genuinely identical second batch through the SAME actor stays distinct
+    m2 = e2(t)
+    assert m2.column("skipped").to_pylist() == [False]
+    assert len([f for f in os.listdir(tmp_path) if f.endswith(".rsb")]) == 2
