@@ -88,6 +88,10 @@ def resolve_column_plans(
     sample = table.slice(0, min(table.num_rows, CHUNK_ROWS))
     for name in table.column_names:
         col = sample.column(name).combine_chunks()
+        if pa.types.is_dictionary(col.type):
+            # ENUM columns: plan/train on the value type (encode_array
+            # casts the same way; decode restores the dictionary type)
+            col = col.cast(col.type.value_type)
         if overrides and name in overrides:
             codec_name, backend = overrides[name]
         else:
@@ -404,6 +408,13 @@ def table_content_hash(batch: pa.Table) -> str:
     h.update(struct.pack("<q", batch.num_rows))
     for col in batch.columns:
         for chunk in col.chunks:
+            if pa.types.is_dictionary(chunk.type):
+                # buffers() covers only the indices; fold the dictionary
+                # values in too so equal indices over different dicts
+                # can't collide
+                for buf in chunk.dictionary.buffers():
+                    if buf is not None:
+                        h.update(buf)
             for buf in chunk.buffers():
                 if buf is not None:
                     h.update(buf)

@@ -25,8 +25,20 @@ Plan document::
       {"op": "group_aggregate", "keys": [...],
        "aggs": [{"fn": "sum", "column": "x", "alias": "s"}, ...]},
       {"op": "sort", "keys": [...], "descending": [...]},
-      {"op": "limit", "n": 10, "offset": 0}
+      {"op": "limit", "n": 10, "offset": 0},
+      {"op": "top_k", "keys": [...], "k": 10, "descending": [...]},
+      {"op": "dedup", "keys": [...], "order_by": "c"},
+      {"op": "join", "left_keys": [...], "right_keys": [...],
+       "join_type": "inner", "right": [<steps of the build side>]},
+      {"op": "semi_join" | "anti_join", "left_keys": [...],
+       "right_keys": [...], "right": [<steps>]}
     ]}
+
+Join build sides are themselves plans (recursive ``right`` step lists),
+so multi-table trees like TPC-H Q3/Q5 serialize whole.  Joins route
+through the ADAPTIVE planners (broadcast under the counted limit,
+hash-partitioned above) — a plan document never hard-codes the
+physical join strategy.
 
 Unknown ops / expressions raise at BUILD time (the reference's bind-time
 failure contract, SURVEY.md §3.1), not mid-execution.
@@ -97,7 +109,16 @@ def build_pipeline(plan: dict, sf_dir: str):
     import ray.data as rd
 
     from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
-    from supersonic_ray.stages.ops import compute, filter_expr, limit_offset, project, sort
+    from supersonic_ray.stages.joins import hash_join_auto, semi_join_auto
+    from supersonic_ray.stages.ops import (
+        compute,
+        dedup_by_key,
+        filter_expr,
+        limit_offset,
+        project,
+        sort,
+        top_k,
+    )
 
     ds = None
     for i, step in enumerate(plan["steps"]):
@@ -121,6 +142,28 @@ def build_pipeline(plan: dict, sf_dir: str):
             ds = sort(ds, step["keys"], step.get("descending", False))
         elif kind == "limit":
             ds = limit_offset(ds, limit=step["n"], offset=step.get("offset", 0))
+        elif kind == "top_k":
+            ds = top_k(ds, step["keys"], step["k"], step.get("descending", True))
+        elif kind == "dedup":
+            ds = dedup_by_key(ds, step["keys"], step.get("order_by"))
+        elif kind == "join":
+            right = build_pipeline({"steps": step["right"]}, sf_dir)
+            ds = hash_join_auto(
+                ds,
+                right,
+                step["left_keys"],
+                step["right_keys"],
+                step.get("join_type", "inner"),
+            )
+        elif kind in ("semi_join", "anti_join"):
+            right = build_pipeline({"steps": step["right"]}, sf_dir)
+            ds = semi_join_auto(
+                ds,
+                right,
+                step["left_keys"],
+                step.get("right_keys"),
+                anti=(kind == "anti_join"),
+            )
         else:
             raise ValueError(f"unknown plan op {kind!r}")
     if ds is None:

@@ -116,6 +116,9 @@ def group_aggregate(ds, keys: list[str], specs: list[AggSpec]):
     specs = _resolve_udafs(specs)
     from dataclasses import replace
 
+    from .ops import decode_dictionary_columns
+
+    ds = decode_dictionary_columns(ds)  # shuffle boundary: ENUM → values
     # DISTINCT is a no-op for MIN/MAX: rewrite to the distributive form
     specs = [
         replace(s, distinct=False) if s.distinct and s.fn in ("min", "max") else s
@@ -186,7 +189,19 @@ def _group_aggregate_partial(ds, keys: list[str], specs: list[AggSpec]):
                 out = out.drop(columns=f"__pn_{s.alias}")
         if count_star:
             out["__p_rows"] = gb.size()
-        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+        out = out.reset_index()
+        # NULL group keys: Ray's exchange can't sort None against
+        # strings, so partials carry an is-null indicator per key and a
+        # filled placeholder; the fix-up stage restores the NULLs.
+        for i, k in enumerate(keys):
+            isna = out[k].isna()
+            if isna.any():
+                out[f"__kn_{i}"] = isna.astype("int8")
+                fill = "" if out[k].dtype == object else 0
+                out[k] = out[k].fillna(fill)
+            else:
+                out[f"__kn_{i}"] = np.int8(0)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -215,25 +230,33 @@ def _group_aggregate_partial(ds, keys: list[str], specs: list[AggSpec]):
             aggs.append(Min(p, alias_name=s.alias))
         elif s.fn == "max":
             aggs.append(Max(p, alias_name=s.alias))
-    out = partials.groupby(keys).aggregate(*aggs)
-    if int_counts or mean_specs:
+    kn_cols = [f"__kn_{i}" for i in range(len(keys))]
+    out = partials.groupby(keys + kn_cols).aggregate(*aggs)
 
-        def fix_counts(batch: pa.Table) -> pa.Table:
-            for alias in int_counts:
-                idx = batch.column_names.index(alias)
-                col = batch.column(alias)
-                batch = batch.set_column(idx, alias, col.cast(pa.int64()))
-            for s in mean_specs:
-                idx = batch.column_names.index(s.alias)
-                n = batch.column(f"__n_{s.alias}")
-                total = pc.cast(batch.column(s.alias), pa.float64())
-                mean = pc.if_else(pc.greater(n, 0), pc.divide(total, pc.cast(n, pa.float64())), pa.nulls(batch.num_rows, pa.float64()))
-                batch = batch.set_column(idx, s.alias, mean)
-                batch = batch.drop_columns([f"__n_{s.alias}"])
-            return batch
+    def fix_up(batch: pa.Table) -> pa.Table:
+        for i, k in enumerate(keys):
+            kn = batch.column(f"__kn_{i}")
+            if pc.sum(kn).as_py():
+                idx = batch.column_names.index(k)
+                col = batch.column(k)
+                batch = batch.set_column(
+                    idx, k, pc.if_else(pc.equal(kn, 1), pa.nulls(batch.num_rows, col.type), col)
+                )
+        batch = batch.drop_columns(kn_cols)
+        for alias in int_counts:
+            idx = batch.column_names.index(alias)
+            col = batch.column(alias)
+            batch = batch.set_column(idx, alias, col.cast(pa.int64()))
+        for s in mean_specs:
+            idx = batch.column_names.index(s.alias)
+            n = batch.column(f"__n_{s.alias}")
+            total = pc.cast(batch.column(s.alias), pa.float64())
+            mean = pc.if_else(pc.greater(n, 0), pc.divide(total, pc.cast(n, pa.float64())), pa.nulls(batch.num_rows, pa.float64()))
+            batch = batch.set_column(idx, s.alias, mean)
+            batch = batch.drop_columns([f"__n_{s.alias}"])
+        return batch
 
-        out = out.map_batches(fix_counts, batch_format="pyarrow")
-    return out
+    return out.map_batches(fix_up, batch_format="pyarrow")
 
 
 def _distinct_pairs(ds, keys: list[str], col: str):

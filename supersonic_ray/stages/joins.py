@@ -144,6 +144,10 @@ def partitioned_hash_join(ds_left, ds_right, left_keys, right_keys, join_type: s
     partitioned exchange gives them for free."""
     import ray
 
+    from .ops import decode_dictionary_columns
+
+    ds_left = decode_dictionary_columns(ds_left)  # shuffle boundary
+    ds_right = decode_dictionary_columns(ds_right)
     jt = {
         "inner": "inner",
         "left_outer": "left_outer",
@@ -231,6 +235,10 @@ def partitioned_semi_join(ds_left, ds_right, left_keys, right_keys, anti: bool =
     Use over broadcast semi_join whenever the key side is unbounded."""
     import ray
 
+    from .ops import decode_dictionary_columns
+
+    ds_left = decode_dictionary_columns(ds_left)  # shuffle boundary
+    ds_right = decode_dictionary_columns(ds_right)
     if num_partitions is None:
         num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
     return ds_left.join(

@@ -62,7 +62,12 @@ def decode_dictionary_columns(ds):
     to decode ENUM columns to their value type.  No-op (no extra stage)
     when the schema has no dictionary column."""
     schema = ds.schema()
-    dict_cols = [n for n, t in zip(schema.names, schema.types) if pa.types.is_dictionary(t)]
+    # pandas-backed datasets report numpy dtypes here, never dictionary
+    dict_cols = [
+        n
+        for n, t in zip(schema.names, schema.types)
+        if isinstance(t, pa.DataType) and pa.types.is_dictionary(t)
+    ]
     if not dict_cols:
         return ds
 
@@ -144,6 +149,7 @@ def sort(ds, keys: list[str], descending: list[bool] | bool = False, nulls_first
     to one end, sort.cc:151-312).  None = substrate default; True/False
     is implemented with an is-null indicator column interleaved before
     each key, so placement is exact per key at any partitioning."""
+    ds = decode_dictionary_columns(ds)  # shuffle boundary: ENUM → values
     if isinstance(descending, bool):
         descending = [descending] * len(keys)
     if nulls_first is None:
@@ -198,6 +204,7 @@ def dedup_by_key(ds, keys: list[str], order_by: str | None = None):
             g = g.sort_values(order_by, kind="mergesort")
         return g.head(1)
 
+    ds = decode_dictionary_columns(ds)  # shuffle boundary: ENUM → values
     return ds.groupby(keys).map_groups(first_row, batch_format="pandas")
 
 

@@ -129,6 +129,51 @@ def stream_sessionize_sharded(
     return out
 
 
+def stream_sessionize_distributed(
+    ds,
+    key: str,
+    ts_col: str,
+    gap_us: int,
+    agg_col: str | None = None,
+    num_shards: int | None = None,
+    batch_rows: int = 4096,
+):
+    """Driver-OFF-the-data-path sessionization (round-3; the sharded
+    driver loop above remains the live micro-batch semantics reference):
+    rows hash-partition by key through a Dataset groupby — the shuffle
+    moves the data, never the driver — and each shard task replays its
+    shard ts-ordered through a SessionTracker in micro-batches,
+    emitting exactly what the incremental tracker would.  Returns a
+    Dataset (stream-consumable).  Memory per task = one shard; at
+    cluster scale num_shards ≈ total cores keeps shards bounded."""
+    import numpy as np
+    import ray
+
+    if num_shards is None:
+        num_shards = max(4, int(ray.cluster_resources().get("CPU", 4)))
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__shard"] = (
+            pd.util.hash_array(df[key].to_numpy()) % np.uint64(num_shards)
+        ).astype("int64")
+        return df
+
+    sharded = ds.map_batches(add_shard, batch_format="pandas")
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort")
+        tracker = SessionTracker(key, ts_col, gap_us, agg_col)
+        frames = [
+            tracker.process(g.iloc[i : i + batch_rows])
+            for i in range(0, len(g), batch_rows)
+        ]
+        frames.append(tracker.flush())
+        return pd.concat(frames, ignore_index=True)
+
+    return sharded.groupby("__shard").map_groups(per_shard, batch_format="pandas")
+
+
 def stream_sessionize(ds, key: str, ts_col: str, gap_us: int, agg_col: str | None = None, batch_rows: int = 4096) -> pd.DataFrame:
     """Semantics-reference driver loop: global ts sort → micro-batches →
     one tracker; returns the complete closed-session frame.  At scale:

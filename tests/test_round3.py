@@ -272,6 +272,56 @@ def test_duckdb_md5_matches_hashlib(ray_session):
             assert h == hashlib.md5(v.encode()).hexdigest()
 
 
+# -------------------------------------------------------------- dictionary
+
+
+def test_dictionary_columns_through_engine(ray_session):
+    """ENUM columns: per-batch filter keeps the dictionary type, shuffle
+    stages (sort / group aggregate) decode at the boundary, and the RSB
+    codec round-trips the dictionary type bit-identically."""
+    from supersonic_ray.codecs import base as cb
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
+    from supersonic_ray.stages.ops import (
+        decode_dictionary_columns,
+        dictionary_encode_columns,
+        filter_expr,
+        sort,
+    )
+
+    df = pd.DataFrame(
+        {"lang": ["en", "de", "en", "fr", None, "de"] * 50, "v": range(300)}
+    )
+    ds = _rd().from_pandas(df).repartition(4)
+    ds = dictionary_encode_columns(ds, ["lang"])
+    ds = filter_expr(ds, lambda t: pa.array([True] * t.num_rows))
+    agg = (
+        group_aggregate(ds, ["lang"], [AggSpec("sum", "v", "sv"), AggSpec("count", None, "n")])
+        .to_pandas()
+        .sort_values("lang", na_position="last")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("lang", dropna=False)
+        .agg(sv=("v", "sum"), n=("v", "size"))
+        .reset_index()
+        .sort_values("lang", na_position="last")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(agg, want, check_dtype=False)
+    srt = sort(ds, ["lang", "v"]).limit(5).to_pandas()
+    assert srt["lang"].tolist() == ["de"] * 5
+
+    # RSB codec round trip keeps the dictionary type
+    arr = pa.array(["a", "b", "a", None, "c"]).dictionary_encode()
+    blob = cb.encode_array(arr, "dict", "zlib")
+    back = cb.decode_array(blob, arr.type)
+    assert back.equals(arr) and pa.types.is_dictionary(back.type)
+
+    # decode op is a no-op stage for plain schemas
+    plain = _rd().from_pandas(pd.DataFrame({"x": [1, 2]}))
+    assert decode_dictionary_columns(plain) is plain
+
+
 # ------------------------------------------------------------------ encode
 
 

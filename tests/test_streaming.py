@@ -67,3 +67,27 @@ def test_sharded_streaming_equals_batch(ray_session, sf_dir):
     s["sum_value"] = s["sum_value"].round(4)
     s = s.astype(b.dtypes.to_dict())
     pd.testing.assert_frame_equal(b, s)
+
+def test_distributed_streaming_equals_batch(ray_session, sf_dir):
+    """Round-3: the Dataset-shuffle variant (driver never on the data
+    path) reproduces the batch session_window exactly."""
+    import ray.data as rd
+
+    from supersonic_ray.stages.streaming import stream_sessionize_distributed
+    from supersonic_ray.stages.windows import session_window
+
+    gap = 30 * 60 * 1_000_000
+    ds1 = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+    batch = session_window(ds1, "user_id", "ts", gap_us=gap, agg_col="value", tiebreak="event_id").to_pandas()
+    ds2 = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+    stream = stream_sessionize_distributed(
+        ds2, "user_id", "ts", gap_us=gap, agg_col="value", num_shards=3, batch_rows=128
+    ).to_pandas()
+
+    key = ["user_id", "session_id"]
+    b = batch[key + ["n_events", "sum_value"]].sort_values(key).reset_index(drop=True)
+    s = stream[key + ["n_events", "sum_value"]].sort_values(key).reset_index(drop=True)
+    b["sum_value"] = b["sum_value"].round(4)
+    s["sum_value"] = s["sum_value"].round(4)
+    s = s.astype(b.dtypes.to_dict())
+    pd.testing.assert_frame_equal(b, s)
