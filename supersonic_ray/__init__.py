@@ -28,6 +28,31 @@ Nothing in this package calls ray.init(); sessions are owned by callers
 __version__ = "0.1.0"
 
 
+def set_memory_budget(object_store_bytes: int | None = None, preserve_order: bool | None = None):
+    """BufferAllocator-quota analog (reference base/memory/memory.h
+    MemoryLimit / quota-tree: every operator allocates against an
+    enforced byte budget).  Ray Data's equivalent enforcement point is
+    the streaming executor's resource limits: capping
+    ``object_store_memory`` bounds the bytes of materialized blocks in
+    flight — upstream operators BACKPRESSURE (stop being scheduled)
+    instead of overrunning the budget, and plasma spills past its own
+    cap.  Applies to every Dataset executed in this session after the
+    call.
+
+    >>> import supersonic_ray; supersonic_ray.set_memory_budget(2 << 30)
+    """
+    from ray.data import DataContext, ExecutionResources
+
+    ctx = DataContext.get_current()
+    if object_store_bytes is not None:
+        ctx.execution_options.resource_limits = ExecutionResources(
+            object_store_memory=object_store_bytes
+        )
+    if preserve_order is not None:
+        ctx.execution_options.preserve_order = preserve_order
+    return ctx
+
+
 def _tune_malloc() -> None:
     """Keep large freed buffers in the process heap instead of
     mmap/munmap-ing them per allocation.

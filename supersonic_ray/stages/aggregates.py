@@ -116,18 +116,20 @@ def group_aggregate(ds, keys: list[str], specs: list[AggSpec]):
     specs = _resolve_udafs(specs)
     from dataclasses import replace
 
-    from .ops import decode_dictionary_columns
-
-    ds = decode_dictionary_columns(ds)  # shuffle boundary: ENUM → values
     # DISTINCT is a no-op for MIN/MAX: rewrite to the distributive form
     specs = [
         replace(s, distinct=False) if s.distinct and s.fn in ("min", "max") else s
         for s in specs
     ]
+    # ENUM columns decode inside the per-batch partial (distributive
+    # path) or via an explicit pre-shuffle stage (holistic/mixed) — no
+    # driver-side schema probe either way
     if all(_is_distributive(s) for s in specs):
         return _group_aggregate_partial(ds, keys, specs)
     if any(s.udaf is not None or s.fn in _UDAFS for s in specs):
-        return _group_aggregate_holistic(ds, keys, specs)
+        from .ops import decode_dictionary_columns
+
+        return _group_aggregate_holistic(decode_dictionary_columns(ds), keys, specs)
     return _group_aggregate_mixed(ds, keys, specs)
 
 
@@ -161,7 +163,9 @@ def _group_aggregate_partial(ds, keys: list[str], specs: list[AggSpec]):
     sum_specs = [s for s in specs if s.fn in ("sum", "mean")]
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
+        from .ops import decode_dict_batch
+
+        df = decode_dict_batch(batch).to_pandas()
         agg_map: dict[str, tuple] = {}
         for s in specs:
             if s.fn == "count" and s.column is None:
@@ -375,14 +379,17 @@ def _group_aggregate_mixed(ds, keys: list[str], specs: list[AggSpec]):
     as slow as the pre-round-3 behavior."""
     from .joins import hash_join_auto
 
+    from .ops import decode_dictionary_columns
+
     needed = list(keys)
     for s in specs:
         for c in (s.column, s.order_by):
             if c and c not in needed:
                 needed.append(c)
     # one materialize so N components don't re-execute the upstream
-    # lineage N times (Splitter/fanout cost model, ops.fanout)
-    src = ds.select_columns(needed).materialize()
+    # lineage N times (Splitter/fanout cost model, ops.fanout); ENUM
+    # columns decode before the pin so every component shuffles safely
+    src = decode_dictionary_columns(ds.select_columns(needed)).materialize()
 
     dist_specs = [s for s in specs if _is_distributive(s)]
     base = _group_aggregate_partial(
@@ -520,6 +527,9 @@ def scalar_aggregate(ds, specs: list[AggSpec]) -> pa.Table:
             raise ValueError("COUNT(*) cannot be DISTINCT")
 
         def local_unique(batch: pa.Table, col=s.column) -> pa.Table:
+            from .ops import decode_dict_batch
+
+            batch = decode_dict_batch(batch)
             vals = pc.drop_null(batch.column(col).combine_chunks())
             return pa.table({col: pc.unique(vals)})
 
@@ -592,7 +602,9 @@ def aggregate_clusters(ds, keys: list[str], specs: list[AggSpec]):
         return group_aggregate(ds, keys, specs)
 
     def run_partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
+        from .ops import decode_dict_batch
+
+        df = decode_dict_batch(batch).to_pandas()
         # run detection: new run where any key differs from previous row
         change = np.zeros(len(df), dtype=bool)
         if len(df):

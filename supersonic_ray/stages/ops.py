@@ -55,31 +55,27 @@ def dictionary_encode_columns(ds, cols: list[str]):
     return ds.map_batches(enc, batch_format="pyarrow")
 
 
+def decode_dict_batch(t: pa.Table) -> pa.Table:
+    """Per-batch ENUM decode: dictionary columns → their value type.
+    A no-op pointer walk (a few µs) when the batch has none."""
+    for i, f in enumerate(t.schema):
+        if pa.types.is_dictionary(f.type):
+            t = t.set_column(i, f.name, pc.cast(t.column(f.name), f.type.value_type))
+    return t
+
+
 def decode_dictionary_columns(ds):
     """Ray Data's all-to-all exchanges (sort / groupby hash partition /
     Dataset.join) reject dictionary-typed columns, so dictionary is a
-    STORAGE + compute-local layout here: shuffle entry points call this
-    to decode ENUM columns to their value type.  No-op (no extra stage)
-    when the schema has no dictionary column."""
-    schema = ds.schema()
-    # pandas-backed datasets report numpy dtypes here, never dictionary
-    dict_cols = [
-        n
-        for n, t in zip(schema.names, schema.types)
-        if isinstance(t, pa.DataType) and pa.types.is_dictionary(t)
-    ]
-    if not dict_cols:
-        return ds
+    STORAGE + compute-local layout here: shuffle entry points route
+    through this stage to decode ENUM columns to their value type.
 
-    def dec(t: pa.Table) -> pa.Table:
-        for n in dict_cols:
-            i = t.column_names.index(n)
-            f = t.schema.field(n)
-            if pa.types.is_dictionary(f.type):
-                t = t.set_column(i, n, pc.cast(t.column(n), f.type.value_type))
-        return t
-
-    return ds.map_batches(dec, batch_format="pyarrow")
+    Deliberately SCHEMA-BLIND: checking ``ds.schema()`` here would block
+    the driver on partial upstream execution for every aggregate/sort
+    call (measured ~1s per query at sf0.1); instead the per-batch decode
+    fn is always appended — it fuses with the neighboring map stage and
+    costs microseconds when no dictionary column exists."""
+    return ds.map_batches(decode_dict_batch, batch_format="pyarrow")
 
 
 def compute(ds, exprs: dict[str, Callable[[pa.Table], pa.Array]], keep_input: bool = True):
@@ -146,22 +142,47 @@ def sort(ds, keys: list[str], descending: list[bool] | bool = False, nulls_first
     external merge sort (spill via object store).
 
     nulls_first: explicit NULL placement (the reference partitions NULLs
-    to one end, sort.cc:151-312).  None = substrate default; True/False
-    is implemented with an is-null indicator column interleaved before
-    each key, so placement is exact per key at any partitioning."""
+    to one end, sort.cc:151-312).  None = substrate default (NOTE: Ray's
+    range-partition boundaries cannot ORDER None against strings — sort
+    keys that may hold NULL strings need explicit nulls_first); True /
+    False is implemented with an is-null indicator column interleaved
+    before each key and a null-FILLED copy of the key itself (placement
+    is decided entirely by the indicator, so the fill constant never
+    affects order), exact per key at any partitioning."""
     ds = decode_dictionary_columns(ds)  # shuffle boundary: ENUM → values
     if isinstance(descending, bool):
         descending = [descending] * len(keys)
     if nulls_first is None:
         return ds.sort(keys, descending=descending)
 
-    null_cols = {f"__nul_{i}": (lambda k: lambda t: pc.cast(pc.is_null(t.column(k)), pa.int8()))(k) for i, k in enumerate(keys)}
-    tagged = compute(ds, null_cols)
+    def _filled(k):
+        def fn(t: pa.Table):
+            col = t.column(k)
+            if col.null_count == 0:
+                return col
+            tp = col.type
+            if pa.types.is_string(tp) or pa.types.is_large_string(tp):
+                fill = ""
+            elif pa.types.is_binary(tp) or pa.types.is_large_binary(tp):
+                fill = b""
+            elif pa.types.is_boolean(tp):
+                fill = False
+            else:
+                fill = pa.scalar(0).cast(tp)
+            return pc.fill_null(col, fill)
+
+        return fn
+
+    aux_cols = {}
+    for i, k in enumerate(keys):
+        aux_cols[f"__nul_{i}"] = (lambda kk: lambda t: pc.cast(pc.is_null(t.column(kk)), pa.int8()))(k)
+        aux_cols[f"__key_{i}"] = _filled(k)
+    tagged = compute(ds, aux_cols)
     sort_keys, sort_desc = [], []
     for i, (k, d) in enumerate(zip(keys, descending)):
-        sort_keys += [f"__nul_{i}", k]
+        sort_keys += [f"__nul_{i}", f"__key_{i}"]
         sort_desc += [nulls_first, d]  # is_null=1 first ⇔ descending
-    return tagged.sort(sort_keys, descending=sort_desc).drop_columns(list(null_cols))
+    return tagged.sort(sort_keys, descending=sort_desc).drop_columns(list(aux_cols))
 
 
 def top_k(ds, keys: list[str], k: int, descending: list[bool] | bool = True):

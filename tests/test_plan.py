@@ -58,3 +58,30 @@ def test_benchmark_pipeline_reports_per_operator(ray_session, sf_dir):
     for op in rep["operators"]:
         assert op["wall_sec"] >= 0 and op["tasks"] >= 1
     assert "Operator" in rep["raw_stats"]
+
+def test_plan_q3_joins_match_handbuilt(ray_session, sf_dir):
+    """Round-3 grammar: recursive semi-join build sides + top_k + dedup
+    reproduce the hand-built q3 exactly."""
+    import __ray_entry__ as entry
+
+    from_plan = entry.plan_q3_json(sf_dir)
+    handbuilt = entry.q3_top_orders(sf_dir)
+    assert from_plan.equals(handbuilt)
+
+
+def test_plan_join_and_dedup_ops(ray_session, sf_dir):
+    from supersonic_ray.pipelines import build_pipeline
+
+    plan = {
+        "steps": [
+            {"op": "scan", "table": "supplier", "columns": ["s_suppkey", "s_name", "s_nationkey"]},
+            {"op": "join", "left_keys": ["s_nationkey"], "right_keys": ["n_nationkey"],
+             "join_type": "inner",
+             "right": [{"op": "scan", "table": "nation", "columns": ["n_nationkey", "n_name"]}]},
+            {"op": "dedup", "keys": ["n_name"], "order_by": "s_suppkey"},
+            {"op": "sort", "keys": ["s_suppkey"]},
+        ]
+    }
+    out = build_pipeline(plan, sf_dir).to_pandas()
+    assert len(out) == out["n_name"].nunique()
+    assert {"s_suppkey", "s_name", "n_nationkey", "n_name"} <= set(out.columns)

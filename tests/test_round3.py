@@ -308,7 +308,9 @@ def test_dictionary_columns_through_engine(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(agg, want, check_dtype=False)
-    srt = sort(ds, ["lang", "v"]).limit(5).to_pandas()
+    # null string sort keys need explicit placement (Ray's boundary
+    # partitioner can't order None vs str — see ops.sort docstring)
+    srt = sort(ds, ["lang", "v"], nulls_first=False).limit(5).to_pandas()
     assert srt["lang"].tolist() == ["de"] * 5
 
     # RSB codec round trip keeps the dictionary type
@@ -317,9 +319,10 @@ def test_dictionary_columns_through_engine(ray_session):
     back = cb.decode_array(blob, arr.type)
     assert back.equals(arr) and pa.types.is_dictionary(back.type)
 
-    # decode op is a no-op stage for plain schemas
+    # decode op passes plain schemas through untouched (schema-blind —
+    # no driver-side ds.schema() probe)
     plain = _rd().from_pandas(pd.DataFrame({"x": [1, 2]}))
-    assert decode_dictionary_columns(plain) is plain
+    assert decode_dictionary_columns(plain).to_pandas()["x"].tolist() == [1, 2]
 
 
 # ------------------------------------------------------------------ encode
@@ -347,3 +350,21 @@ def test_batch_encoder_retry_is_idempotent(tmp_path):
     m2 = e2(t)
     assert m2.column("skipped").to_pylist() == [False]
     assert len([f for f in os.listdir(tmp_path) if f.endswith(".rsb")]) == 2
+
+
+# ------------------------------------------------------------------ quotas
+
+
+def test_memory_budget_enforced_by_executor(ray_session):
+    """BufferAllocator-quota analog: the byte budget reaches the
+    streaming executor's resource limits and the pipeline still runs."""
+    import supersonic_ray
+    from ray.data import DataContext
+
+    from ray.data import ExecutionResources
+
+    ctx = supersonic_ray.set_memory_budget(1 << 30)
+    assert DataContext.get_current().execution_options.resource_limits.object_store_memory == 1 << 30
+    out = _rd().range(10000).map_batches(lambda b: b, batch_format="pyarrow").count()
+    assert out == 10000
+    ctx.execution_options.resource_limits = ExecutionResources()  # restore
