@@ -1,8 +1,8 @@
 """Vectorized cryptographic hash kernels.
 
-The reference's per-row hash expressions (hashing Fingerprint/Hash,
-supersonic/expression/core/stateful_expressions.h analog usage) need a
-batch kernel on the Ray side; Arrow ships no md5/sha kernel and a
+The reference's hash expressions (SupersonicFingerprint / SupersonicHash,
+expression/ext/hashing/hashing_expressions.h:28-35, primitives
+base/infrastructure/hasher.h) need a batch kernel on the Ray side; Arrow ships no md5/sha kernel and a
 Python ``hashlib`` loop is the hottest per-row cost in the text paths
 (round-2 verdict item #6).  DuckDB is in-process, columnar and
 zero-copy over Arrow — so we use its C++ ``md5``/``sha256`` functions

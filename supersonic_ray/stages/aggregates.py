@@ -163,49 +163,78 @@ def _group_aggregate_partial(ds, keys: list[str], specs: list[AggSpec]):
     sum_specs = [s for s in specs if s.fn in ("sum", "mean")]
 
     def partial(batch: pa.Table) -> pa.Table:
+        """Pure-Arrow per-batch partial: pa.TableGroupBy hash aggregation
+        (C++), no pandas round trip in the hottest stage.  Arrow SUM of
+        an all-NULL group is NULL natively (min_count=1 — the reference's
+        SUM-of-NULLs rule, aggregate.h), so no post-fix is needed; the
+        non-null count still ships for MEAN's final divide."""
         from .ops import decode_dict_batch
 
-        df = decode_dict_batch(batch).to_pandas()
-        agg_map: dict[str, tuple] = {}
+        batch = decode_dict_batch(batch)
+        # dedup (col, fn) pairs: Arrow names outputs "{col}_{fn}", which
+        # would collide when two specs share column+function
+        pairs: list[tuple[str, str]] = []
+
+        def want(col: str, fn: str) -> None:
+            if (col, fn) not in pairs:
+                pairs.append((col, fn))
+
         for s in specs:
             if s.fn == "count" and s.column is None:
                 continue
             elif s.fn == "count":
-                agg_map[f"__p_{s.alias}"] = (s.column, "count")
+                want(s.column, "count")
             elif s.fn == "mean":
-                # decomposed: partial sum + non-null count, divided at the end
-                agg_map[f"__p_{s.alias}"] = (s.column, "sum")
+                want(s.column, "sum")
             else:
-                agg_map[f"__p_{s.alias}"] = (s.column, s.fn)
+                want(s.column, s.fn)
         for s in sum_specs:
-            # partial non-null count so all-NULL groups can propagate NULL
-            # (pandas sum() has min_count=0 → 0.0; reference SUM-of-NULLs
-            # is NULL, aggregate.h — matches the holistic _apply_one path)
-            agg_map[f"__pn_{s.alias}"] = (s.column, "count")
-        gb = df.groupby(keys, dropna=False, sort=False, observed=True)
-        out = gb.agg(**agg_map) if agg_map else gb.size().to_frame("__drop").drop(columns="__drop")
-        for s in sum_specs:
-            col = f"__p_{s.alias}"
-            all_null = out[f"__pn_{s.alias}"] == 0
-            if all_null.any():
-                out[col] = out[col].where(~all_null, np.nan)
-            if s.fn == "sum":  # mean keeps its count for the final divide
-                out = out.drop(columns=f"__pn_{s.alias}")
+            want(s.column, "count")
+        aggs: list[tuple] = [(c, f) for c, f in pairs]
         if count_star:
-            out["__p_rows"] = gb.size()
-        out = out.reset_index()
+            aggs.append(([], "count_all"))
+        gb = batch.group_by(keys, use_threads=False)
+        out = gb.aggregate(aggs)
+        # map "{col}_{fn}" outputs to the partial aliases
+        cols: dict[str, pa.ChunkedArray | pa.Array] = {}
+        for k in keys:
+            cols[k] = out.column(k)
+        for s in specs:
+            if s.fn == "count" and s.column is None:
+                continue  # served by __p_rows below
+            elif s.fn == "count":
+                cols[f"__p_{s.alias}"] = out.column(f"{s.column}_count")
+            elif s.fn == "mean":
+                cols[f"__p_{s.alias}"] = out.column(f"{s.column}_sum")
+            else:
+                cols[f"__p_{s.alias}"] = out.column(f"{s.column}_{s.fn}")
+        for s in sum_specs:
+            if s.fn == "mean":
+                cols[f"__pn_{s.alias}"] = out.column(f"{s.column}_count")
+        if count_star:
+            cols["__p_rows"] = out.column("count_all")
+        res = pa.table(cols)
         # NULL group keys: Ray's exchange can't sort None against
         # strings, so partials carry an is-null indicator per key and a
         # filled placeholder; the fix-up stage restores the NULLs.
+        n = res.num_rows
         for i, k in enumerate(keys):
-            isna = out[k].isna()
-            if isna.any():
-                out[f"__kn_{i}"] = isna.astype("int8")
-                fill = "" if out[k].dtype == object else 0
-                out[k] = out[k].fillna(fill)
+            col = res.column(k)
+            if col.null_count:
+                res = res.append_column(f"__kn_{i}", pc.cast(pc.is_null(col), pa.int8()))
+                tp = col.type
+                if pa.types.is_string(tp) or pa.types.is_large_string(tp):
+                    fill = pa.scalar("", tp)
+                elif pa.types.is_binary(tp) or pa.types.is_large_binary(tp):
+                    fill = pa.scalar(b"", tp)
+                elif pa.types.is_boolean(tp):
+                    fill = pa.scalar(False)
+                else:
+                    fill = pa.scalar(0).cast(tp)
+                res = res.set_column(res.column_names.index(k), k, pc.fill_null(col, fill))
             else:
-                out[f"__kn_{i}"] = np.int8(0)
-        return pa.Table.from_pandas(out, preserve_index=False)
+                res = res.append_column(f"__kn_{i}", pa.array(np.zeros(n, dtype=np.int8)))
+        return res
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 

@@ -334,41 +334,68 @@ def anti_join(ds_left, key_values: pa.Table | pa.Array, left_keys: list[str]):
 
 class _AsofJoiner:
     """Broadcast as-of probe: per actor, the right side is sorted and
-    split into per-key (ordinate array, payload frame) ONCE; each batch
-    does one vectorized searchsorted per key present in the batch."""
+    split into per-key (ordinate array, payload arrays) ONCE; each batch
+    converts ONLY its key and ordinate columns to numpy (the payload
+    gather and row selection run as Arrow take/append — no full-batch
+    pandas round trip)."""
 
     def __init__(self, right_ref, right_by, right_on, payload_cols):
+        import numpy as np
+
         right: pa.Table = _maybe_get(right_ref)
         rdf = right.to_pandas().dropna(subset=[right_by, right_on])
         rdf = rdf.sort_values([right_by, right_on], kind="mergesort")
+        rdf["__o"] = _ord_i64(rdf[right_on])
         self.per_key = {}
-        import numpy as np
-
         for k, g in rdf.groupby(right_by, sort=False):
             self.per_key[k] = (
-                g[right_on].astype("int64").to_numpy(),
+                g["__o"].to_numpy(),
                 {c: g[c].to_numpy() for c in payload_cols},
             )
         self.payload_cols = payload_cols
+        # typed empty payload arrays so no-match batches keep the same
+        # schema as matching ones (block schema consistency)
+        sample = pa.Table.from_pandas(rdf[payload_cols].head(1), preserve_index=False)
+        self.payload_empty = {
+            c: pa.array([], type=sample.schema.field(c).type) for c in payload_cols
+        }
 
-    def probe(self, ldf: pd.DataFrame, left_by: str, left_on: str) -> pd.DataFrame:
+    def probe_batch(self, batch: pa.Table, left_by: str, left_on: str) -> pa.Table:
         import numpy as np
 
-        outs = []
-        for k, g in ldf.groupby(left_by, sort=False):
-            hit = self.per_key.get(k)
+        n = batch.num_rows
+        keys = batch.column(left_by).to_numpy(zero_copy_only=False)
+        ords = _ord_i64(pd.Series(batch.column(left_on).to_numpy(zero_copy_only=False)))
+        keep_rows: list[np.ndarray] = []
+        payload_parts: dict[str, list[np.ndarray]] = {c: [] for c in self.payload_cols}
+        # group probe rows by key once (stable argsort + boundary split)
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        bounds = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]]) if n else np.array([], dtype=np.int64)
+        for bi, start in enumerate(bounds):
+            end = bounds[bi + 1] if bi + 1 < len(bounds) else n
+            hit = self.per_key.get(sk[start])
             if hit is None:
                 continue
+            rows = order[start:end]
             on_arr, payload = hit
-            idx = np.searchsorted(on_arr, g[left_on].astype("int64").to_numpy(), side="right") - 1
+            idx = np.searchsorted(on_arr, ords[rows], side="right") - 1
             keep = idx >= 0
             if not keep.any():
                 continue
-            part = g[keep].copy()
+            keep_rows.append(rows[keep])
             for c in self.payload_cols:
-                part[c] = payload[c][idx[keep]]
-            outs.append(part)
-        return pd.concat(outs, ignore_index=True) if outs else ldf.head(0).assign(**{c: pd.Series(dtype="object") for c in self.payload_cols})
+                payload_parts[c].append(payload[c][idx[keep]])
+        if not keep_rows:
+            out = batch.slice(0, 0)
+            for c in self.payload_cols:
+                out = out.append_column(c, self.payload_empty[c])
+            return out
+        sel = np.concatenate(keep_rows)
+        out = batch.take(pa.array(sel))
+        for c in self.payload_cols:
+            out = out.append_column(c, pa.array(np.concatenate(payload_parts[c])))
+        return out
 
 
 def asof_join(
@@ -400,8 +427,7 @@ def asof_join(
             self.joiner = make_actor()
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            out = self.joiner.probe(batch.to_pandas(), left_by, left_on)
-            return pa.Table.from_pandas(out, preserve_index=False)
+            return self.joiner.probe_batch(batch, left_by, left_on)
 
     return ds_left.map_batches(
         _Stage, batch_format="pyarrow", concurrency=(1, concurrency or _pool_size())
