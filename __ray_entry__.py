@@ -532,6 +532,18 @@ def lang_id_docs(sf_dir: str):
     return out[["doc_id", "lang", "lang_pred"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def gopher_rules_docs(sf_dir: str):
+    """Gopher-style repetition/quality filter (Rae et al. 2021): the
+    duplicate-line-fraction + mean-word-length rules every web-corpus
+    pipeline applies before training; the whole metric set and keep
+    flag verify against one SQL oracle."""
+    from supersonic_ray.stages.text import gopher_repetition
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "text"])
+    out = gopher_repetition(ds, "text", "doc_id").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def minhash_dedup_docs(sf_dir: str):
     from supersonic_ray.stages.text import minhash_lsh_dedup
 
@@ -659,6 +671,20 @@ def asof_join_events(sf_dir: str):
     out = out[["event_id", "last_ok"]]
     out["last_ok"] = out["last_ok"].astype("int64")
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def rowid_merge_orders(sf_dir: str):
+    """RowidMergeJoin (rowid_merge_join.h:38-50): the LHS int64 key is a
+    row POSITION into the RHS.  customer keys are dense 0..N-1, so
+    o_custkey IS the row position into customer sorted by c_custkey; the
+    SQL oracle is the equivalent key join."""
+    from supersonic_ray.stages.joins import rowid_merge_join
+
+    cust = _pq(sf_dir, "customer").select(["c_custkey", "c_name"]).sort_by("c_custkey")
+    orders = _ld(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    out = rowid_merge_join(orders, cust, "o_custkey").to_pandas()
+    out = out[["o_orderkey", "c_custkey", "c_name"]]
+    return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
 def training_pipeline_docs(sf_dir: str):
@@ -1316,6 +1342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events": asof_join_events,
         "range_join_parts": range_join_parts,
         "foreign_filter_rank": foreign_filter_rank_q,
+        "rowid_merge_orders": rowid_merge_orders,
         # -- aggregation (round-3 distributed holistic plans)
         "agg_scalar": agg_scalar,
         "agg_distinct": agg_distinct,
@@ -1331,7 +1358,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": topk_orders,
         "limit_offset_orders": limit_offset_orders,
         "merge_union": merge_union,
-        "sample_bernoulli": sample_bernoulli,
         "sample_by_hash": sample_by_hash,
         # -- dedup + fingerprints (round-3 vectorized hash kernels)
         "dedup_exact_docs": dedup_exact_docs,
@@ -1354,7 +1380,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_source_roundtrip": json_source_roundtrip,
         "sketch_distinct_freq": sketch_distinct_freq,
         # ---- window boundary (#50): everything below is unchanged since
-        # ---- its green CORRECTNESS_r02 row
+        # ---- its green CORRECTNESS_r02 row (sample_bernoulli is the
+        # ---- rows-only RNG sampler — weakest driver signal, so it
+        # ---- yields its slot to the oracle-checked rowid merge join)
+        "sample_bernoulli": sample_bernoulli,
         "running_sum_events": running_sum_events,
         "stateful_changed": stateful_changed,
         "smudge_events": smudge_events,
@@ -1365,6 +1394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sliding": window_sliding,
         "token_count_docs": token_count_docs,
         "bpe_token_count_docs": bpe_token_count_docs,
+        "gopher_rules_docs": gopher_rules_docs,
         "quality_docs": quality_docs,
         "lang_id_docs": lang_id_docs,
         "minhash_dedup_docs": minhash_dedup_docs,
@@ -1750,6 +1780,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "lang_id_docs": _langid_oracle_sql(),
+        "gopher_rules_docs": r"""
+            WITH t AS (
+              SELECT doc_id, coalesce(text, '') AS txt FROM documents),
+            m AS (
+              SELECT doc_id,
+                     string_split(txt, chr(10)) AS ls,
+                     regexp_extract_all(txt, '\S+') AS ws
+              FROM t)
+            SELECT doc_id,
+                   len(ls) AS n_lines,
+                   round(CASE WHEN len(ls) = 0 THEN 0.0
+                         ELSE 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls) END, 6)
+                       AS dup_line_frac,
+                   round(CASE WHEN len(ws) = 0 THEN 0.0
+                         ELSE list_aggregate(list_transform(ws, x -> CAST(length(x) AS DOUBLE)), 'avg') END, 6)
+                       AS mean_word_len,
+                   (round(CASE WHEN len(ls) = 0 THEN 0.0
+                          ELSE 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls) END, 6) <= 0.3
+                    AND round(CASE WHEN len(ws) = 0 THEN 0.0
+                          ELSE list_aggregate(list_transform(ws, x -> CAST(length(x) AS DOUBLE)), 'avg') END, 6)
+                        BETWEEN 3.0 AND 10.0) AS keep
+            FROM m ORDER BY doc_id
+        """,
         "ann_topk_embeddings": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings WHERE vec_id < 3),
@@ -1881,6 +1934,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE substring(md5('7:' || CAST(o_orderkey AS VARCHAR)), 1, 8)
                   < '19999999'
+            ORDER BY o_orderkey
+        """,
+        "rowid_merge_orders": """
+            SELECT o_orderkey, c_custkey, c_name
+            FROM orders JOIN customer ON o_custkey = c_custkey
             ORDER BY o_orderkey
         """,
         "range_join_parts": """

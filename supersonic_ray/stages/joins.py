@@ -173,12 +173,18 @@ BROADCAST_LIMIT_ROWS = 2_000_000
 
 
 def _collect_small(ds_m) -> pa.Table:
-    """Materialized small Dataset → one pa.Table (zero-copy block reads)."""
+    """Materialized small Dataset → one pa.Table (zero-copy for Arrow
+    blocks; pandas-backed blocks — e.g. map_groups outputs — convert)."""
     import ray
 
-    tables = [ray.get(ref) for ref in ds_m.to_arrow_refs()]
+    tables = []
+    for ref in ds_m.to_arrow_refs():
+        t = ray.get(ref)
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        tables.append(t)
     tables = [t for t in tables if t.num_rows] or tables[:1]
-    return pa.concat_tables(tables) if tables else pa.table({})
+    return pa.concat_tables(tables, promote_options="default") if tables else pa.table({})
 
 
 def hash_join_auto(

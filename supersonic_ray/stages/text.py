@@ -74,6 +74,48 @@ class TextQuality:
         return df
 
 
+def gopher_repetition(ds, text_col: str = "text", id_col: str = "doc_id",
+                      max_dup_line_frac: float = 0.3,
+                      min_mean_word_len: float = 3.0,
+                      max_mean_word_len: float = 10.0):
+    """Gopher-style repetition/quality rules (Rae et al. 2021, public
+    'Scaling Language Models' appendix A: duplicate-line fraction and
+    mean-word-length windows — the standard web-corpus filter family).
+    Per doc: n_lines, dup_line_frac (1 - distinct/total lines),
+    mean_word_len, and the keep flag.  Vectorized: one explode +
+    groupby per metric (pandas C kernels), no per-row Python."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        txt = df[text_col].fillna("")
+        lines = txt.str.split("\n")
+        ex = lines.explode()
+        grp = ex.index
+        n_lines = ex.groupby(grp).size().reindex(df.index, fill_value=0)
+        n_uniq = ex.groupby(grp).nunique().reindex(df.index, fill_value=0)
+        dup_frac = (1.0 - n_uniq / n_lines.where(n_lines > 0)).fillna(0.0)
+        words = txt.str.findall(r"\S+")
+        wex = words.explode().dropna()
+        wlen = wex.str.len().groupby(wex.index).mean().reindex(df.index)
+        mean_wl = wlen.fillna(0.0)
+        out = pd.DataFrame(
+            {
+                id_col: df[id_col],
+                "n_lines": n_lines.astype("int64"),
+                "dup_line_frac": dup_frac.round(6),
+                "mean_word_len": mean_wl.round(6),
+            }
+        )
+        out["keep"] = (
+            (out["dup_line_frac"] <= max_dup_line_frac)
+            & (out["mean_word_len"] >= min_mean_word_len)
+            & (out["mean_word_len"] <= max_mean_word_len)
+        )
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def token_count(ds, text_col: str = "text", alias: str = "n_tokens"):
     """Whitespace token count, pure Arrow kernels (no Python per row)."""
 

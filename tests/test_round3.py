@@ -368,3 +368,66 @@ def test_memory_budget_enforced_by_executor(ray_session):
     out = _rd().range(10000).map_batches(lambda b: b, batch_format="pyarrow").count()
     assert out == 10000
     ctx.execution_options.resource_limits = ExecutionResources()  # restore
+
+
+# --------------------------------------------------------------- property
+
+
+def test_mixed_aggregation_property(ray_session):
+    """Property check: random frames × random spec subsets through the
+    distributed mixed plan equal the pandas reference.  Deterministic
+    seed sweep (hypothesis-style, but Ray pipelines are too slow for
+    per-example shrinking)."""
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
+
+    for seed in range(6):
+        rng = np.random.RandomState(100 + seed)
+        n = rng.randint(200, 1200)
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, rng.randint(2, 9), n),
+                "o": rng.permutation(n),
+                "v": rng.randint(0, 25, n).astype(float),
+                "s": [f"t{j % rng.randint(2, 20)}" for j in range(n)],
+            }
+        )
+        df.loc[df.index % rng.randint(5, 15) == 0, "v"] = np.nan
+        ds = _rd().from_pandas(df).repartition(int(rng.randint(2, 7)))
+        out = (
+            group_aggregate(
+                ds,
+                ["k"],
+                [
+                    AggSpec("count", "s", "nds", distinct=True),
+                    AggSpec("sum", "v", "sdv", distinct=True),
+                    AggSpec("first", "v", "fv", order_by="o"),
+                    AggSpec("last", "s", "ls", order_by="o"),
+                    AggSpec("concat", "s", "cs", order_by="o", separator="|"),
+                    AggSpec("mean", "v", "mv"),
+                    AggSpec("count", None, "n"),
+                ],
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+
+        def ref(g):
+            gs = g.sort_values("o")
+            nnv = gs["v"].dropna()
+            return pd.Series(
+                {
+                    "nds": g["s"].nunique(),
+                    "sdv": g["v"].dropna().drop_duplicates().sum() if g["v"].notna().any() else None,
+                    "fv": nnv.iloc[0] if len(nnv) else None,
+                    "ls": gs["s"].dropna().iloc[-1] if gs["s"].notna().any() else None,
+                    "cs": "|".join(gs["s"].dropna()),
+                    "mv": g["v"].mean() if g["v"].notna().any() else None,
+                    "n": len(g),
+                }
+            )
+
+        want = df.groupby("k").apply(ref, include_groups=False).reset_index()
+        want["nds"] = want["nds"].astype("int64")
+        want["n"] = want["n"].astype("int64")
+        pd.testing.assert_frame_equal(out, want, check_dtype=False)
