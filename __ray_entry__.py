@@ -635,6 +635,42 @@ def multimodal_decode(sf_dir: str):
     return out[["media_id", "width", "height", "channels"]].sort_values("media_id").reset_index(drop=True)
 
 
+def image_decode_bmp(sf_dir: str):
+    """REAL image decode end-to-end: BMP blobs are synthesized
+    deterministically from table columns (width/height formulas over
+    doc_id), shipped as a binary column through the actor-pool decoder
+    (struct+numpy BMP parser — no stub), and the decoded dimensions
+    must recover the formulas the SQL oracle computes directly."""
+    import struct
+
+    from supersonic_ray.stages.multimodal import decode_images
+
+    def make_bmp(w: int, h: int, red: int) -> bytes:
+        row = (bytes([0, 0, red]) * w) + b"\x00" * ((4 - (w * 3) % 4) % 4)
+        px = row * h
+        header = b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0)
+        return header + info + px
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def to_bmp(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        ncs = batch.column("n_chars").to_pylist()
+        blobs = [
+            make_bmp(4 + int(i) % 29, 3 + int(i) % 13, int(nc or 0) % 256)
+            for i, nc in zip(ids, ncs)
+        ]
+        return pa.table(
+            {"media_id": pa.array(ids, pa.int64()), "blob": pa.array(blobs, pa.binary())}
+        )
+
+    ds = ds.map_batches(to_bmp, batch_format="pyarrow")
+    out = decode_images(ds, decoder="bmp", batch_size=64).to_pandas()
+    out = out[["media_id", "width", "height", "channels"]]
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def range_join_parts(sf_dir: str):
     """Range (interval) join: parts banded by retail price via a
     broadcast non-overlapping interval table."""
@@ -1395,6 +1431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_docs": token_count_docs,
         "bpe_token_count_docs": bpe_token_count_docs,
         "gopher_rules_docs": gopher_rules_docs,
+        "image_decode_bmp": image_decode_bmp,
         "quality_docs": quality_docs,
         "lang_id_docs": lang_id_docs,
         "minhash_dedup_docs": minhash_dedup_docs,
@@ -1815,6 +1852,13 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             SELECT query_id, vec_id FROM r WHERE rn <= 5
             ORDER BY query_id, vec_id
+        """,
+        "image_decode_bmp": """
+            SELECT doc_id AS media_id,
+                   CAST(4 + doc_id % 29 AS INT) AS width,
+                   CAST(3 + doc_id % 13 AS INT) AS height,
+                   CAST(3 AS INT) AS channels
+            FROM documents ORDER BY media_id
         """,
         "multimodal_decode": """
             WITH h AS (SELECT doc_id,

@@ -431,3 +431,82 @@ def test_mixed_aggregation_property(ray_session):
         want["nds"] = want["nds"].astype("int64")
         want["n"] = want["n"].astype("int64")
         pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+# --------------------------------------------------------------- multimodal
+
+
+def _make_bmp(w, h, rgb):
+    """Minimal 24-bit bottom-up BMP with the given solid RGB color."""
+    import struct
+
+    row = (bytes([rgb[2], rgb[1], rgb[0]]) * w) + b"\x00" * ((4 - (w * 3) % 4) % 4)
+    px = row * h
+    header = b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0)
+    return header + info + px
+
+
+def _make_wav(sr, n, amp=0.5):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        t = np.arange(n)
+        samples = (amp * np.sin(2 * np.pi * 440 * t / sr) * 32767).astype("<i2")
+        f.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def test_real_bmp_ppm_wav_decoders(ray_session):
+    from supersonic_ray.stages.multimodal import (
+        decode_audio,
+        decode_bmp,
+        decode_images,
+        decode_ppm,
+        decode_wav,
+    )
+
+    # BMP: dims + colors round-trip exactly
+    blob = _make_bmp(5, 3, (255, 128, 0))
+    w, h, c, px = decode_bmp(blob)
+    assert (w, h, c) == (5, 3, 3)
+    assert np.allclose(px[0, 0], [1.0, 128 / 255, 0.0])
+
+    # PPM: header tolerance + payload
+    pblob = b"P6\n# comment\n4 2\n255\n" + bytes([10, 20, 30]) * 8
+    w, h, c, px = decode_ppm(pblob)
+    assert (w, h, c) == (4, 2, 3)
+    assert np.allclose(px[1, 3], [10 / 255, 20 / 255, 30 / 255])
+
+    # WAV: stdlib decode + RMS of a sine ≈ amp/sqrt(2)
+    wblob = _make_wav(8000, 8000, amp=0.5)
+    meta = decode_wav(wblob)
+    assert meta["sample_rate"] == 8000 and meta["n_frames"] == 8000
+    assert abs(meta["rms"] - 0.5 / np.sqrt(2)) < 0.01
+
+    # distributed: image + audio actor-pool stages over binary columns
+    bmps = [_make_bmp(4 + i, 4, (i * 10 % 256, 0, 0)) for i in range(12)]
+    t = pa.table({"media_id": list(range(12)), "blob": pa.array(bmps, pa.binary())})
+    out = (
+        decode_images(_rd().from_arrow(t), decoder="bmp", concurrency=2, batch_size=4)
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert out["width"].tolist() == [4 + i for i in range(12)]
+    assert all(len(f) == 16 for f in out["feature"])
+
+    wavs = [_make_wav(8000, 1000 * (i + 1)) for i in range(6)]
+    ta = pa.table({"media_id": list(range(6)), "blob": pa.array(wavs, pa.binary())})
+    aout = (
+        decode_audio(_rd().from_arrow(ta), concurrency=2, batch_size=2)
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert aout["n_frames"].tolist() == [1000 * (i + 1) for i in range(6)]
+    assert (aout["sample_rate"] == 8000).all()
