@@ -471,6 +471,29 @@ def running_min_flush_events(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def window_rank_lag(sf_dir: str):
+    """SQL analytic functions over ordered partitions: ROW_NUMBER, RANK,
+    LAG, LEAD per user ordered by (ts, event_id) — the window-function
+    surface beyond the reference's running expressions."""
+    from supersonic_ray.stages.stateful import apply_running, lag, lead, rank_by, row_number
+
+    ds = _ld(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = apply_running(
+        ds,
+        ["user_id"],
+        ["ts", "event_id"],
+        {
+            "rn": row_number,
+            "rnk": rank_by("value"),
+            "prev_v": lag("value"),
+            "next_v": lead("value"),
+        },
+    ).to_pandas()
+    out = out[["event_id", "rn", "rnk", "prev_v", "next_v"]]
+    out[["prev_v", "next_v"]] = out[["prev_v", "next_v"]].round(4)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def window_tumbling(sf_dir: str):
     """Tumbling 5-minute windows per user (streaming-shaped workload)."""
     from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
@@ -749,16 +772,36 @@ def sketch_distinct_freq(sf_dir: str):
     bounds pinned in tests/test_sketches.py): HLL distinct suppliers +
     Count-Min language frequencies over one pass each, fixed-size
     partials, zero shuffle."""
-    from supersonic_ray.stages.sketches import approx_count_distinct, approx_frequencies
+    from supersonic_ray.stages.sketches import (
+        approx_count_distinct,
+        approx_frequencies,
+        approx_quantiles,
+    )
 
     li = _ld(sf_dir, "lineitem", ["l_suppkey"])
     n_supp = approx_count_distinct(li, "l_suppkey", p=12)
     docs = _ld(sf_dir, "documents", ["lang"])
     freqs = approx_frequencies(docs, "lang", ["en", "de", "fr"])
+    orders = _ld(sf_dir, "orders", ["o_totalprice"])
+    quants = approx_quantiles(orders, "o_totalprice", [0.5, 0.9])
     return pd.DataFrame(
         {
-            "metric": ["hll_distinct_suppkey", "cms_en", "cms_de", "cms_fr"],
-            "value": [n_supp, freqs["en"], freqs["de"], freqs["fr"]],
+            "metric": [
+                "hll_distinct_suppkey",
+                "cms_en",
+                "cms_de",
+                "cms_fr",
+                "hist_p50_totalprice",
+                "hist_p90_totalprice",
+            ],
+            "value": [
+                n_supp,
+                freqs["en"],
+                freqs["de"],
+                freqs["fr"],
+                round(quants[0.5], 2),
+                round(quants[0.9], 2),
+            ],
         }
     )
 
@@ -1428,6 +1471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling": window_tumbling,
         "session_windows_events": session_windows_events,
         "window_sliding": window_sliding,
+        "window_rank_lag": window_rank_lag,
         "token_count_docs": token_count_docs,
         "bpe_token_count_docs": bpe_token_count_docs,
         "gopher_rules_docs": gopher_rules_docs,
@@ -1699,6 +1743,16 @@ def oracle_sql() -> dict[str, str]:
                    round(min(value) OVER (PARTITION BY user_id, grp ORDER BY ts, event_id
                                           ROWS UNBOUNDED PRECEDING), 4) AS run_min
             FROM g ORDER BY event_id
+        """,
+        "window_rank_lag": """
+            SELECT event_id,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   CAST(rank() OVER (PARTITION BY user_id ORDER BY value) AS BIGINT) AS rnk,
+                   round(lag(value) OVER w, 4) AS prev_v,
+                   round(lead(value) OVER w, 4) AS next_v
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id
         """,
         "window_tumbling": """
             SELECT user_id,

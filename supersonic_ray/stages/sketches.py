@@ -113,3 +113,53 @@ def approx_frequencies(ds, col: str, items: list, depth: int = 4, width: int = 2
         ests = [cm[d][int(_stable_hash([it], _CMS_KEYS[d])[0] % np.uint64(width))] for d in range(depth)]
         out[it] = int(min(ests))
     return out
+
+
+def approx_quantiles(ds, col: str, qs: list[float], n_bins: int = 4096) -> dict:
+    """Distributed approximate quantiles via a MERGEABLE equi-width
+    histogram — the percentile family the sketch set lacked.
+
+    Two streaming passes, both fixed-size: (1) global min/max via
+    1-row-per-batch partials; (2) per-batch n_bins int64 histograms,
+    summed on the driver (O(#batches · n_bins) driver work, zero
+    shuffle).  Quantile = linear interpolation inside the covering bin,
+    so the error is bounded by one bin width = (max-min)/n_bins —
+    exact for n_bins → ∞, and exact on single-bin (constant) columns.
+    """
+    import pyarrow.compute as pc
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        mm = pc.min_max(batch.column(col))
+        return pa.table({"lo": [mm["min"].as_py()], "hi": [mm["max"].as_py()]})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    mm = mm.dropna()
+    if mm.empty:
+        return {q: None for q in qs}
+    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+    if hi == lo:
+        return {q: lo for q in qs}
+    width = (hi - lo) / n_bins
+
+    def hist(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.clip(((vals - lo) / width).astype(np.int64), 0, n_bins - 1)
+        return pa.table({"h": [np.bincount(idx, minlength=n_bins).astype(np.int64).tobytes()]})
+
+    parts = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+    h = np.zeros(n_bins, dtype=np.int64)
+    for b in parts["h"]:
+        h += np.frombuffer(b, dtype=np.int64)
+    n = int(h.sum())
+    if n == 0:
+        return {q: None for q in qs}
+    cum = np.cumsum(h)
+    out = {}
+    for q in qs:
+        target = q * n
+        b = int(np.searchsorted(cum, target, side="left"))
+        b = min(b, n_bins - 1)
+        prev = cum[b - 1] if b else 0
+        inside = (target - prev) / h[b] if h[b] else 0.0
+        out[q] = lo + (b + inside) * width
+    return out

@@ -96,3 +96,47 @@ def apply_running(
     return ds.repartition(1).map_batches(
         lambda df: per_group(df), batch_format="pandas", batch_size=None
     )
+
+
+# -------------------------------------------------- window-rank helpers
+# SQL analytic functions over ordered partitions (beyond the reference's
+# running set — the surface its users reach for next).  Each is an
+# ``apply_running`` expression: fn(sorted-group DataFrame) -> Series.
+
+
+def row_number(g: pd.DataFrame) -> pd.Series:
+    """ROW_NUMBER() OVER (PARTITION ... ORDER ...): 1-based position."""
+    return pd.Series(np.arange(1, len(g) + 1, dtype=np.int64), index=g.index)
+
+
+def rank_by(col: str):
+    """RANK() by ``col`` within the ordered partition (ties share the
+    rank, next rank skips)."""
+
+    def fn(g: pd.DataFrame) -> pd.Series:
+        return g[col].rank(method="min").astype("int64")
+
+    return fn
+
+
+def dense_rank_by(col: str):
+    def fn(g: pd.DataFrame) -> pd.Series:
+        return g[col].rank(method="dense").astype("int64")
+
+    return fn
+
+
+def lag(col: str, n: int = 1):
+    """LAG(col, n): value n rows earlier in the ordered partition."""
+
+    def fn(g: pd.DataFrame) -> pd.Series:
+        return g[col].shift(n)
+
+    return fn
+
+
+def lead(col: str, n: int = 1):
+    def fn(g: pd.DataFrame) -> pd.Series:
+        return g[col].shift(-n)
+
+    return fn

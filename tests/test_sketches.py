@@ -47,3 +47,26 @@ def test_cms_frequencies_overestimate_only(ray_session, sf_dir):
         ).fetchone()[0]
         assert est[lang] >= exact  # CMS never underestimates
         assert est[lang] <= exact + 50  # tight at this scale
+
+
+def test_approx_quantiles_bounds(ray_session, sf_dir):
+    """Histogram quantiles within one bin width of the exact values."""
+    import numpy as np
+    import ray.data as rd
+
+    from supersonic_ray.stages.sketches import approx_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    import pyarrow.parquet as pq
+
+    exact = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_totalprice"]).column(0).to_numpy()
+    got = approx_quantiles(ds, "o_totalprice", [0.1, 0.5, 0.9], n_bins=4096)
+    lo, hi = float(exact.min()), float(exact.max())
+    bin_w = (hi - lo) / 4096
+    for q, v in got.items():
+        want = float(np.quantile(exact, q))
+        assert abs(v - want) <= max(bin_w * 2, 1e-9), (q, v, want)
+
+    # constant column is exact
+    const = rd.from_items([{"x": 7.0}] * 100)
+    assert approx_quantiles(const, "x", [0.5]) == {0.5: 7.0}
