@@ -839,6 +839,36 @@ def json_source_roundtrip(sf_dir: str):
     return out.sort_values("r_regionkey").reset_index(drop=True)
 
 
+def parquet_partitioned_sink(sf_dir: str):
+    """Resumable partitioned output (the scale brief's sink contract:
+    one directory per key so a failed run skips finished partitions):
+    documents written as hive-partitioned parquet (partition_cols=lang),
+    re-discovered through partition-aware read, filtered and aggregated;
+    the oracle runs the same filter+aggregate on the raw table, so the
+    sink+source round trip must be lossless including the partition
+    column."""
+    import tempfile
+
+    import ray.data as rd
+
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
+    from supersonic_ray.stages.ops import filter_expr
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    with tempfile.TemporaryDirectory() as tmp:
+        ds.write_parquet(tmp, partition_cols=["lang"])
+        back = rd.read_parquet(tmp)
+        back = filter_expr(back, lambda t: pc.not_equal(pc.cast(t.column("lang"), pa.string()), "de"))
+        out = group_aggregate(
+            back,
+            ["lang"],
+            [AggSpec("count", None, "n_docs"), AggSpec("sum", "n_chars", "total_chars")],
+        ).to_pandas()
+    out["total_chars"] = out["total_chars"].astype("int64")
+    out["lang"] = out["lang"].astype(str)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def rsb_scan_aggregate(sf_dir: str):
     """Storage + query composition: documents → RSB encode → COLUMN-
     PRUNED decode (only lang, n_chars decompress) → distributed group
@@ -1463,6 +1493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- rows-only RNG sampler — weakest driver signal, so it
         # ---- yields its slot to the oracle-checked rowid merge join)
         "sample_bernoulli": sample_bernoulli,
+        "parquet_partitioned_sink": parquet_partitioned_sink,
         "running_sum_events": running_sum_events,
         "stateful_changed": stateful_changed,
         "smudge_events": smudge_events,
@@ -2011,6 +2042,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "parquet_partitioned_sink": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents WHERE lang <> 'de'
+            GROUP BY lang ORDER BY lang
         """,
         "rsb_zonemap_scan": """
             SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
