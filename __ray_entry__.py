@@ -271,11 +271,13 @@ def expr_math(sf_dir: str):
             "price_ln": lambda t: E.ln(t.column("p_retailprice"), E.NULLING),
             "size_abs": lambda t: pc.cast(E.abs_(t.column("p_size")), pa.int32()),
             "price_round": lambda t: E.round_(t.column("p_retailprice")),
+            "price_log7": lambda t: E.log(7.0, t.column("p_retailprice")),
         },
     )
-    out = project(ds, ["p_partkey", "price_sqrt", "price_ln", "size_abs", "price_round"]).to_pandas()
+    out = project(ds, ["p_partkey", "price_sqrt", "price_ln", "size_abs", "price_round", "price_log7"]).to_pandas()
     out["price_sqrt"] = out["price_sqrt"].round(6)
     out["price_ln"] = out["price_ln"].round(6)
+    out["price_log7"] = out["price_log7"].round(6)
     return out.sort_values("p_partkey").reset_index(drop=True)
 
 
@@ -1675,7 +1677,8 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(p_retailprice), 6) AS price_sqrt,
                    round(ln(p_retailprice), 6) AS price_ln,
                    abs(p_size) AS size_abs,
-                   round(p_retailprice) AS price_round
+                   round(p_retailprice) AS price_round,
+                   round(ln(p_retailprice) / ln(7.0), 6) AS price_log7
             FROM part ORDER BY p_partkey
         """,
         "expr_date": """

@@ -240,6 +240,21 @@ def log2(a, policy: str = NULLING):
     return _policy_wrap(vals, bad, policy, "log2 of non-positive")
 
 
+def log(base, a, policy: str = NULLING):
+    """Log(base, argument) (math_expressions.h:49-50 LogNulling) —
+    arbitrary-base log as ln(a)/ln(base); bad where a <= 0, base <= 0,
+    or base == 1."""
+    af = pc.cast(a, pa.float64())
+    bf = pc.cast(base, pa.float64()) if not isinstance(base, (int, float)) else pa.scalar(float(base))
+    bad = pc.or_(
+        pc.or_(pc.less_equal(af, 0.0), pc.less_equal(bf, 0.0)), pc.equal(bf, 1.0)
+    )
+    safe_a = pc.if_else(bad, pa.scalar(np.e), af)
+    safe_b = pc.if_else(bad, pa.scalar(np.e), bf) if not isinstance(bf, pa.Scalar) else bf
+    vals = pc.divide(pc.ln(safe_a), pc.ln(safe_b))
+    return _policy_wrap(vals, bad, policy, "log with invalid base/argument")
+
+
 def sqrt(a, policy: str = SIGNALING):
     bad = pc.less(a, 0)
     if policy == QUIET:

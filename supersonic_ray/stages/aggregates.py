@@ -300,7 +300,8 @@ def _distinct_pairs(ds, keys: list[str], col: str):
 
     def local_unique(batch: pa.Table) -> pa.Table:
         sub = batch.select(keys + [col]).filter(pc.is_valid(batch.column(col)))
-        return pa.Table.from_pandas(sub.to_pandas().drop_duplicates(), preserve_index=False)
+        # Arrow hash-dedup (group_by with no aggregates = distinct rows)
+        return sub.group_by(keys + [col], use_threads=False).aggregate([])
 
     d = ds.map_batches(local_unique, batch_format="pyarrow")
     return d.groupby(keys + [col]).count().select_columns(keys + [col])
@@ -309,31 +310,68 @@ def _distinct_pairs(ds, keys: list[str], col: str):
 def _first_last_component(ds, keys: list[str], spec: AggSpec):
     """FIRST/LAST as distributed arg-extreme partials: each batch emits
     ONE candidate row per key (the batch-local first/last non-null under
-    order_by); the final pick runs over partials only (#batches rows per
-    key), never whole raw groups.  Without order_by the pick is
-    arbitrary (batch order) — same nondeterminism the reference has on
-    unordered input."""
-    col, ob, want_last = spec.column, spec.order_by, spec.fn == "last"
+    order_by), then a fully VECTORIZED distributive pick — extreme
+    order value per key (Min/Max partial path), equality filter, and a
+    deterministic Max over residual ties — no per-group Python call
+    anywhere (the previous map_groups merge cost one Python call per
+    key: 40s over 150k keys at sf0.1).  Ties on order_by resolve to the
+    MAX value (deterministic; the reference leaves ties arbitrary).
+    Without order_by the pick is arbitrary batch order, resolved the
+    same way."""
+    return _first_last_components(ds, keys, [spec])[0][0]
+
+
+def _first_last_components(ds, keys: list[str], group: list[AggSpec]):
+    """Shared plan for a GROUP of first/last specs over the same
+    (column, order_by, distinct): one candidate-partial pass, one
+    extreme pass computing every spec's Min/Max together, one join —
+    then a per-spec equality filter + tiny final.  Returns
+    [(dataset, alias), ...]."""
+    from .joins import hash_join_auto
+
+    spec0 = group[0]
+    col, ob = spec0.column, spec0.order_by
     cols = list(dict.fromkeys(keys + ([ob] if ob else []) + [col]))
+    want_first = any(s.fn == "first" for s in group)
+    want_last = any(s.fn == "last" for s in group)
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         sub = df[cols].dropna(subset=[col])
-        if spec.distinct:
+        if spec0.distinct:
             sub = sub.drop_duplicates(subset=[col])
         if ob:
             sub = sub.sort_values(ob, kind="mergesort")
         gb = sub.groupby(keys, dropna=False, sort=False)
-        return gb.tail(1) if want_last else gb.head(1)
+        parts = []
+        if want_first:
+            parts.append(gb.head(1))
+        if want_last:
+            parts.append(gb.tail(1))
+        out = pd.concat(parts) if len(parts) > 1 else parts[0]
+        return out.drop_duplicates()  # one row can be both head and tail
 
     partials = ds.map_batches(pick, batch_format="pandas")
-    out = partials.groupby(keys).map_groups(pick, batch_format="pandas")
-    alias_cols = keys + [col]
-
-    def finalize(t: pa.Table) -> pa.Table:
-        t = t.select(alias_cols)
-        return t.rename_columns(keys + [spec.alias])
-
-    return out.map_batches(finalize, batch_format="pyarrow")
+    if not ob:
+        return [
+            (_group_aggregate_partial(partials, keys, [AggSpec("max", col, s.alias)]), s.alias)
+            for s in group
+        ]
+    partials = partials.materialize()  # consumed by extreme pass + probe
+    ext_specs = [
+        AggSpec("max" if s.fn == "last" else "min", ob, f"__ext_{s.alias}") for s in group
+    ]
+    ext = _group_aggregate_partial(partials, keys, ext_specs)
+    tagged = hash_join_auto(partials, ext, keys, keys)
+    if len(group) > 1:
+        tagged = tagged.materialize()  # probed once per spec
+    outs = []
+    for s in group:
+        hit = tagged.map_batches(
+            lambda t, a=f"__ext_{s.alias}": t.filter(pc.equal(t.column(ob), t.column(a))),
+            batch_format="pyarrow",
+        )
+        outs.append((_group_aggregate_partial(hit, keys, [AggSpec("max", col, s.alias)]), s.alias))
+    return outs
 
 
 def _concat_component(ds, keys: list[str], spec: AggSpec):
@@ -438,6 +476,17 @@ def _group_aggregate_mixed(ds, keys: list[str], specs: list[AggSpec]):
 
     components: list[tuple[object, str, object]] = []  # (dataset, alias, fill)
     pair_cache: dict[str, object] = {}
+    # first/last specs over the same (column, order_by, distinct) share
+    # one candidate-partial + extreme pass
+    fl_groups: dict[tuple, list[AggSpec]] = {}
+    for s in specs:
+        if s.fn in ("first", "last") and not _is_distributive(s):
+            fl_groups.setdefault((s.column, s.order_by, s.distinct), []).append(s)
+    fl_results: dict[str, object] = {}
+    for group in fl_groups.values():
+        for comp, alias in _first_last_components(src, keys, group):
+            fl_results[alias] = comp
+
     for s in specs:
         if _is_distributive(s):
             continue
@@ -456,7 +505,7 @@ def _group_aggregate_mixed(ds, keys: list[str], specs: list[AggSpec]):
             )
             components.append((comp, s.alias, None))
         elif s.fn in ("first", "last"):
-            components.append((_first_last_component(src, keys, s), s.alias, None))
+            components.append((fl_results[s.alias], s.alias, None))
         elif s.fn == "concat":
             components.append((_concat_component(src, keys, s), s.alias, ""))
         else:
