@@ -432,11 +432,14 @@ class BatchEncoder:
     complete partition, and skips — no duplicate .rsb for one batch (the
     old (run, actor_uid, ordinal) id re-encoded retries under a new uid,
     duplicating rows at decode).  The occurrence ordinal disambiguates
-    byte-identical batches seen by the SAME actor; byte-identical
-    batches landing on DIFFERENT actors would collapse to one partition
-    — with a 128-bit blake2b over all column buffers that requires two
-    genuinely identical multi-thousand-row batches, which real corpora
-    don't produce and the resume-safety trade is documented here.
+    byte-identical batches streamed to the SAME live actor; two
+    irreducible ambiguities remain for byte-identical batches ONLY —
+    copies landing on different actors collapse to one partition, and a
+    retry of the second copy on a replacement actor (fresh ordinal
+    counter) is skipped as already-complete.  Both need two genuinely
+    identical multi-thousand-row batches (128-bit blake2b over all
+    column buffers), which real corpora don't produce; the retry-dup
+    fix for DISTINCT batches is worth that documented trade.
     ``encode_parquet`` (stable shard-ordinal ids) remains the
     checkpoint-resumable shape; give each ``encode_dataset`` run a
     fresh ``out_dir``."""

@@ -307,7 +307,7 @@ def _distinct_pairs(ds, keys: list[str], col: str):
     return d.groupby(keys + [col]).count().select_columns(keys + [col])
 
 
-def _first_last_component(ds, keys: list[str], spec: AggSpec):
+def _first_last_components(ds, keys: list[str], group: list[AggSpec]):
     """FIRST/LAST as distributed arg-extreme partials: each batch emits
     ONE candidate row per key (the batch-local first/last non-null under
     order_by), then a fully VECTORIZED distributive pick — extreme
@@ -315,18 +315,11 @@ def _first_last_component(ds, keys: list[str], spec: AggSpec):
     deterministic Max over residual ties — no per-group Python call
     anywhere (the previous map_groups merge cost one Python call per
     key: 40s over 150k keys at sf0.1).  Ties on order_by resolve to the
-    MAX value (deterministic; the reference leaves ties arbitrary).
-    Without order_by the pick is arbitrary batch order, resolved the
-    same way."""
-    return _first_last_components(ds, keys, [spec])[0][0]
-
-
-def _first_last_components(ds, keys: list[str], group: list[AggSpec]):
-    """Shared plan for a GROUP of first/last specs over the same
-    (column, order_by, distinct): one candidate-partial pass, one
-    extreme pass computing every spec's Min/Max together, one join —
-    then a per-spec equality filter + tiny final.  Returns
-    [(dataset, alias), ...]."""
+    MAX value (deterministic; the reference leaves ties arbitrary);
+    without order_by the pick is arbitrary batch order, resolved the
+    same way.  ``group`` holds first/last specs sharing one
+    (column, order_by, distinct) — they share the candidate-partial and
+    extreme passes.  Returns [(dataset, alias), ...]."""
     from .joins import hash_join_auto
 
     spec0 = group[0]
@@ -338,7 +331,9 @@ def _first_last_components(ds, keys: list[str], group: list[AggSpec]):
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         sub = df[cols].dropna(subset=[col])
         if spec0.distinct:
-            sub = sub.drop_duplicates(subset=[col])
+            # dedup WITHIN each key (keys included!) — subset=[col] alone
+            # would erase other keys' rows holding the same value
+            sub = sub.drop_duplicates(subset=keys + [col])
         if ob:
             sub = sub.sort_values(ob, kind="mergesort")
         gb = sub.groupby(keys, dropna=False, sort=False)

@@ -28,10 +28,9 @@ INNER, LEFT_OUTER = "inner", "left_outer"
 
 
 def _pool_size() -> int:
-    import ray
+    from ._pool import default_pool_size
 
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    return max(1, cpus - max(1, cpus // 4))
+    return default_pool_size()
 
 
 def _maybe_get(ref):
@@ -94,9 +93,20 @@ class _BroadcastJoiner:
             right_suffix=self.suffix,
         )
         if self._copy_back:
-            out = out.rename_columns(
-                [c[len("__rk_"):] if c.startswith("__rk_") else c for c in out.column_names]
-            )
+            taken = set(c for c in out.column_names if not c.startswith("__rk_"))
+            new_names = []
+            for c in out.column_names:
+                if c.startswith("__rk_"):
+                    base = c[len("__rk_"):]
+                    # a left non-key column may already own this name —
+                    # suffix like the pandas path did instead of emitting
+                    # a duplicate column
+                    name = base if base not in taken else base + self.suffix
+                    taken.add(name)
+                    new_names.append(name)
+                else:
+                    new_names.append(c)
+            out = out.rename_columns(new_names)
         return out
 
 
@@ -369,6 +379,9 @@ class _AsofJoiner:
     def probe_batch(self, batch: pa.Table, left_by: str, left_on: str) -> pa.Table:
         import numpy as np
 
+        # NULL by-keys never match (and None breaks object argsort)
+        if batch.column(left_by).null_count:
+            batch = batch.filter(pc.is_valid(batch.column(left_by)))
         n = batch.num_rows
         keys = batch.column(left_by).to_numpy(zero_copy_only=False)
         ords = _ord_i64(pd.Series(batch.column(left_on).to_numpy(zero_copy_only=False)))

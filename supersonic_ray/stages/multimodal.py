@@ -180,7 +180,9 @@ class ImageDecoder:
 def decode_images(ds, blob_col: str = "blob", id_col: str = "media_id", decoder: str = "fake", concurrency: int | None = None, batch_size: int = 64):
     import ray
 
-    kwargs = {"concurrency": concurrency or max(1, int(ray.cluster_resources().get("CPU", 4)) - max(1, int(ray.cluster_resources().get("CPU", 4)) // 4))}
+    from ._pool import default_pool_size
+
+    kwargs = {"concurrency": concurrency or default_pool_size()}
     return ds.map_batches(
         ImageDecoder,
         fn_constructor_kwargs={"blob_col": blob_col, "id_col": id_col, "decoder": decoder},
@@ -227,7 +229,9 @@ class AudioDecoder:
 def decode_audio(ds, blob_col: str = "blob", id_col: str = "media_id", concurrency: int | None = None, batch_size: int = 64):
     import ray
 
-    concurrency = concurrency or max(1, int(ray.cluster_resources().get("CPU", 4)) - max(1, int(ray.cluster_resources().get("CPU", 4)) // 4))
+    from ._pool import default_pool_size
+
+    concurrency = concurrency or default_pool_size()
     return ds.map_batches(
         AudioDecoder,
         fn_constructor_kwargs={"blob_col": blob_col, "id_col": id_col},
@@ -269,7 +273,9 @@ class FrameSampler:
 def sample_frames(ds, blob_col: str = "blob", id_col: str = "media_id", every_n: int = 10, batch_size: int = 16, concurrency: int | None = None):
     import ray
 
-    concurrency = concurrency or max(1, int(ray.cluster_resources().get("CPU", 4)) - max(1, int(ray.cluster_resources().get("CPU", 4)) // 4))
+    from ._pool import default_pool_size
+
+    concurrency = concurrency or default_pool_size()
     return ds.map_batches(
         FrameSampler,
         fn_constructor_kwargs={"blob_col": blob_col, "id_col": id_col, "every_n": every_n},

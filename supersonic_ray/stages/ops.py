@@ -279,6 +279,9 @@ def hash_sample(ds, key_col: str, p: float, seed: int = 0, hasher: str = "sip"):
     path.  hasher="md5": per-row md5, slower, but SQL-replicable (the
     oracle compares the first 8 md5 hex chars lexicographically, which
     equals the numeric compare for fixed-width lowercase hex)."""
+    if p >= 1.0:
+        return ds  # keep everything (a 9-hex-digit threshold would
+        # lexicographically exclude almost all 8-digit hashes)
     threshold = int(p * (1 << 32))
     if hasher == "md5":
         hex_thresh = format(threshold, "08x")

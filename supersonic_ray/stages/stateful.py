@@ -111,17 +111,17 @@ def row_number(g: pd.DataFrame) -> pd.Series:
 
 def rank_by(col: str):
     """RANK() by ``col`` within the ordered partition (ties share the
-    rank, next rank skips)."""
+    rank, next rank skips); NULLs rank last (SQL default)."""
 
     def fn(g: pd.DataFrame) -> pd.Series:
-        return g[col].rank(method="min").astype("int64")
+        return g[col].rank(method="min", na_option="bottom").astype("int64")
 
     return fn
 
 
 def dense_rank_by(col: str):
     def fn(g: pd.DataFrame) -> pd.Series:
-        return g[col].rank(method="dense").astype("int64")
+        return g[col].rank(method="dense", na_option="bottom").astype("int64")
 
     return fn
 

@@ -24,12 +24,10 @@ import pyarrow.compute as pc
 
 def _default_concurrency() -> int:
     """Actor-pool size leaving slack for task-pool stages in the same
-    pipeline — a pool that reserves every CPU starves the read/shuffle
-    stages and the pipeline livelocks (observed at num_cpus=2)."""
-    import ray
+    pipeline (shared formula: stages/_pool.py)."""
+    from ._pool import default_pool_size
 
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    return max(1, cpus - max(1, cpus // 4))
+    return default_pool_size()
 
 # ------------------------------------------------------------ analysis
 
@@ -261,10 +259,11 @@ def exact_dedup(ds, content_col: str, id_col: str):
 
     def add_hash(batch: pa.Table) -> pa.Table:
         # batch md5 kernel (128-bit — collision-safe at 10^12 docs,
-        # unlike a 64-bit sip), nulls canonicalized to "" like the
-        # reference's NULL-vs-empty disambiguation upstream
-        vals = pc.fill_null(pc.cast(batch.column(content_col), pa.string()), "")
-        return batch.append_column("__h", md5_hex(vals))
+        # unlike a 64-bit sip).  NULL content hashes to a non-hex
+        # sentinel so NULL and "" stay DISTINCT groups (SQL GROUP BY
+        # semantics; the synthetic fixtures pin empty-but-not-null)
+        h = pc.fill_null(md5_hex(batch.column(content_col)), "__null__")
+        return batch.append_column("__h", h)
 
     hashed = fanout(ds.map_batches(add_hash, batch_format="pyarrow"), n_consumers=2)
 

@@ -17,13 +17,9 @@ import pyarrow as pa
 
 
 def _default_concurrency() -> int:
-    """Actor-pool size leaving slack for task-pool stages in the same
-    pipeline — a pool that reserves every CPU starves the read/shuffle
-    stages and the pipeline livelocks (observed at num_cpus=2)."""
-    import ray
+    from ._pool import default_pool_size
 
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    return max(1, cpus - max(1, cpus // 4))
+    return default_pool_size()
 
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:

@@ -510,3 +510,80 @@ def test_real_bmp_ppm_wav_decoders(ray_session):
     )
     assert aout["n_frames"].tolist() == [1000 * (i + 1) for i in range(6)]
     assert (aout["sample_rate"] == 8000).all()
+
+
+# ------------------------------------------------------- review regressions
+
+
+def test_first_distinct_does_not_cross_keys(ray_session):
+    """drop_duplicates in the first/last candidate pass must dedup
+    within (keys, value), not value alone (code-review r3 finding)."""
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
+
+    df = pd.DataFrame(
+        {"k": [1, 1, 2, 2], "o": [1, 2, 1, 2], "v": [5.0, 7.0, 5.0, 5.0]}
+    )
+    out = (
+        group_aggregate(
+            _rd().from_pandas(df),
+            ["k"],
+            [AggSpec("first", "v", "f", order_by="o", distinct=True)],
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["f"].tolist() == [5.0, 5.0]
+
+
+def test_exact_dedup_null_vs_empty_distinct(ray_session):
+    """NULL text and empty-string text are DIFFERENT dedup groups (SQL
+    GROUP BY semantics; FIXTURES.md empty-but-not-null contract)."""
+    from supersonic_ray.stages.text import exact_dedup
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [None, "", None, ""]})
+    out = exact_dedup(_rd().from_pandas(df), "text", "doc_id").to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2]  # one NULL winner + one "" winner
+
+
+def test_broadcast_join_right_key_name_collision(ray_session):
+    """Right join-key copy-back must suffix when the left side already
+    owns that column name (old pandas path emitted rk_r)."""
+    from supersonic_ray.stages.joins import broadcast_hash_join
+
+    left = _rd().from_pandas(pd.DataFrame({"lk": [1, 2], "rk": ["x", "y"]}))
+    right = pa.table({"rk": [1, 2], "pay": ["p", "q"]})
+    out = broadcast_hash_join(left, right, ["lk"], ["rk"]).to_pandas()
+    assert "rk_r" in out.columns and out.columns.is_unique
+
+
+def test_asof_null_string_keys_drop(ray_session):
+    from supersonic_ray.stages.joins import asof_join
+
+    left = _rd().from_pandas(
+        pd.DataFrame({"k": ["a", None, "b"], "t": [5, 5, 5], "lid": [0, 1, 2]})
+    )
+    right = pa.table({"k": ["a", "b"], "rt": [1, 1], "pay": [10, 20]})
+    out = asof_join(
+        left, right, left_by="k", right_by="k", left_on="t", right_on="rt", payload_cols=["pay"]
+    ).to_pandas()
+    assert sorted(out["lid"]) == [0, 2]
+
+
+def test_hash_sample_p_one_keeps_all(ray_session):
+    from supersonic_ray.stages.ops import hash_sample
+
+    ds = _rd().from_pandas(pd.DataFrame({"k": range(100)}))
+    assert hash_sample(ds, "k", 1.0, seed=1, hasher="md5").count() == 100
+
+
+def test_rank_with_nulls(ray_session):
+    from supersonic_ray.stages.stateful import apply_running, rank_by
+
+    df = pd.DataFrame({"k": [1] * 4, "o": [1, 2, 3, 4], "v": [3.0, None, 1.0, 2.0]})
+    out = (
+        apply_running(_rd().from_pandas(df), ["k"], ["o"], {"r": rank_by("v")})
+        .to_pandas()
+        .sort_values("o")
+    )
+    assert out["r"].tolist() == [3, 4, 1, 2]  # NULL ranks last
