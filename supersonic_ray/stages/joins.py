@@ -73,25 +73,64 @@ class _BroadcastJoiner:
         self.join_type = join_type
         self.suffix = suffix
         self._casted = False
+        # Acero rebuilds the build-side hash table on EVERY batch.join
+        # call; for a LARGE build side with a unique single key, build a
+        # pandas hash index ONCE per actor instead and probe with
+        # get_indexer + Arrow take (identical results, no per-batch
+        # rebuild).  Duplicate-key or multi-key builds stay on Acero
+        # (row replication needs the real join).
+        self._index = None
+        if len(right_keys) == 1 and self.right.num_rows >= 65536:
+            import numpy as np
+
+            key_np = self.right.column(right_keys[0]).to_numpy(zero_copy_only=False)
+            idx = pd.Index(key_np)
+            if idx.is_unique:
+                idx.get_indexer(idx[:1])  # force hash engine build now
+                self._index = idx
+                self._gather = self.right.drop_columns([right_keys[0]])
+
+    def _probe_indexed(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        probe = batch.column(self.left_keys[0]).to_numpy(zero_copy_only=False)
+        idxr = self._index.get_indexer(probe)
+        if self.join_type == INNER:
+            keep = idxr >= 0
+            if not keep.all():
+                batch = batch.filter(pa.array(keep))
+                idxr = idxr[keep]
+            gathered = self._gather.take(pa.array(idxr))
+        else:  # left outer: null indices gather null rows
+            ind = pa.array(np.where(idxr >= 0, idxr, 0), mask=idxr < 0)
+            gathered = self._gather.take(ind)
+        out = batch
+        for name in gathered.column_names:
+            col_name = name if name not in out.column_names else name + self.suffix
+            out = out.append_column(col_name, gathered.column(name))
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self._casted:
-            # Acero requires exactly matching key types; align the build
-            # side to the probe schema once
-            for lk, rk in zip(self.left_keys, self.right_keys):
-                lt = batch.schema.field(lk).type
-                if self.right.schema.field(rk).type != lt:
-                    i = self.right.column_names.index(rk)
-                    self.right = self.right.set_column(i, rk, self.right.column(rk).cast(lt))
-            self._casted = True
-        jt = "inner" if self.join_type == INNER else "left outer"
-        out = batch.join(
-            self.right,
-            keys=self.left_keys,
-            right_keys=self.right_keys,
-            join_type=jt,
-            right_suffix=self.suffix,
-        )
+        if self._index is not None:
+            out = self._probe_indexed(batch)
+        else:
+            if not self._casted:
+                # Acero requires exactly matching key types; align the build
+                # side to the probe schema once
+                for lk, rk in zip(self.left_keys, self.right_keys):
+                    lt = batch.schema.field(lk).type
+                    if self.right.schema.field(rk).type != lt:
+                        i = self.right.column_names.index(rk)
+                        self.right = self.right.set_column(i, rk, self.right.column(rk).cast(lt))
+                self._casted = True
+            jt = "inner" if self.join_type == INNER else "left outer"
+            out = batch.join(
+                self.right,
+                keys=self.left_keys,
+                right_keys=self.right_keys,
+                join_type=jt,
+                right_suffix=self.suffix,
+            )
         if self._copy_back:
             taken = set(c for c in out.column_names if not c.startswith("__rk_"))
             new_names = []

@@ -587,3 +587,50 @@ def test_rank_with_nulls(ray_session):
         .sort_values("o")
     )
     assert out["r"].tolist() == [3, 4, 1, 2]  # NULL ranks last
+
+
+def test_indexed_broadcast_matches_acero(ray_session):
+    """The large-unique-build index probe must produce exactly what the
+    Acero path produces (inner + left outer, null keys, misses)."""
+    from supersonic_ray.stages import joins as J
+
+    rng = np.random.RandomState(5)
+    n_right = 70000  # above the index-mode threshold
+    right = pa.table(
+        {"rk": np.arange(n_right, dtype=np.int64), "pay": rng.randint(0, 99, n_right)}
+    )
+    left = pd.DataFrame(
+        {
+            "lk": [0, 5, n_right + 7, 123, None, 69999],
+            "tag": list("abcdef"),
+        }
+    )
+    for jt in ("inner", "left_outer"):
+        ds = _rd().from_pandas(left)
+        out_idx = (
+            J.broadcast_hash_join(ds, right, ["lk"], ["rk"], jt)
+            .to_pandas()
+            .sort_values("tag")
+            .reset_index(drop=True)
+        )
+        # force the Acero path by shrinking the threshold via a small build
+        small = right.slice(0, 1000)
+        ds2 = _rd().from_pandas(left)
+        out_acero = (
+            J.broadcast_hash_join(ds2, small, ["lk"], ["rk"], jt)
+            .to_pandas()
+            .sort_values("tag")
+            .reset_index(drop=True)
+        )
+        # compare on the keys both builds cover
+        sub_idx = out_idx[out_idx["lk"].isin([0, 5, 123]) | out_idx["lk"].isna()]
+        sub_ace = out_acero[out_acero["lk"].isin([0, 5, 123]) | out_acero["lk"].isna()]
+        pd.testing.assert_frame_equal(
+            sub_idx.reset_index(drop=True)[sorted(sub_idx.columns)],
+            sub_ace.reset_index(drop=True)[sorted(sub_ace.columns)],
+            check_dtype=False,
+        )
+        if jt == "inner":
+            assert set(out_idx["lk"].dropna()) == {0, 5, 123, 69999}
+        else:
+            assert len(out_idx) == 6
