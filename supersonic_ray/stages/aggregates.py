@@ -330,10 +330,6 @@ def _first_last_components(ds, keys: list[str], group: list[AggSpec]):
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         sub = df[cols].dropna(subset=[col])
-        if spec0.distinct:
-            # dedup WITHIN each key (keys included!) — subset=[col] alone
-            # would erase other keys' rows holding the same value
-            sub = sub.drop_duplicates(subset=keys + [col])
         if ob:
             sub = sub.sort_values(ob, kind="mergesort")
         gb = sub.groupby(keys, dropna=False, sort=False)
@@ -345,7 +341,19 @@ def _first_last_components(ds, keys: list[str], group: list[AggSpec]):
         out = pd.concat(parts) if len(parts) > 1 else parts[0]
         return out.drop_duplicates()  # one row can be both head and tail
 
-    partials = ds.map_batches(pick, batch_format="pandas")
+    if spec0.distinct and ob:
+        # DISTINCT with order: each (key, value) is ranked by its GLOBAL
+        # minimal order_by (the engine's distinct-with-order convention,
+        # same as _concat_component) — a per-batch candidate pick would
+        # rank a value by whichever occurrence the batch happened to
+        # hold, making LAST row-order-dependent across batches.
+        valid = ds.map_batches(
+            lambda t: t.select(cols).filter(pc.is_valid(t.column(col))),
+            batch_format="pyarrow",
+        )
+        partials = _group_aggregate_partial(valid, keys + [col], [AggSpec("min", ob, ob)])
+    else:
+        partials = ds.map_batches(pick, batch_format="pandas")
     if not ob:
         return [
             (_group_aggregate_partial(partials, keys, [AggSpec("max", col, s.alias)]), s.alias)

@@ -78,23 +78,46 @@ class _BroadcastJoiner:
         # pandas hash index ONCE per actor instead and probe with
         # get_indexer + Arrow take (identical results, no per-batch
         # rebuild).  Duplicate-key or multi-key builds stay on Acero
-        # (row replication needs the real join).
+        # (row replication needs the real join).  The index builds
+        # LAZILY on the first batch so the build key can be cast to the
+        # probe key's exact type first (a dtype mismatch would otherwise
+        # silently match nothing).
         self._index = None
-        if len(right_keys) == 1 and self.right.num_rows >= 65536:
-            import numpy as np
+        self._try_index = len(right_keys) == 1 and self.right.num_rows >= 65536
 
-            key_np = self.right.column(right_keys[0]).to_numpy(zero_copy_only=False)
-            idx = pd.Index(key_np)
-            if idx.is_unique:
-                idx.get_indexer(idx[:1])  # force hash engine build now
-                self._index = idx
-                self._gather = self.right.drop_columns([right_keys[0]])
+    def _build_index(self, probe_type: pa.DataType) -> None:
+        rk = self.right_keys[0]
+        key_col = self.right.column(rk)
+        if key_col.type != probe_type:
+            try:
+                key_col = key_col.cast(probe_type)
+            except pa.ArrowInvalid:
+                self._try_index = False  # fall back to Acero's cast logic
+                return
+        idx = pd.Index(key_col.to_numpy(zero_copy_only=False))
+        if not idx.is_unique:
+            self._try_index = False
+            return
+        idx.get_indexer(idx[:1])  # force hash engine build now
+        self._index = idx
+        self._gather = self.right.drop_columns([rk])
 
     def _probe_indexed(self, batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        probe = batch.column(self.left_keys[0]).to_numpy(zero_copy_only=False)
-        idxr = self._index.get_indexer(probe)
+        n = batch.num_rows
+        probe_col = batch.column(self.left_keys[0])
+        if probe_col.null_count:
+            # probe only the valid slots with their EXACT dtype (a bulk
+            # to_numpy would promote int64-with-nulls to float64, losing
+            # exactness above 2^53); NULL keys never match
+            valid = np.flatnonzero(np.asarray(pc.is_valid(probe_col)))
+            idxr = np.full(n, -1, dtype=np.int64)
+            if len(valid):
+                vals = probe_col.drop_null().to_numpy(zero_copy_only=False)
+                idxr[valid] = self._index.get_indexer(vals)
+        else:
+            idxr = self._index.get_indexer(probe_col.to_numpy(zero_copy_only=False))
         if self.join_type == INNER:
             keep = idxr >= 0
             if not keep.all():
@@ -106,11 +129,15 @@ class _BroadcastJoiner:
             gathered = self._gather.take(ind)
         out = batch
         for name in gathered.column_names:
-            col_name = name if name not in out.column_names else name + self.suffix
+            col_name = name
+            while col_name in out.column_names:
+                col_name = col_name + self.suffix
             out = out.append_column(col_name, gathered.column(name))
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._try_index and self._index is None:
+            self._build_index(batch.schema.field(self.left_keys[0]).type)
         if self._index is not None:
             out = self._probe_indexed(batch)
         else:
@@ -136,11 +163,11 @@ class _BroadcastJoiner:
             new_names = []
             for c in out.column_names:
                 if c.startswith("__rk_"):
-                    base = c[len("__rk_"):]
-                    # a left non-key column may already own this name —
-                    # suffix like the pandas path did instead of emitting
-                    # a duplicate column
-                    name = base if base not in taken else base + self.suffix
+                    # a left column may already own this name — keep
+                    # suffixing (like the pandas path) until it's free
+                    name = c[len("__rk_"):]
+                    while name in taken:
+                        name = name + self.suffix
                     taken.add(name)
                     new_names.append(name)
                 else:

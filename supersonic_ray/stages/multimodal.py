@@ -178,8 +178,6 @@ class ImageDecoder:
 
 
 def decode_images(ds, blob_col: str = "blob", id_col: str = "media_id", decoder: str = "fake", concurrency: int | None = None, batch_size: int = 64):
-    import ray
-
     from ._pool import default_pool_size
 
     kwargs = {"concurrency": concurrency or default_pool_size()}
@@ -227,8 +225,6 @@ class AudioDecoder:
 
 
 def decode_audio(ds, blob_col: str = "blob", id_col: str = "media_id", concurrency: int | None = None, batch_size: int = 64):
-    import ray
-
     from ._pool import default_pool_size
 
     concurrency = concurrency or default_pool_size()
@@ -271,8 +267,6 @@ class FrameSampler:
 
 
 def sample_frames(ds, blob_col: str = "blob", id_col: str = "media_id", every_n: int = 10, batch_size: int = 16, concurrency: int | None = None):
-    import ray
-
     from ._pool import default_pool_size
 
     concurrency = concurrency or default_pool_size()

@@ -280,8 +280,12 @@ def hash_sample(ds, key_col: str, p: float, seed: int = 0, hasher: str = "sip"):
     oracle compares the first 8 md5 hex chars lexicographically, which
     equals the numeric compare for fixed-width lowercase hex)."""
     if p >= 1.0:
-        return ds  # keep everything (a 9-hex-digit threshold would
-        # lexicographically exclude almost all 8-digit hashes)
+        # keep every NON-NULL-key row (a 9-hex-digit threshold would
+        # lexicographically exclude almost all 8-digit hashes); NULL
+        # keys never sample at ANY p — same as every p < 1 path
+        return ds.map_batches(
+            lambda b: b.filter(pc.is_valid(b.column(key_col))), batch_format="pyarrow"
+        )
     threshold = int(p * (1 << 32))
     if hasher == "md5":
         hex_thresh = format(threshold, "08x")

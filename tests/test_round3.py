@@ -634,3 +634,40 @@ def test_indexed_broadcast_matches_acero(ray_session):
             assert set(out_idx["lk"].dropna()) == {0, 5, 123, 69999}
         else:
             assert len(out_idx) == 6
+
+
+def test_first_last_distinct_global_min_order(ray_session):
+    """DISTINCT+order candidates rank by GLOBAL minimal order_by —
+    row order within or across batches must not change the answer."""
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
+
+    # value 7 appears late in batch order but with the minimal o
+    df = pd.DataFrame({"k": [1, 1, 1], "o": [5, 1, 2], "v": [7.0, 7.0, 9.0]})
+    for nparts in (1, 3):
+        out = group_aggregate(
+            _rd().from_pandas(df).repartition(nparts),
+            ["k"],
+            [
+                AggSpec("first", "v", "f", order_by="o", distinct=True),
+                AggSpec("last", "v", "l", order_by="o", distinct=True),
+            ],
+        ).to_pandas()
+        assert out["f"].tolist() == [7.0]  # min ob of 7 is 1 < 2
+        assert out["l"].tolist() == [9.0]  # distinct values ranked by min ob: 7@1, 9@2
+
+
+def test_indexed_broadcast_type_mismatch_and_null_ints(ray_session):
+    from supersonic_ray.stages.joins import broadcast_hash_join
+
+    n = 70000
+    right = pa.table({"rk": pa.array(range(n), pa.int32()), "pay": range(n)})
+    # int64 probe vs int32 build: index must cast, not silently miss
+    left = pd.DataFrame({"lk": pd.array([5, None, 69999], dtype="Int64"), "t": list("abc")})
+    out = (
+        broadcast_hash_join(_rd().from_pandas(left), right, ["lk"], ["rk"], "left_outer")
+        .to_pandas()
+        .sort_values("t")
+    )
+    assert out["pay"].tolist()[0] == 5
+    assert pd.isna(out["pay"].tolist()[1])  # NULL key never matches
+    assert out["pay"].tolist()[2] == 69999
