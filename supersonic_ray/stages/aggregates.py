@@ -89,8 +89,18 @@ def _apply_one(g: pd.DataFrame, spec: AggSpec):
     if fn == "mean":
         return col.mean() if col.notna().any() else None
     if fn in ("first", "last", "concat"):
-        frame = g if not spec.distinct else g.drop_duplicates(subset=[spec.column])
-        if spec.order_by:
+        if spec.distinct and spec.order_by:
+            # engine convention (shared with the distributed plans): each
+            # distinct value is ranked by its MINIMAL order_by — sort
+            # first, then keep the first occurrence per value
+            frame = g.sort_values(spec.order_by, kind="mergesort").drop_duplicates(
+                subset=[spec.column], keep="first"
+            )
+        elif spec.distinct:
+            frame = g.drop_duplicates(subset=[spec.column])
+        else:
+            frame = g
+        if spec.order_by and not spec.distinct:
             frame = frame.sort_values(spec.order_by, kind="mergesort")
         vals = frame[spec.column]
         if fn == "first":
@@ -347,10 +357,17 @@ def _first_last_components(ds, keys: list[str], group: list[AggSpec]):
         # same as _concat_component) — a per-batch candidate pick would
         # rank a value by whichever occurrence the batch happened to
         # hold, making LAST row-order-dependent across batches.
-        valid = ds.map_batches(
-            lambda t: t.select(cols).filter(pc.is_valid(t.column(col))),
-            batch_format="pyarrow",
-        )
+        def valid_rows(t: pa.Table) -> pa.Table:
+            c = t.column(col)
+            mask = pc.is_valid(c)
+            if pa.types.is_floating(c.type):
+                # NaN values are skipped like NULLs (pandas dropna /
+                # _apply_one semantics; a NaN surviving into the Max
+                # merge would corrupt to -inf)
+                mask = pc.and_(mask, pc.invert(pc.is_nan(pc.fill_null(c, 0.0))))
+            return t.select(cols).filter(mask)
+
+        valid = ds.map_batches(valid_rows, batch_format="pyarrow")
         partials = _group_aggregate_partial(valid, keys + [col], [AggSpec("min", ob, ob)])
     else:
         partials = ds.map_batches(pick, batch_format="pandas")

@@ -51,6 +51,8 @@ class _BroadcastJoiner:
                 f"broadcast_hash_join supports inner/left_outer only, got {join_type!r}; "
                 "use partitioned_hash_join (or hash_join_auto, which routes there)"
             )
+        if not suffix:
+            raise ValueError("broadcast_hash_join: suffix must be non-empty")
         right: pa.Table = _maybe_get(right_ref)
         # NULL keys never match (hash_join.cc:63-66): drop from build side.
         if right.num_rows:
@@ -88,12 +90,17 @@ class _BroadcastJoiner:
     def _build_index(self, probe_type: pa.DataType) -> None:
         rk = self.right_keys[0]
         key_col = self.right.column(rk)
+        self._probe_cast = None
         if key_col.type != probe_type:
             try:
                 key_col = key_col.cast(probe_type)
-            except pa.ArrowInvalid:
-                self._try_index = False  # fall back to Acero's cast logic
-                return
+            except Exception:
+                # build values don't FIT the probe type (e.g. int64 ids
+                # probed by int32): index the UNCAST build key and
+                # widen each probe batch to the build type instead —
+                # never fall back to Acero here, whose cast would hit
+                # the same failure
+                self._probe_cast = key_col.type
         idx = pd.Index(key_col.to_numpy(zero_copy_only=False))
         if not idx.is_unique:
             self._try_index = False
@@ -107,6 +114,8 @@ class _BroadcastJoiner:
 
         n = batch.num_rows
         probe_col = batch.column(self.left_keys[0])
+        if self._probe_cast is not None and probe_col.type != self._probe_cast:
+            probe_col = probe_col.cast(self._probe_cast)
         if probe_col.null_count:
             # probe only the valid slots with their EXACT dtype (a bulk
             # to_numpy would promote int64-with-nulls to float64, losing
@@ -158,6 +167,18 @@ class _BroadcastJoiner:
                 join_type=jt,
                 right_suffix=self.suffix,
             )
+            # Acero applies right_suffix ONCE; a left column may already
+            # own the suffixed name too — keep suffixing until unique
+            if len(set(out.column_names)) != out.num_columns:
+                seen: set[str] = set()
+                names = []
+                for c in out.column_names:
+                    name = c
+                    while name in seen:
+                        name = name + self.suffix
+                    seen.add(name)
+                    names.append(name)
+                out = out.rename_columns(names)
         if self._copy_back:
             taken = set(c for c in out.column_names if not c.startswith("__rk_"))
             new_names = []
@@ -197,6 +218,8 @@ def broadcast_hash_join(
         raise ValueError(
             f"broadcast_hash_join supports inner/left_outer only, got {join_type!r}"
         )
+    if not suffix:
+        raise ValueError("broadcast_hash_join: suffix must be non-empty")
     right_ref = ray.put(right_table)
     return ds_left.map_batches(
         _BroadcastJoiner,

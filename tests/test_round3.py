@@ -671,3 +671,56 @@ def test_indexed_broadcast_type_mismatch_and_null_ints(ray_session):
     assert out["pay"].tolist()[0] == 5
     assert pd.isna(out["pay"].tolist()[1])  # NULL key never matches
     assert out["pay"].tolist()[2] == 69999
+
+
+def test_distinct_order_nan_and_holistic_parity(ray_session):
+    """NaN values are skipped in the distinct+order path (no -inf), and
+    the holistic fallback (NULL group key present) returns the same
+    global-min-order_by ranking as the distributed plan."""
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
+
+    df = pd.DataFrame({"k": [1, 1], "o": [1, 2], "v": [np.nan, 5.0]})
+    out = group_aggregate(
+        _rd().from_pandas(df), ["k"], [AggSpec("first", "v", "f", order_by="o", distinct=True)]
+    ).to_pandas()
+    assert out["f"].tolist() == [5.0]
+
+    # same data + an unrelated NULL group key → holistic route, same answer
+    df2 = pd.DataFrame(
+        {"k": [1.0, 1.0, 1.0, None], "o": [5, 1, 2, 9], "v": [7.0, 7.0, 9.0, 1.0]}
+    )
+    out2 = (
+        group_aggregate(
+            _rd().from_pandas(df2), ["k"], [AggSpec("first", "v", "f", order_by="o", distinct=True)]
+        )
+        .to_pandas()
+        .sort_values("k", na_position="last")
+        .reset_index(drop=True)
+    )
+    assert out2["f"].tolist()[0] == 7.0  # min-ob occurrence of 7 wins (o=1)
+
+
+def test_indexed_broadcast_widening_cast(ray_session):
+    """int64 build values beyond int32 range probed by int32 keys: the
+    probe widens instead of crashing or silently missing."""
+    from supersonic_ray.stages.joins import broadcast_hash_join
+
+    n = 70000
+    vals = np.arange(n, dtype=np.int64)
+    vals[-1] = 2**40  # not castable to the probe's int32
+    right = pa.table({"rk": vals, "pay": np.arange(n)})
+    left = pd.DataFrame({"lk": pd.array([5, 123], dtype="int32"), "t": ["a", "b"]})
+    out = (
+        broadcast_hash_join(_rd().from_pandas(left), right, ["lk"], ["rk"])
+        .to_pandas()
+        .sort_values("t")
+    )
+    assert out["pay"].tolist() == [5, 123]
+
+
+def test_broadcast_join_empty_suffix_rejected(ray_session):
+    from supersonic_ray.stages.joins import broadcast_hash_join
+
+    ds = _rd().from_pandas(pd.DataFrame({"a": [1]}))
+    with pytest.raises(ValueError, match="suffix"):
+        broadcast_hash_join(ds, pa.table({"b": [1]}), ["a"], ["b"], suffix="")
