@@ -808,6 +808,19 @@ def sketch_distinct_freq(sf_dir: str):
     )
 
 
+def exact_quantiles_orders(sf_dir: str):
+    """EXACT distributed quantiles: sort + split-at-rank, one row to the
+    driver (DuckDB quantile_disc rank semantics — the oracle matches to
+    the exact element, not an approximation)."""
+    from supersonic_ray.stages.sketches import exact_quantile
+
+    vals = []
+    for q in (0.5, 0.9):
+        ds = _ld(sf_dir, "orders", ["o_totalprice"])
+        vals.append(round(exact_quantile(ds, "o_totalprice", q), 2))
+    return pd.DataFrame({"q": [0.5, 0.9], "v": vals})
+
+
 def csv_source_roundtrip(sf_dir: str):
     """Multi-format ingest: nation re-staged as CSV, read back through
     ray.data.read_csv, projected + sorted — oracle runs on the original
@@ -1496,6 +1509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- yields its slot to the oracle-checked rowid merge join)
         "sample_bernoulli": sample_bernoulli,
         "parquet_partitioned_sink": parquet_partitioned_sink,
+        "exact_quantiles_orders": exact_quantiles_orders,
         "running_sum_events": running_sum_events,
         "stateful_changed": stateful_changed,
         "smudge_events": smudge_events,
@@ -2045,6 +2059,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "exact_quantiles_orders": """
+            SELECT 0.5 AS q, round(quantile_disc(o_totalprice, 0.5), 2) AS v FROM orders
+            UNION ALL
+            SELECT 0.9 AS q, round(quantile_disc(o_totalprice, 0.9), 2) AS v FROM orders
+            ORDER BY q
         """,
         "parquet_partitioned_sink": """
             SELECT lang, count(*) AS n_docs,

@@ -163,3 +163,30 @@ def approx_quantiles(ds, col: str, qs: list[float], n_bins: int = 4096) -> dict:
         inside = (target - prev) / h[b] if h[b] else 0.0
         out[q] = lo + (b + inside) * width
     return out
+
+
+def exact_quantile(ds, col: str, q: float):
+    """EXACT distributed discrete quantile (complement to the histogram
+    sketch): distributed sort by the column, split at the target rank,
+    read exactly ONE row — the shuffle does the work, the driver sees a
+    single value.  Rank = ceil(q*n) - 1 over non-null values (DuckDB
+    quantile_disc semantics, so the SQL oracle matches exactly)."""
+    import math
+
+    import pyarrow.compute as pc
+
+    vals = ds.map_batches(
+        lambda t: t.select([col]).filter(pc.is_valid(t.column(col))),
+        batch_format="pyarrow",
+    ).materialize()
+    n = vals.count()
+    if n == 0:
+        return None
+    k = max(0, min(n - 1, math.ceil(q * n) - 1))
+    s = vals.sort(col)
+    if k == 0:
+        row = s.limit(1).take_all()
+    else:
+        _, tail = s.split_at_indices([k])
+        row = tail.limit(1).take_all()
+    return row[0][col]

@@ -70,3 +70,18 @@ def test_approx_quantiles_bounds(ray_session, sf_dir):
     # constant column is exact
     const = rd.from_items([{"x": 7.0}] * 100)
     assert approx_quantiles(const, "x", [0.5]) == {0.5: 7.0}
+
+
+def test_exact_quantile_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    from supersonic_ray.stages.sketches import exact_quantile
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    for q in (0.5, 0.9, 0.1):
+        got = exact_quantile(ds, "o_totalprice", q)
+        want = duckdb.sql(
+            f"SELECT quantile_disc(o_totalprice, {q}) FROM read_parquet('{sf_dir}/orders.parquet')"
+        ).fetchone()[0]
+        assert got == want, (q, got, want)
