@@ -697,9 +697,13 @@ def image_decode_bmp(sf_dir: str):
 
 
 def range_join_parts(sf_dir: str):
-    """Range (interval) join: parts banded by retail price via a
-    broadcast non-overlapping interval table."""
-    from supersonic_ray.stages.joins import range_join
+    """Range (interval) join: parts banded by retail price through the
+    ADAPTIVE planner (range_join_auto) — broadcasts the counted-small
+    interval table here; above the limit the same call takes the
+    value-domain-partitioned path (test_range_join_auto_*)."""
+    import ray.data as rd
+
+    from supersonic_ray.stages.joins import range_join_auto
 
     bands = pa.table({
         "lo": [0.0, 500.0, 1000.0, 1500.0],
@@ -707,7 +711,7 @@ def range_join_parts(sf_dir: str):
         "band": ["low", "mid", "high", "lux"],
     })
     parts = _ld(sf_dir, "part", ["p_partkey", "p_retailprice"])
-    out = range_join(parts, bands, "p_retailprice").to_pandas()
+    out = range_join_auto(parts, rd.from_arrow(bands), "p_retailprice").to_pandas()
     out = out[["p_partkey", "band"]]
     return out.sort_values("p_partkey").reset_index(drop=True)
 
@@ -1179,6 +1183,68 @@ def group_with_limit(sf_dir: str):
     return out.sort_values("n_regionkey", na_position="last").reset_index(drop=True)
 
 
+def group_with_limit_arrival(sf_dir: str):
+    """The reference's actual first-K-ARRIVAL-order contract
+    (aggregate.h:266-277), made deterministic under parallel execution
+    by an explicit arrival ordinate: keys ranked by min(o_orderkey) —
+    the position of each key's first row in the logical input."""
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate_with_limit
+
+    ds = _ld(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    out = group_aggregate_with_limit(
+        ds,
+        ["o_orderpriority"],
+        [AggSpec("count", None, "n"), AggSpec("max", "o_totalprice", "max_price")],
+        max_unique_keys=3,
+        arrival_col="o_orderkey",
+    ).to_pandas()
+    out["max_price"] = out["max_price"].round(2)
+    return out.sort_values("o_orderpriority", na_position="last").reset_index(drop=True)
+
+
+def pii_redact_docs(sf_dir: str):
+    """Training-corpus PII scrub (email/phone/IPv4/SSN → typed tokens)
+    with per-row hit counts — pure Arrow RE2 kernels.  The synthetic
+    corpus carries no PII, so deterministic addresses and numbers are
+    planted from existing columns; the SQL oracle plants and redacts
+    identically (sequential replace semantics on both sides)."""
+    from supersonic_ray.stages.ops import compute
+    from supersonic_ray.stages.text import pii_redact
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def plant(t: pa.Table) -> pa.ChunkedArray:
+        did = t.column("doc_id")
+
+        def imod(arr, m):  # no pc.mod kernel; int divide truncates (ids >= 0)
+            return pc.subtract(arr, pc.multiply(pc.divide(arr, m), m))
+
+        ph1 = pc.utf8_lpad(pc.cast(imod(did, 1000), pa.string()), 3, "0")
+        ph2 = pc.utf8_lpad(pc.cast(imod(did, 10000), pa.string()), 4, "0")
+        return pc.binary_join_element_wise(
+            t.column("text"), " reach ", t.column("source"), "@",
+            t.column("lang"), ".example.com or 555-", ph1, "-", ph2, "",
+        )
+
+    ds = compute(ds, {"text2": plant})
+    ds = ds.select_columns(["doc_id", "text2"])
+    out = pii_redact(ds, "text2", alias="redacted", count_alias="n_redactions").to_pandas()
+    out = out[["doc_id", "redacted", "n_redactions"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def line_dedup_docs(sf_dir: str):
+    """Corpus-wide duplicate-LINE removal (CCNet/RefinedWeb style):
+    8-word lines, first occurrence wins, docs reassembled in order.
+    The dedup shuffle moves only (md5, rank) pairs — line text crosses
+    an exchange once, at the final ordered-CONCAT reassembly."""
+    from supersonic_ray.stages.text import line_dedup
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "text"])
+    out = line_dedup(ds, "text", "doc_id", words_per_line=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def sample_bernoulli(sf_dir: str):
     """Seeded Bernoulli sampling (terminal_expressions.h:69-71 analog)."""
     from supersonic_ray.stages.ops import bernoulli_sample
@@ -1538,6 +1604,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rolling_fp": doc_rolling_fp,
         "expr_string_extra": expr_string_extra,
         "expr_date_fields": expr_date_fields,
+        "group_with_limit_arrival": group_with_limit_arrival,
+        "pii_redact_docs": pii_redact_docs,
+        "line_dedup_docs": line_dedup_docs,
     }
 
 
@@ -1909,6 +1978,78 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": """
             SELECT doc_id, md5(text) AS md5_fp FROM documents ORDER BY doc_id
+        """,
+        "group_with_limit_arrival": """
+            WITH g AS (
+              SELECT o_orderpriority, count(*) AS n,
+                     max(o_totalprice) AS max_price, min(o_orderkey) AS arr
+              FROM orders GROUP BY o_orderpriority),
+            r AS (SELECT *, row_number() OVER (ORDER BY arr) AS rn FROM g)
+            SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+                   round(max_price, 2) AS max_price
+            FROM r WHERE rn <= 3
+            UNION ALL
+            SELECT NULL AS o_orderpriority, CAST(sum(n) AS BIGINT) AS n,
+                   round(max(max_price), 2) AS max_price
+            FROM r WHERE rn > 3 HAVING count(*) > 0
+            ORDER BY o_orderpriority NULLS LAST
+        """,
+        "pii_redact_docs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     text || ' reach ' || source || '@' || lang
+                          || '.example.com or 555-'
+                          || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                          || '-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     AS text2
+              FROM documents),
+            r1 AS (
+              SELECT doc_id,
+                     regexp_replace(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s,
+                     len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c
+              FROM t),
+            r2 AS (
+              SELECT doc_id,
+                     regexp_replace(s, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS s,
+                     c + len(regexp_extract_all(s, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS c
+              FROM r1),
+            r3 AS (
+              SELECT doc_id,
+                     regexp_replace(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS s,
+                     c + len(regexp_extract_all(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS c
+              FROM r2),
+            r4 AS (
+              SELECT doc_id,
+                     regexp_replace(s, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS s,
+                     c + len(regexp_extract_all(s, '\b\d{3}-\d{2}-\d{4}\b')) AS c
+              FROM r3)
+            SELECT doc_id, s AS redacted, CAST(c AS BIGINT) AS n_redactions
+            FROM r4 ORDER BY doc_id
+        """,
+        "line_dedup_docs": """
+            WITH w0 AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS wi
+              FROM documents),
+            w AS (SELECT * FROM w0 WHERE w <> ''),
+            w2 AS (
+              SELECT doc_id, w,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY wi) - 1 AS wi2
+              FROM w),
+            l AS (
+              SELECT doc_id, wi2 // 8 AS line_no,
+                     string_agg(w, ' ' ORDER BY wi2) AS line
+              FROM w2 GROUP BY doc_id, wi2 // 8),
+            win AS (
+              SELECT line, min(doc_id * 1048576 + line_no) AS wr
+              FROM l GROUP BY line),
+            kept AS (
+              SELECT l.doc_id, l.line_no, l.line FROM l JOIN win
+                ON l.line = win.line
+               AND l.doc_id * 1048576 + l.line_no = win.wr)
+            SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS text_dedup
+            FROM kept GROUP BY doc_id ORDER BY doc_id
         """,
         "quality_docs": _quality_oracle_sql(),
         "bpe_token_count_docs": r"""

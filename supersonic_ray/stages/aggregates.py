@@ -746,27 +746,53 @@ def aggregate_clusters(ds, keys: list[str], specs: list[AggSpec]):
     return out
 
 
-def group_aggregate_with_limit(ds, keys: list[str], specs: list[AggSpec], max_unique_keys: int):
+def group_aggregate_with_limit(
+    ds,
+    keys: list[str],
+    specs: list[AggSpec],
+    max_unique_keys: int,
+    arrival_col: str | None = None,
+):
     """BoundGroupAggregateWithLimit (aggregate.h:266-277): first K
     distinct keys aggregated individually, the rest collapse into one
     overflow row with key=NULL.
 
-    DELIBERATE semantics delta vs the reference: the reference keeps the
-    first K keys in ARRIVAL order — meaningless under a parallel streaming
-    executor where block arrival is nondeterministic — so this engine
-    keeps the K SMALLEST keys (sort order), which is deterministic,
-    partition-invariant, and SQL-oracle-checkable.
+    The reference keeps the first K keys in ARRIVAL order — meaningless
+    under a parallel streaming executor where block arrival is
+    nondeterministic — so this engine offers two deterministic readings:
 
-    Distributed: full group_aggregate → distributed sort+limit(K) for
-    the head (K is small by contract, driver-safe), and the overflow is
-    re-aggregated DISTRIBUTED (anti-join on the K head keys + scalar
-    re-aggregation of the per-group partial rows)."""
+    - default (``arrival_col=None``): the K SMALLEST keys (sort order),
+      partition-invariant and SQL-oracle-checkable;
+    - ``arrival_col="c"``: the reference's first-K-arrival contract made
+      deterministic by an explicit arrival ordinate — keys ranked by
+      ``min(arrival_col)`` (the position their first row occupies in the
+      logical input), matching the reference exactly whenever the input
+      carries a rowid / ingestion ordinate.
+
+    Distributed: full group_aggregate (the arrival rank rides along as
+    one extra min() partial — no second pass over the input) →
+    distributed sort+limit(K) for the head (K is small by contract,
+    driver-safe), and the overflow is re-aggregated DISTRIBUTED
+    (anti-join on the K head keys + scalar re-aggregation of the
+    per-group partial rows)."""
     import ray.data as rd
 
     from .joins import anti_join
 
-    full = group_aggregate(ds, keys, specs)
-    head_pd = full.sort(keys).limit(max_unique_keys).to_pandas()
+    rank_specs = list(specs)
+    if arrival_col is not None:
+        rank_specs = rank_specs + [AggSpec("min", arrival_col, "__arrival_rank")]
+    full = group_aggregate(ds, keys, rank_specs)
+    if arrival_col is not None:
+        head_pd = (
+            full.sort("__arrival_rank")
+            .limit(max_unique_keys)
+            .drop_columns(["__arrival_rank"])
+            .to_pandas()
+        )
+        full = full.drop_columns(["__arrival_rank"])
+    else:
+        head_pd = full.sort(keys).limit(max_unique_keys).to_pandas()
 
     overflow_ds = anti_join(
         full, pa.Table.from_pandas(head_pd[keys], preserve_index=False), keys

@@ -546,3 +546,140 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, k: int = 3, threshold: f
         return pd.DataFrame(rows) if rows else pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
 
     return buckets.groupby("bucket").map_groups(verify, batch_format="pandas")
+
+
+# --------------------------------------------------------------- PII scrub
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, RE2 pattern, replacement) — RE2 on both the Arrow side
+    # (pc.replace_substring_regex) and the DuckDB oracle (regexp_replace
+    # 'g'), so semantics cannot drift.  Order matters: emails before
+    # bare phone digits so an address is never half-eaten.
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def pii_redact(
+    ds,
+    text_col: str = "text",
+    alias: str = "redacted",
+    count_alias: str = "n_redactions",
+    patterns: list[tuple[str, str, str]] | None = None,
+):
+    """Training-corpus PII scrub: replace email / phone / IPv4 / SSN
+    shapes with typed placeholder tokens and count the hits per row.
+
+    Pure Arrow RE2 kernels (replace_substring_regex + count_substring_regex)
+    — zero Python per row, stateless task fn (patterns are module
+    constants, nothing to build per actor).  NULL text stays NULL, and
+    the hit count for NULL text is NULL (SQL convention)."""
+    pats = patterns or PII_PATTERNS
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch.column(text_col)
+        n = pa.nulls(len(batch), pa.int64())
+        redacted = t
+        for _, pat, repl in pats:
+            hits = pc.cast(pc.count_substring_regex(redacted, pat), pa.int64())
+            n = pc.if_else(pc.is_valid(hits), pc.coalesce(pc.add(n, hits), hits), n)
+            redacted = pc.replace_substring_regex(redacted, pat, repl)
+        return batch.append_column(alias, redacted).append_column(count_alias, n)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# -------------------------------------------------- line-level dedup (CCNet)
+
+MAX_LINES_PER_DOC = 1 << 20  # rank = doc_id * MAX + line_no packs into int64
+
+
+def line_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_line: int = 8,
+    out_col: str = "text_dedup",
+):
+    """Corpus-wide duplicate-LINE removal (CCNet / RefinedWeb style):
+    split each document into fixed-width word lines, keep only the
+    FIRST occurrence of each distinct line corpus-wide (first = smallest
+    (doc, line_no) position), and reassemble the surviving lines per
+    document in original order.  Documents whose every line is a
+    duplicate (or that have no words) drop out.
+
+    100-TB shape — the full line TEXT crosses an exchange at most once
+    (the final reassembly):
+
+    1. explode (map_batches, pandas-vectorized): (id, line_no, line);
+    2. hash lines with the DuckDB md5 batch kernel; the dedup shuffle
+       then moves only (hash16B, rank8B) pairs, never text;
+    3. winners = groupby(hash).min(rank) — distributive partials;
+    4. losers = pairs ANTI-JOIN winners on (hash, rank) — narrow rows,
+       hash-partitioned, no driver set;
+    5. kept lines = lines ANTI-JOIN losers on rank alone (rank is
+       unique per line occurrence; the loser set is small for real
+       corpora so this usually broadcasts — the exact_dedup trick);
+    6. reassemble: ordered distributed CONCAT by (id, line_no).
+    """
+    from .aggregates import AggSpec, group_aggregate
+    from .joins import anti_join as _aj, semi_join_auto
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[id_col]].copy()
+        # single-space split matches SQL string_split(text, ' ');
+        # empty tokens (leading/double spaces, empty text) are dropped
+        # identically on both sides
+        d["__w"] = df[text_col].fillna("").str.split(" ")
+        e = d.explode("__w", ignore_index=True)
+        e = e[e["__w"].notna() & (e["__w"] != "")]
+        if e.empty:
+            return pd.DataFrame({id_col: [], "line_no": [], "line": []})
+        e["__wi"] = e.groupby(id_col, sort=False).cumcount()
+        e["line_no"] = e["__wi"] // words_per_line
+        lines = (
+            e.groupby([id_col, "line_no"], sort=False)["__w"]
+            .agg(" ".join)
+            .reset_index(name="line")
+        )
+        return lines
+
+    def add_rank_hash(batch: pa.Table) -> pa.Table:
+        from supersonic_ray.functions.dhash import md5_hex
+
+        rank = pc.add(
+            pc.multiply(batch.column(id_col), pa.scalar(MAX_LINES_PER_DOC, pa.int64())),
+            batch.column("line_no"),
+        )
+        return batch.append_column("__rank", rank).append_column(
+            "__h", md5_hex(batch.column("line"))
+        )
+
+    lines = ds.map_batches(explode, batch_format="pandas").map_batches(
+        add_rank_hash, batch_format="pyarrow"
+    )
+
+    pairs = lines.select_columns(["__h", "__rank"])
+    winners = group_aggregate(pairs, ["__h"], [AggSpec("min", "__rank", "__rank")])
+    losers = _anti_pairs(pairs, winners)
+    kept = semi_join_auto(lines, losers, ["__rank"], ["__rank"], anti=True)
+
+    out = group_aggregate(
+        kept,
+        [id_col],
+        [AggSpec("concat", "line", out_col, order_by="line_no", separator=" ")],
+    )
+    return out
+
+
+def _anti_pairs(pairs, winners):
+    """pairs minus winners on the composite (__h, __rank) — both sides
+    are narrow (hash, rank) datasets of comparable size, so this always
+    takes the hash-partitioned path rather than counting for broadcast."""
+    from .joins import partitioned_semi_join
+
+    return partitioned_semi_join(
+        pairs, winners, ["__h", "__rank"], ["__h", "__rank"], anti=True
+    ).select_columns(["__rank"])

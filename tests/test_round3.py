@@ -724,3 +724,51 @@ def test_broadcast_join_empty_suffix_rejected(ray_session):
     ds = _rd().from_pandas(pd.DataFrame({"a": [1]}))
     with pytest.raises(ValueError, match="suffix"):
         broadcast_hash_join(ds, pa.table({"b": [1]}), ["a"], ["b"], suffix="")
+
+
+def test_range_join_auto_partitioned_matches_broadcast(ray_session):
+    from supersonic_ray.stages.joins import range_join, range_join_auto
+
+    rng = np.random.RandomState(23)
+    # non-overlapping bands with gaps, left values inside/outside/null
+    edges = np.sort(rng.choice(10_000, 60, replace=False)).astype(float)
+    bands = pd.DataFrame(
+        {"lo": edges[0::2], "hi": edges[1::2], "band_id": range(30)}
+    )
+    vals = rng.randint(0, 10_000, 500).astype(float)
+    vals[::50] = np.nan  # nulls never match
+    left = pd.DataFrame({"v": vals, "lid": range(500)})
+
+    bc = range_join(
+        _rd().from_pandas(left).repartition(4),
+        pa.Table.from_pandas(bands),
+        "v",
+    ).to_pandas()
+    pt = range_join_auto(
+        _rd().from_pandas(left).repartition(4),
+        _rd().from_pandas(bands).repartition(3),
+        "v",
+        broadcast_limit=0,  # force the partitioned path
+        num_partitions=5,
+    ).to_pandas()
+    a = bc.sort_values("lid").reset_index(drop=True)[["lid", "band_id"]].astype("int64")
+    b = pt.sort_values("lid").reset_index(drop=True)[["lid", "band_id"]].astype("int64")
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
+def test_range_join_partitioned_detects_overlap(ray_session):
+    import pytest as _pytest
+
+    from supersonic_ray.stages.joins import range_join_auto
+
+    bands = pd.DataFrame({"lo": [0.0, 5.0], "hi": [10.0, 15.0], "band_id": [0, 1]})
+    left = pd.DataFrame({"v": [7.0], "lid": [0]})
+    with _pytest.raises(Exception, match="overlap"):
+        range_join_auto(
+            _rd().from_pandas(left),
+            _rd().from_pandas(bands),
+            "v",
+            broadcast_limit=0,
+            num_partitions=3,
+        ).to_pandas()

@@ -224,3 +224,73 @@ def test_group_aggregate_null_keys_form_a_group(ray_session):
     h = group_aggregate(rd.from_arrow(t), ["k"], [AggSpec("count", "v", "n", distinct=True)]).to_pandas()
     assert sorted(h.to_dict("records"), key=lambda r: str(r["k"])) == [
         {"k": None, "n": 2}, {"k": "a", "n": 2}, {"k": "b", "n": 1}]
+
+
+def test_pii_redact_patterns_and_nulls(ray_session):
+    import ray.data as rd
+
+    from supersonic_ray.stages.text import pii_redact
+
+    ds = rd.from_arrow(pa.table({
+        "text": [
+            "mail a@b.com and c.d+x@e.io now",
+            "call 555-123-4567 from 10.0.0.1 ssn 123-45-6789",
+            None,
+            "nothing here",
+            "",
+        ]
+    }))
+    out = pii_redact(ds, "text").to_pandas()
+    assert out["redacted"].tolist() == [
+        "mail <EMAIL> and <EMAIL> now",
+        "call <PHONE> from <IP> ssn <SSN>",
+        None,
+        "nothing here",
+        "",
+    ]
+    assert out["n_redactions"].tolist()[0:2] == [2, 3]
+    assert pd.isna(out["n_redactions"].tolist()[2])
+    assert out["n_redactions"].tolist()[3:] == [0, 0]
+
+
+def test_line_dedup_first_occurrence_wins(ray_session):
+    import ray.data as rd
+
+    from supersonic_ray.stages.text import line_dedup
+
+    # 2-word lines: doc0 = [A B][C D]; doc1 repeats [C D] then new [E F];
+    # doc2 is entirely duplicates and must drop out; doc3 empty drops out
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["A B C D", "C D E F", "A B C D", ""],
+    }))
+    out = (
+        line_dedup(ds, "text", "doc_id", words_per_line=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["text_dedup"].tolist() == ["A B C D", "E F"]
+
+
+def test_group_with_limit_arrival_order(ray_session):
+    import ray.data as rd
+
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate_with_limit
+
+    # arrival ordinate: key 'z' arrives first, then 'a', then 'm', 'b';
+    # K=2 must keep z and a (arrival), NOT a and b (sort order)
+    t = pa.table({
+        "rowid": [0, 1, 2, 3, 4, 5],
+        "k": ["z", "a", "m", "b", "z", "m"],
+        "v": [1, 2, 3, 4, 5, 6],
+    })
+    out = (
+        group_aggregate_with_limit(
+            rd.from_arrow(t), ["k"], [AggSpec("sum", "v", "s")],
+            max_unique_keys=2, arrival_col="rowid",
+        )
+        .to_pandas().sort_values("k", na_position="last").reset_index(drop=True)
+    )
+    assert out["k"].tolist()[:2] == ["a", "z"]
+    assert pd.isna(out["k"].iloc[2])  # overflow row for m + b
+    assert out["s"].tolist() == [2, 6, 13]
