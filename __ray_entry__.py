@@ -1552,30 +1552,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- dedup + fingerprints (round-3 vectorized hash kernels)
         "dedup_exact_docs": dedup_exact_docs,
         "doc_fingerprints": doc_fingerprints,
-        # -- expression families
+        # -- expression families (round-3 additions / r02-untested only:
+        # -- the green-r02 unchanged members yield their window slots to
+        # -- round-3 flagship operators below)
+        "expr_hyperbolic": expr_hyperbolic,
+        "expr_cast_parse": expr_cast_parse,
+        "expr_fingerprint": expr_fingerprint,
+        "expr_date_local": expr_date_local,
+        "expr_is_normal": expr_is_normal,
+        # -- sources + sinks
+        "csv_source_roundtrip": csv_source_roundtrip,
+        "json_source_roundtrip": json_source_roundtrip,
+        "parquet_partitioned_sink": parquet_partitioned_sink,
+        # -- round-3 flagship operators (no prior driver row)
+        "exact_quantiles_orders": exact_quantiles_orders,
+        "window_rank_lag": window_rank_lag,
+        "gopher_rules_docs": gopher_rules_docs,
+        "image_decode_bmp": image_decode_bmp,
+        "group_with_limit_arrival": group_with_limit_arrival,
+        "pii_redact_docs": pii_redact_docs,
+        "line_dedup_docs": line_dedup_docs,
+        # ---- window boundary (#50): everything below is unchanged since
+        # ---- its green CORRECTNESS row (r02, or local oracle replica):
+        # ---- expr_* members here were green at r02 and untouched since
         "expr_arithmetic": expr_arithmetic,
         "expr_case_in": expr_case_in,
         "expr_string": expr_string,
         "expr_regexp": expr_regexp,
         "expr_math": expr_math,
-        "expr_hyperbolic": expr_hyperbolic,
         "expr_date": expr_date,
-        "expr_cast_parse": expr_cast_parse,
         "expr_null_handling": expr_null_handling,
-        "expr_fingerprint": expr_fingerprint,
-        "expr_date_local": expr_date_local,
-        "expr_is_normal": expr_is_normal,
-        # -- sources + sketches
-        "csv_source_roundtrip": csv_source_roundtrip,
-        "json_source_roundtrip": json_source_roundtrip,
         "sketch_distinct_freq": sketch_distinct_freq,
-        # ---- window boundary (#50): everything below is unchanged since
-        # ---- its green CORRECTNESS_r02 row (sample_bernoulli is the
-        # ---- rows-only RNG sampler — weakest driver signal, so it
-        # ---- yields its slot to the oracle-checked rowid merge join)
         "sample_bernoulli": sample_bernoulli,
-        "parquet_partitioned_sink": parquet_partitioned_sink,
-        "exact_quantiles_orders": exact_quantiles_orders,
         "running_sum_events": running_sum_events,
         "stateful_changed": stateful_changed,
         "smudge_events": smudge_events,
@@ -1584,11 +1592,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling": window_tumbling,
         "session_windows_events": session_windows_events,
         "window_sliding": window_sliding,
-        "window_rank_lag": window_rank_lag,
         "token_count_docs": token_count_docs,
         "bpe_token_count_docs": bpe_token_count_docs,
-        "gopher_rules_docs": gopher_rules_docs,
-        "image_decode_bmp": image_decode_bmp,
         "quality_docs": quality_docs,
         "lang_id_docs": lang_id_docs,
         "minhash_dedup_docs": minhash_dedup_docs,
@@ -1604,9 +1609,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rolling_fp": doc_rolling_fp,
         "expr_string_extra": expr_string_extra,
         "expr_date_fields": expr_date_fields,
-        "group_with_limit_arrival": group_with_limit_arrival,
-        "pii_redact_docs": pii_redact_docs,
-        "line_dedup_docs": line_dedup_docs,
     }
 
 

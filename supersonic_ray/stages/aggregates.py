@@ -777,8 +777,6 @@ def group_aggregate_with_limit(
     per-group partial rows)."""
     import ray.data as rd
 
-    from .joins import anti_join
-
     rank_specs = list(specs)
     if arrival_col is not None:
         rank_specs = rank_specs + [AggSpec("min", arrival_col, "__arrival_rank")]
@@ -794,9 +792,25 @@ def group_aggregate_with_limit(
     else:
         head_pd = full.sort(keys).limit(max_unique_keys).to_pandas()
 
-    overflow_ds = anti_join(
-        full, pa.Table.from_pandas(head_pd[keys], preserve_index=False), keys
-    )
+    # overflow = full minus head, NULL-SAFE on the key tuple: anti_join's
+    # SQL convention keeps every NULL-key probe row, which would
+    # double-count a NULL-key group that already made the head (always
+    # possible under arrival_col ranking; under sort ranking whenever
+    # distinct keys <= K).  head is <= K rows, so broadcast the key
+    # frame and pandas-merge per batch — merge matches NaN==NaN.
+    import ray
+
+    head_keys = head_pd[keys].copy()
+    href = ray.put(head_keys.assign(__hit=1))
+
+    def drop_head(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        hk = ray.get(href)
+        m = df[keys].merge(hk, on=keys, how="left")
+        return df[m["__hit"].isna().to_numpy()]
+
+    overflow_ds = full.map_batches(drop_head, batch_format="pandas")
     respecs = [AggSpec("count", None, "__n_groups")]
     for s in specs:
         fn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}.get(s.fn, "first")

@@ -235,6 +235,19 @@ def broadcast_hash_join(
     )
 
 
+def _auto_join_partitions(*counted) -> int:
+    """Exchange width for a partitioned join: cluster CPUs (floor 8)
+    capped by the data — ~64k rows per partition minimum, so tiny
+    inputs don't pay 32 shuffle-aggregator spin-ups.  Inputs must be
+    materialized (count() is then a metadata read)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    rows = max((d.count() for d in counted), default=0)
+    by_rows = max(1, -(-rows // 65536))
+    return max(1, min(max(8, cpus), by_rows))
+
+
 def partitioned_hash_join(ds_left, ds_right, left_keys, right_keys, join_type: str = INNER, num_partitions: int | None = None):
     """Both sides large: Ray Data hash-partitioned join (all-to-all).
     num_partitions sizes the exchange; default = cluster CPUs.
@@ -243,18 +256,29 @@ def partitioned_hash_join(ds_left, ds_right, left_keys, right_keys, join_type: s
     partitioned exchange gives them for free."""
     import ray
 
-    from .ops import decode_dictionary_columns
+    from .ops import decode_dictionary_columns, drop_empty_blocks
 
-    ds_left = decode_dictionary_columns(ds_left)  # shuffle boundary
-    ds_right = decode_dictionary_columns(ds_right)
+    # Zero-ROW blocks degrade to zero-COLUMN under any map stage (UDFs
+    # are skipped on empty blocks), and one zero-column block in a
+    # shuffle partition makes Acero's join fail schema unification —
+    # prune them first.  Cost: a materialize barrier per side before
+    # the exchange; the hash shuffle is a full barrier anyway, so only
+    # map/send overlap is lost.  An all-empty side keeps one typed
+    # block and skips the decode map that would degrade it.
+    ds_left = drop_empty_blocks(ds_left)
+    ds_right = drop_empty_blocks(ds_right)
+    if num_partitions is None:
+        num_partitions = _auto_join_partitions(ds_left, ds_right)
+    if ds_left.count():
+        ds_left = decode_dictionary_columns(ds_left)  # shuffle boundary
+    if ds_right.count():
+        ds_right = decode_dictionary_columns(ds_right)
     jt = {
         "inner": "inner",
         "left_outer": "left_outer",
         "right_outer": "right_outer",
         "full_outer": "full_outer",
     }[join_type]
-    if num_partitions is None:
-        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
     return ds_left.join(
         ds_right,
         join_type=jt,
@@ -340,12 +364,20 @@ def partitioned_semi_join(ds_left, ds_right, left_keys, right_keys, anti: bool =
     Use over broadcast semi_join whenever the key side is unbounded."""
     import ray
 
-    from .ops import decode_dictionary_columns
+    from .ops import decode_dictionary_columns, drop_empty_blocks
 
+    # empty-block pruning: same rationale as partitioned_hash_join
+    ds_left = drop_empty_blocks(ds_left)
+    ds_right = drop_empty_blocks(ds_right)
+    if ds_left.count() == 0:
+        return ds_left  # empty probe: both semi and anti outputs are empty
+    if ds_right.count() == 0:
+        # empty key set: anti keeps everything, semi keeps nothing
+        return ds_left if anti else ds_left.limit(0)
+    if num_partitions is None:
+        num_partitions = _auto_join_partitions(ds_left, ds_right)
     ds_left = decode_dictionary_columns(ds_left)  # shuffle boundary
     ds_right = decode_dictionary_columns(ds_right)
-    if num_partitions is None:
-        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
     return ds_left.join(
         ds_right,
         join_type="left_anti" if anti else "left_semi",
@@ -676,6 +708,12 @@ def range_join(
     ref = ray.put((lo, hi, payload))
 
     def fn(batch: pa.Table) -> pa.Table:
+        collide = [c for c in payload_cols if c in batch.column_names]
+        if collide:
+            raise ValueError(
+                f"range_join: interval payload column(s) {collide} collide "
+                "with left columns — rename one side"
+            )
         blo, bhi, pay = ray.get(ref)
         vals_arr = batch.column(value_col)
         # cast FIRST, then fill: filling an int column with NaN raises
@@ -720,8 +758,6 @@ def range_join_auto(
        sorted/non-overlap validation runs per partition (any global
        overlap is visible inside some partition, since both offenders
        replicate into the partition of any shared point)."""
-    import ray
-
     ints_m = ds_intervals.materialize()
     if ints_m.count() <= broadcast_limit:
         return range_join(
@@ -789,11 +825,30 @@ def range_join_partitioned(
     bands_t = ds_intervals.map_batches(replicate_bands, batch_format="pyarrow")
 
     # union needs one schema: add each side's missing columns as nulls
-    # plus a role flag.  One single-row probe per side (this path only
-    # runs for >limit interval tables, so the probe cost is noise)
-    bt = _collect_small(ds_intervals.limit(1).materialize())
-    band_cols = list(bt.column_names)
+    # plus a role flag.  Schemas come from block metadata (ds.schema()),
+    # not a collected probe row — ds_intervals is already materialized
+    # and ds_left's metadata is fetched without executing its pipeline
+    bsch = ds_intervals.schema()
+    band_cols = list(bsch.names)
     payload_cols = [c for c in band_cols if c not in (lo_col, hi_col)]
+
+    lsch = ds_left.schema()
+    left_cols = list(lsch.names)
+    collide = [c for c in payload_cols if c in left_cols]
+    if collide:
+        raise ValueError(
+            f"range_join: interval payload column(s) {collide} collide with "
+            "left columns — rename one side"
+        )
+    def _pa_type(t):
+        # pandas-backed blocks report numpy dtypes; pa.nulls needs Arrow
+        return t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t)
+
+    band_types = {
+        c: pa.float64() if c in (lo_col, hi_col) else _pa_type(t)
+        for c, t in zip(bsch.names, bsch.types)
+    }
+    left_types = {c: _pa_type(t) for c, t in zip(lsch.names, lsch.types)}
 
     def pad(role: int, missing: list[str], like: dict):
         def fn(batch: pa.Table) -> pa.Table:
@@ -802,14 +857,6 @@ def range_join_partitioned(
                 out = out.append_column(c, pa.nulls(out.num_rows, like[c]))
             return out.append_column("__role", pa.array(np.full(out.num_rows, role, dtype=np.int8)))
         return fn
-
-    left_schema_probe = _collect_small(ds_left.limit(1).materialize())
-    left_cols = left_schema_probe.column_names
-    band_types = {
-        c: pa.float64() if c in (lo_col, hi_col) else bt.schema.field(c).type
-        for c in band_cols
-    }
-    left_types = {c: left_schema_probe.schema.field(c).type for c in left_cols}
 
     both_missing_on_left = [c for c in band_cols if c not in left_cols]
     both_missing_on_band = [c for c in left_cols if c not in band_cols]
@@ -834,8 +881,12 @@ def range_join_partitioned(
         bands = g[g["__role"] == 1]
         rows = g[g["__role"] == 0]
         out_cols = left_cols + payload_cols + ([lo_col, hi_col] if keep_bounds else [])
-        if bands.empty or rows.empty:
-            return pd.DataFrame({c: pd.Series([], dtype=g[c].dtype) for c in out_cols})
+        empty = pd.DataFrame({c: pd.Series([], dtype=g[c].dtype) for c in out_cols})
+        if bands.empty:
+            return empty
+        # validate BEFORE the rows-empty early-out so bad interval sets
+        # raise exactly like the broadcast path even in row-free
+        # partitions (auto must not flip error→success on table size)
         lo = bands[lo_col].to_numpy(dtype=np.float64)
         hi = bands[hi_col].to_numpy(dtype=np.float64)
         o = np.argsort(lo, kind="stable")
@@ -845,6 +896,8 @@ def range_join_partitioned(
             raise ValueError("range_join: empty interval (hi <= lo)")
         if (lo[1:] < hi[:-1]).any():
             raise ValueError("range_join: overlapping intervals — not supported")
+        if rows.empty:
+            return empty
         vals = pd.to_numeric(rows[value_col]).to_numpy(dtype=np.float64)
         idx = np.searchsorted(lo, vals, side="right") - 1
         idx_c = np.clip(idx, 0, len(lo) - 1)

@@ -269,6 +269,46 @@ def fanout(ds, n_consumers: int = 2):
     return ds.materialize()
 
 
+def drop_empty_blocks(ds):
+    """Materialize ``ds`` and drop its zero-ROW blocks (metadata-only —
+    no block is fetched to the driver).
+
+    Why: Ray's map stages iterate batches of each input block, and an
+    empty block yields NO batches — the UDF never runs and the output
+    builder emits a zero-COLUMN block.  One such block then breaks
+    schema unification in any downstream hash-shuffle join ("No match
+    for FieldRef").  Call this after a map stage that can produce
+    fully-empty outputs (e.g. a filter/explode that eliminates every
+    row of some partition) and before a join over the result.  If every
+    block is empty, one is kept so the dataset's schema survives."""
+    import ray.data as rd
+
+    m = ds.materialize()
+    refs, empties = [], []
+    for bundle in m.iter_internal_ref_bundles():
+        for bref, meta in bundle.blocks:
+            (refs if meta.num_rows else empties).append(bref)
+    if not empties:
+        return m
+    if refs:
+        return rd.from_arrow_refs(refs)
+    # every block is empty: synthesize ONE typed empty block driver-side
+    # (from_arrow keeps the table as the block verbatim — no map stage
+    # to degrade it).  If the schema is already lost (zero-column
+    # blocks), return as-is; there is nothing to recover.
+    sch = m.schema()
+    if sch is None or not sch.names:
+        return m
+    try:
+        cols = {
+            n: pa.array([], t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t))
+            for n, t in zip(sch.names, sch.types)
+        }
+    except (pa.ArrowNotImplementedError, TypeError):
+        return m
+    return rd.from_arrow(pa.table(cols))
+
+
 def hash_sample(ds, key_col: str, p: float, seed: int = 0, hasher: str = "sip"):
     """Deterministic Bernoulli sampling by KEY hash: a row is kept iff
     hash(seed:key) falls under the p-quantile of hash space.  Unlike

@@ -627,7 +627,9 @@ def line_dedup(
     from .aggregates import AggSpec, group_aggregate
     from .joins import anti_join as _aj, semi_join_auto
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
+    def explode_hash(df: pd.DataFrame) -> pa.Table:
+        from supersonic_ray.functions.dhash import md5_hex
+
         d = df[[id_col]].copy()
         # single-space split matches SQL string_split(text, ' ');
         # empty tokens (leading/double spaces, empty text) are dropped
@@ -636,19 +638,37 @@ def line_dedup(
         e = d.explode("__w", ignore_index=True)
         e = e[e["__w"].notna() & (e["__w"] != "")]
         if e.empty:
-            return pd.DataFrame({id_col: [], "line_no": [], "line": []})
+            # typed ARROW empty block with the FULL output schema: an
+            # empty pandas frame loses its columns in Ray's block
+            # builder, and a later map stage would rebuild it as a
+            # zero-column block (UDFs are skipped on empty blocks) —
+            # hence explode and rank/hash live in ONE UDF here, and
+            # drop_empty_blocks prunes these below
+            return pa.table({
+                id_col: pa.array([], pa.from_numpy_dtype(df[id_col].dtype)),
+                "line_no": pa.array([], pa.int64()),
+                "line": pa.array([], pa.string()),
+                "__rank": pa.array([], pa.int64()),
+                "__h": pa.array([], pa.string()),
+            })
         e["__wi"] = e.groupby(id_col, sort=False).cumcount()
         e["line_no"] = e["__wi"] // words_per_line
-        lines = (
+        lines_df = (
             e.groupby([id_col, "line_no"], sort=False)["__w"]
             .agg(" ".join)
             .reset_index(name="line")
         )
-        return lines
-
-    def add_rank_hash(batch: pa.Table) -> pa.Table:
-        from supersonic_ray.functions.dhash import md5_hex
-
+        batch = pa.Table.from_pandas(lines_df, preserve_index=False)
+        # drop the pandas schema metadata (a dict) so Ray's shuffle can
+        # hash-dedup block schemas instead of warning every task
+        batch = batch.replace_schema_metadata(None)
+        max_ln = pc.max(batch.column("line_no")).as_py()
+        if max_ln is not None and max_ln >= MAX_LINES_PER_DOC:
+            raise ValueError(
+                f"line_dedup: document with {max_ln + 1} lines exceeds "
+                f"MAX_LINES_PER_DOC={MAX_LINES_PER_DOC}; rank packing "
+                "would collide across documents"
+            )
         rank = pc.add(
             pc.multiply(batch.column(id_col), pa.scalar(MAX_LINES_PER_DOC, pa.int64())),
             batch.column("line_no"),
@@ -657,9 +677,28 @@ def line_dedup(
             "__h", md5_hex(batch.column("line"))
         )
 
-    lines = ds.map_batches(explode, batch_format="pandas").map_batches(
-        add_rank_hash, batch_format="pyarrow"
+    # materialize ONCE: two consumers (the narrow dedup pairs and the
+    # final kept-lines probe) would otherwise each re-run the explode +
+    # md5 of the whole corpus — the most expensive stage — twice.  The
+    # object store spills as needed; this is the fanout cost model
+    # documented on ops.fanout.  drop_empty_blocks prunes partitions
+    # whose every document was empty (their blocks would otherwise
+    # degrade to zero-column downstream and break the dedup joins).
+    from .ops import drop_empty_blocks
+
+    lines = drop_empty_blocks(
+        ds.map_batches(explode_hash, batch_format="pandas")
     )
+    if lines.count() == 0:
+        # all-empty corpus: nothing survives; emit a typed empty result
+        import ray.data as rd
+
+        sch = lines.schema()
+        id_type = dict(zip(sch.names, sch.types)).get(id_col, pa.int64())
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], id_type),
+            out_col: pa.array([], pa.string()),
+        }))
 
     pairs = lines.select_columns(["__h", "__rank"])
     winners = group_aggregate(pairs, ["__h"], [AggSpec("min", "__rank", "__rank")])

@@ -772,3 +772,78 @@ def test_range_join_partitioned_detects_overlap(ray_session):
             broadcast_limit=0,
             num_partitions=3,
         ).to_pandas()
+
+
+def test_group_with_limit_null_key_in_head_not_double_counted(ray_session):
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate_with_limit
+
+    # NULL key arrives FIRST → lands in the head under arrival ranking;
+    # it must NOT also be re-counted into the overflow row
+    t = pa.table({
+        "rowid": [0, 1, 2, 3, 4, 5],
+        "k": [None, "a", "b", "c", None, "c"],
+        "v": [10, 1, 2, 3, 20, 4],
+    })
+    out = (
+        group_aggregate_with_limit(
+            _rd().from_arrow(t), ["k"], [AggSpec("sum", "v", "s")],
+            max_unique_keys=2, arrival_col="rowid",
+        )
+        .to_pandas().sort_values("k", na_position="last").reset_index(drop=True)
+    )
+    # head = NULL-key group (arrival 0) + 'a' (arrival 1); overflow = b + c
+    assert out["s"].tolist() == [1, 30, 9]
+    assert out["k"].tolist()[0] == "a"
+    assert pd.isna(out["k"].iloc[1]) and pd.isna(out["k"].iloc[2])
+
+
+def test_line_dedup_all_empty_block_schema(ray_session):
+    from supersonic_ray.stages.text import line_dedup
+
+    # one block holds only empty/null text → explode's typed empty frame
+    # must still concat/shuffle with the string blocks
+    ds = _rd().from_arrow(pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["", None, "A B", "C D"],
+    })).repartition(4)
+    out = (
+        line_dedup(ds, "text", "doc_id", words_per_line=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [2, 3]
+    assert out["text_dedup"].tolist() == ["A B", "C D"]
+
+
+def test_range_join_partitioned_validates_in_rowfree_partitions(ray_session):
+    import pytest as _pytest
+
+    from supersonic_ray.stages.joins import range_join_auto
+
+    # overlapping bands but NO left rows at all: the partitioned path
+    # must still raise, matching the broadcast path's behavior
+    bands = pd.DataFrame({"lo": [0.0, 5.0], "hi": [10.0, 15.0], "band_id": [0, 1]})
+    left = pd.DataFrame({"v": pd.Series([], dtype="float64"), "lid": pd.Series([], dtype="int64")})
+    with _pytest.raises(Exception, match="overlap"):
+        range_join_auto(
+            _rd().from_pandas(left),
+            _rd().from_pandas(bands),
+            "v",
+            broadcast_limit=0,
+            num_partitions=2,
+        ).to_pandas()
+
+
+def test_range_join_payload_collision_raises(ray_session):
+    import pytest as _pytest
+
+    from supersonic_ray.stages.joins import range_join, range_join_auto
+
+    bands = pd.DataFrame({"lo": [0.0], "hi": [10.0], "lid": [99]})
+    left = pd.DataFrame({"v": [5.0], "lid": [0]})
+    with _pytest.raises(Exception, match="collide"):
+        range_join(_rd().from_pandas(left), pa.Table.from_pandas(bands), "v").to_pandas()
+    with _pytest.raises(Exception, match="collide"):
+        range_join_auto(
+            _rd().from_pandas(left), _rd().from_pandas(bands), "v",
+            broadcast_limit=0, num_partitions=2,
+        ).to_pandas()
