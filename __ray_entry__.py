@@ -539,7 +539,7 @@ def quality_docs(sf_dir: str):
     from supersonic_ray.stages.text import _default_concurrency
 
     out = ds.map_batches(
-        TextQuality, batch_format="pandas", concurrency=_default_concurrency()
+        TextQuality, batch_format="pandas", concurrency=(1, _default_concurrency())
     ).to_pandas()
     out = out[["doc_id", "n_chars_q", "n_tokens", "stopword_ratio", "punct_ratio"]].round(6)
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -552,7 +552,7 @@ def lang_id_docs(sf_dir: str):
     from supersonic_ray.stages.text import _default_concurrency
 
     out = ds.map_batches(
-        LangId, batch_format="pandas", concurrency=_default_concurrency()
+        LangId, batch_format="pandas", concurrency=(1, _default_concurrency())
     ).to_pandas()
     return out[["doc_id", "lang", "lang_pred"]].sort_values("doc_id").reset_index(drop=True)
 
@@ -655,7 +655,7 @@ def multimodal_decode(sf_dir: str):
     from supersonic_ray.stages.vectors import _default_concurrency
 
     out = decode_images(
-        ds, "blob", "media_id", decoder="fake", concurrency=_default_concurrency()
+        ds, "blob", "media_id", decoder="fake", concurrency=(1, _default_concurrency())
     ).to_pandas()
     return out[["media_id", "width", "height", "channels"]].sort_values("media_id").reset_index(drop=True)
 

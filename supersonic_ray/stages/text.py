@@ -356,7 +356,10 @@ def minhash_lsh_dedup(
     signed = fanout(
         ds.map_batches(
             MinHasher, fn_constructor_kwargs={"text_col": text_col, "n_hashes": n_hashes},
-            batch_format="pandas", concurrency=concurrency or _default_concurrency(),
+            batch_format="pandas",
+            # autoscaling pool: (1, n) ramps with queued input — a fixed
+            # n-actor pool pays full spin-up even for tiny inputs
+            concurrency=concurrency or (1, _default_concurrency()),
         ),
         n_consumers=2,  # bucket pass + anti-join probe
     )
@@ -458,7 +461,7 @@ def simhash_dedup(ds, text_col: str, id_col: str, prefix_bits: int = 16):
     signed = fanout(
         ds.map_batches(
             SimHasher, fn_constructor_kwargs={"text_col": text_col},
-            batch_format="pandas", concurrency=_default_concurrency(),
+            batch_format="pandas", concurrency=(1, _default_concurrency()),
         ),
         n_consumers=2,
     )

@@ -99,7 +99,7 @@ def ann_lsh_topk(ds, col: str, id_col: str, queries: np.ndarray, k: int = 10, n_
 
     bucketed = ds.map_batches(
         LshBucketer, fn_constructor_kwargs={"col": col, "dim": dim, "n_planes": n_planes, "seed": seed},
-        batch_format="pyarrow", concurrency=_default_concurrency(),
+        batch_format="pyarrow", concurrency=(1, _default_concurrency()),
     )
 
     def local_topk(batch: pa.Table) -> pa.Table:
@@ -195,7 +195,7 @@ def ann_ivf_topk(
         IvfAssigner,
         fn_constructor_kwargs={"col": col, "cents_ref": ray.put(cents)},
         batch_format="pyarrow",
-        concurrency=_default_concurrency(),
+        concurrency=(1, _default_concurrency()),
     )
 
     def local_topk(batch: pa.Table) -> pa.Table:
@@ -237,7 +237,7 @@ def embedding_neardup_pairs(ds, col: str, id_col: str, threshold: float = 0.95, 
     dim = len(first[0][col]) if first else 0
     bucketed = ds.map_batches(
         LshBucketer, fn_constructor_kwargs={"col": col, "dim": dim, "n_planes": n_planes, "seed": seed},
-        batch_format="pyarrow", concurrency=_default_concurrency(),
+        batch_format="pyarrow", concurrency=(1, _default_concurrency()),
     )
 
     from .text import _cap_bucket
