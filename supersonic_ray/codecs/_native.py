@@ -45,6 +45,20 @@ def _load():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.fsst_encode_fast.restype = ctypes.c_int64
+        lib.fsst_encode_fast.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_char_p,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.fsst_decode.restype = ctypes.c_int64
         lib.fsst_decode.argtypes = [
             ctypes.c_char_p,
@@ -90,15 +104,42 @@ class NativeTable:
         start[256] = len(idx)
         self.cand_idx = np.array(idx or [0], dtype=np.int32)
         self.cand_start = start
+        # 2-byte bucket tables for fsst_encode_fast: a len>=2 symbol
+        # lives in bucket (s[0]<<8)|s[1]; a len-1 symbol is replicated
+        # across all 256 buckets of its first byte.  Within a bucket,
+        # length-descending — first hit = greedy longest match.
+        if n:
+            L = np.frombuffer(self.lens, dtype=np.uint8).astype(np.int64)[:n]
+            slots = np.frombuffer(self.syms, dtype=np.uint8).reshape(-1, 8)[:n]
+            first = slots[:, 0].astype(np.int64)
+            second = slots[:, 1].astype(np.int64)
+            multi = np.flatnonzero(L >= 2)
+            ones = np.flatnonzero(L == 1)
+            b_multi = (first[multi] << 8) | second[multi]
+            b_ones = ((first[ones][:, None] << 8) | np.arange(256)[None, :]).ravel()
+            buckets = np.concatenate([b_multi, b_ones])
+            idxs = np.concatenate([multi, np.repeat(ones, 256)])
+            order = np.lexsort((-L[idxs], buckets))
+            self.pair_idx = idxs[order].astype(np.int32)
+            self.pair_start = np.searchsorted(
+                buckets[order], np.arange(65537)
+            ).astype(np.int32)
+        else:
+            self.pair_idx = np.zeros(1, dtype=np.int32)
+            self.pair_start = np.zeros(65537, dtype=np.int32)
+        self.sym64 = np.frombuffer(self.syms, dtype="<u8").copy()
 
     def encode(self, data: bytes) -> bytes:
         out = np.empty(2 * len(data) + 8, dtype=np.uint8)
-        m = LIB.fsst_encode(
+        m = LIB.fsst_encode_fast(
             data,
             len(data),
-            self.syms,
+            self.sym64.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             self.lens,
             self.n_syms,
+            self.pair_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self.pair_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self.syms,
             self.cand_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             self.cand_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
