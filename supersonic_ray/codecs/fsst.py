@@ -47,8 +47,12 @@ from .base import Codec, buffers_to_var_len, is_var_len, register, values_to_num
 ESCAPE = 255
 MAX_SYMBOLS = 255
 MAX_SYM_LEN = 8
-TRAIN_SAMPLE_BYTES = 1 << 16  # 64 KiB sample
-TRAIN_ITERS = 8  # more refinement rounds: ~12% smaller fsst output, ~4% smaller after bz2; training stays ~0.2s, amortized per partition
+TRAIN_SAMPLE_BYTES = 1 << 16  # 64 KiB sample (bigger samples measured: no gain on webtext)
+# 16 refinement rounds: fsst bodies ~6-7% smaller, post-bz2 ~1.5-2%
+# smaller vs 8 rounds (measured with a global table across partitions);
+# 24 rounds adds <0.5%.  With the bucket-dispatch C kernel one training
+# run is ~0.3 s, paid ONCE on the driver under plan_scope="global".
+TRAIN_ITERS = 16
 
 
 def _greedy_pieces(data: bytes, by_first: list[list[bytes]]) -> list[bytes]:
