@@ -1245,6 +1245,30 @@ def line_dedup_docs(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def pack_sequences_docs(sf_dir: str):
+    """Greedy token-budget sequence packing (training-data assembly):
+    per source in doc_id order, docs join the current bin until the
+    512-token budget would overflow.  Only (source, doc_id, n_tokens)
+    ints cross the pack exchange — never text."""
+    from supersonic_ray.stages.text import pack_sequences
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "text", "source"])
+    out = pack_sequences(ds, budget=512).to_pandas()
+    out = out[["source", "doc_id", "n_tokens", "bin_id"]]
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
+def vocab_top_words_docs(sf_dir: str):
+    """Corpus vocabulary top-100: explode words with Arrow kernels,
+    pre-aggregate per batch (one row per DISTINCT word per batch
+    through the exchange), groupby-sum, top-k under (count DESC, word)."""
+    from supersonic_ray.stages.text import vocab_top_words
+
+    ds = _ld(sf_dir, "documents", ["text"])
+    out = vocab_top_words(ds, "text", k=100).to_pandas()
+    return out.sort_values(["cnt", "word"], ascending=[False, True]).reset_index(drop=True)
+
+
 def sample_bernoulli(sf_dir: str):
     """Seeded Bernoulli sampling (terminal_expressions.h:69-71 analog)."""
     from supersonic_ray.stages.ops import bernoulli_sample
@@ -1542,13 +1566,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_with_limit": group_with_limit,
         "agg_udaf_span": agg_udaf_span,
         "skew_salted_agg": skew_salted_agg,
-        # -- ordering / limits / set ops / sampling
-        "sort_multikey": sort_multikey,
+        # -- ordering / limits / set ops / sampling (sort_multikey +
+        # -- merge_union moved below the boundary — green at r02,
+        # -- untouched — to make window room for the two new flagships)
         "sort_nulls_first": sort_nulls_first,
         "topk_orders": topk_orders,
         "limit_offset_orders": limit_offset_orders,
-        "merge_union": merge_union,
         "sample_by_hash": sample_by_hash,
+        # -- training-data assembly (round-3 flagships)
+        "pack_sequences_docs": pack_sequences_docs,
+        "vocab_top_words_docs": vocab_top_words_docs,
         # -- dedup + fingerprints (round-3 vectorized hash kernels)
         "dedup_exact_docs": dedup_exact_docs,
         "doc_fingerprints": doc_fingerprints,
@@ -1575,6 +1602,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- window boundary (#50): everything below is unchanged since
         # ---- its green CORRECTNESS row (r02, or local oracle replica):
         # ---- expr_* members here were green at r02 and untouched since
+        "sort_multikey": sort_multikey,
+        "merge_union": merge_union,
         "expr_arithmetic": expr_arithmetic,
         "expr_case_in": expr_case_in,
         "expr_string": expr_string,
@@ -2028,6 +2057,36 @@ def oracle_sql() -> dict[str, str]:
               FROM r3)
             SELECT doc_id, s AS redacted, CAST(c AS BIGINT) AS n_redactions
             FROM r4 ORDER BY doc_id
+        """,
+        "pack_sequences_docs": r"""
+            WITH RECURSIVE d AS (
+              SELECT source, doc_id,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                          ELSE length(regexp_extract_all(trim(text), '\S+')) END AS n_tokens,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents
+            ), packed AS (
+              SELECT source, doc_id, n_tokens, rn,
+                     CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+                     CASE WHEN p.fill > 0 AND p.fill + d.n_tokens > 512
+                          THEN p.bin_id + 1 ELSE p.bin_id END,
+                     CASE WHEN p.fill > 0 AND p.fill + d.n_tokens > 512
+                          THEN d.n_tokens ELSE p.fill + d.n_tokens END
+              FROM packed p JOIN d ON d.source = p.source AND d.rn = p.rn + 1
+            )
+            SELECT source, doc_id, n_tokens, bin_id
+            FROM packed ORDER BY source, doc_id
+        """,
+        "vocab_top_words_docs": """
+            WITH words AS (
+              SELECT unnest(string_split_regex(lower(coalesce(text, '')), '[^a-z]+')) AS word
+              FROM documents)
+            SELECT word, count(*) AS cnt FROM words
+            WHERE word <> ''
+            GROUP BY word ORDER BY cnt DESC, word LIMIT 100
         """,
         "line_dedup_docs": """
             WITH w0 AS (

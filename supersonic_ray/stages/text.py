@@ -725,3 +725,88 @@ def _anti_pairs(pairs, winners):
     return partitioned_semi_join(
         pairs, winners, ["__h", "__rank"], ["__h", "__rank"], anti=True
     ).select_columns(["__rank"])
+
+
+# --------------------------------------------- training-data assembly
+
+
+def pack_sequences(
+    ds,
+    budget: int,
+    text_col: str = "text",
+    key_col: str = "source",
+    order_col: str = "doc_id",
+    token_alias: str = "n_tokens",
+):
+    """Greedy sequence packing for training-data assembly: assign docs
+    to token-budget bins, per key_col, in order_col order.  A doc joins
+    the current bin unless adding it would exceed ``budget`` (a doc
+    larger than the budget gets its own bin).
+
+    Scale shape: token counts are computed per batch with the Arrow
+    kernels (token_count), then ONLY (key, order, tokens) — three
+    fixed-width columns, never the text — travel through the hash
+    exchange; the serial greedy scan runs per key group over an int
+    array.  The scan is order-serial by definition, so the pack window
+    IS the partitioning contract: at 10^12-doc scale callers pack per
+    (key, shard-of-order-range) — same code, composite key — rather
+    than per global key.
+    """
+
+    counted = token_count(ds, text_col, token_alias)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return batch.select([key_col, order_col, token_alias])
+
+    narrow = counted.map_batches(slim, batch_format="pyarrow")
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        toks = g[token_alias].to_numpy()
+        bins = np.empty(len(toks), dtype=np.int64)
+        b = 0
+        fill = 0
+        for i, t in enumerate(toks):
+            if fill and fill + t > budget:
+                b += 1
+                fill = 0
+            bins[i] = b
+            fill += int(t)
+        g["bin_id"] = bins
+        return g
+
+    return narrow.groupby(key_col).map_groups(pack, batch_format="pandas")
+
+
+def vocab_top_words(ds, text_col: str = "text", k: int = 100):
+    """Corpus vocabulary: lowercase, split on non-[a-z] runs, count
+    corpus-wide, return the top-k words under the total order
+    (count DESC, word ASC).
+
+    Scale shape: explode + per-batch partial count (value_counts inside
+    map_batches, one row per DISTINCT word per batch) so the word
+    exchange carries pre-aggregated (word, cnt) pairs — never one row
+    per token occurrence — then a small groupby-sum and a top-k."""
+
+    def explode_count(batch: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(pc.fill_null(batch.column(text_col), ""))
+        flat = pc.list_flatten(pc.split_pattern_regex(txt, "[^a-z]+"))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.combine_chunks().value_counts()
+        return pa.table(
+            {
+                "word": vc.field("values"),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    partial = ds.map_batches(explode_count, batch_format="pyarrow")
+    agg = partial.groupby("word").sum("cnt")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"word": batch.column("word"), "cnt": batch.column("sum(cnt)")}
+        )
+
+    out = agg.map_batches(rename, batch_format="pyarrow")
+    return out.sort(["cnt", "word"], descending=[True, False]).limit(k)

@@ -294,3 +294,59 @@ def test_group_with_limit_arrival_order(ray_session):
     assert out["k"].tolist()[:2] == ["a", "z"]
     assert pd.isna(out["k"].iloc[2])  # overflow row for m + b
     assert out["s"].tolist() == [2, 6, 13]
+
+
+def test_pack_sequences_greedy_semantics(ray_session):
+    import ray.data as rd
+
+    from supersonic_ray.stages.text import pack_sequences
+
+    # tokens per doc: 3, 4, 9(oversized), 0(empty), 2, 5 with budget 6:
+    # bin0 = [d0(3)]            (adding d1 would make 7 > 6)
+    # bin1 = [d1(4), d2? no]    d2(9) overflows -> own bin even though > budget
+    # bin2 = [d2(9)]
+    # bin3 = [d3(0), d4(2)]     empty doc joins; 0+2 <= 6
+    #         d5(5) -> 2+5=7 > 6 -> new bin
+    # bin4 = [d5(5)]
+    t = pa.table({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "source": ["s"] * 6,
+        "text": ["a b c", "a b c d", "a b c d e f g h i", "", "a b", "a b c d e"],
+    })
+    out = (
+        pack_sequences(rd.from_arrow(t), budget=6)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["n_tokens"].tolist() == [3, 4, 9, 0, 2, 5]
+    assert out["bin_id"].tolist() == [0, 1, 2, 3, 3, 4]
+
+
+def test_pack_sequences_is_per_key(ray_session):
+    import ray.data as rd
+
+    from supersonic_ray.stages.text import pack_sequences
+
+    t = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "source": ["x", "y", "x", "y"],
+        "text": ["a b c d", "a b c d", "a b c", "a b"],
+    })
+    out = pack_sequences(rd.from_arrow(t), budget=5).to_pandas()
+    by = {(r.source, r.doc_id): r.bin_id for r in out.itertuples()}
+    # each key packs independently from bin 0
+    assert by[("x", 0)] == 0 and by[("x", 2)] == 1  # 4 then 3 > 5
+    assert by[("y", 1)] == 0 and by[("y", 3)] == 1  # 4 then 2 > 5
+
+
+def test_vocab_top_words_order_and_ties(ray_session):
+    import ray.data as rd
+
+    from supersonic_ray.stages.text import vocab_top_words
+
+    t = pa.table({
+        "text": ["Apple banana! apple", "banana cherry-cherry", None, "  "],
+    })
+    out = vocab_top_words(rd.from_arrow(t), "text", k=2).to_pandas()
+    # counts: apple 2, banana 2, cherry 2 -> tie broken by word ASC
+    assert out["word"].tolist() == ["apple", "banana"]
+    assert out["cnt"].tolist() == [2, 2]
