@@ -197,6 +197,26 @@ class _BroadcastJoiner:
         return out
 
 
+# build sides under this row count probe via STATELESS tasks with a
+# per-worker-process joiner cache (same build-once economics as an
+# actor pool — workers are long-lived — without paying actor-pool
+# spin-up, ~1-2 s per query); larger builds keep the actor pool so the
+# prepared build side is pinned to exactly `concurrency` processes.
+TASK_PROBE_LIMIT_ROWS = 262_144
+
+_BROADCAST_JOINER_CACHE: dict = {}
+
+
+def _cached_joiner(cache_key, right_ref, left_keys, right_keys, join_type, suffix):
+    j = _BROADCAST_JOINER_CACHE.get(cache_key)
+    if j is None:
+        j = _BroadcastJoiner(right_ref, left_keys, right_keys, join_type, suffix)
+        if len(_BROADCAST_JOINER_CACHE) >= 8:
+            _BROADCAST_JOINER_CACHE.pop(next(iter(_BROADCAST_JOINER_CACHE)))
+        _BROADCAST_JOINER_CACHE[cache_key] = j
+    return j
+
+
 def broadcast_hash_join(
     ds_left,
     right_table: pa.Table,
@@ -206,10 +226,11 @@ def broadcast_hash_join(
     suffix: str = "_r",
     concurrency=None,
 ):
-    """Small RHS ray.put once; actor pool probes it (Acero hash join,
-    build side prepared once per actor, never per batch).  Multi-column
-    keys supported; NULL keys never match on either side; duplicate RHS
-    keys replicate.  inner/left_outer only — raises at BIND time for
+    """Small RHS ray.put once; probe stage reads it back from plasma and
+    prepares the build side ONCE per process (Acero hash join or, for
+    large unique single keys, a pandas hash index).  Multi-column keys
+    supported; NULL keys never match on either side; duplicate RHS keys
+    replicate.  inner/left_outer only — raises at BIND time for
     right/full outer (those need unmatched build rows emitted; use
     partitioned_hash_join or hash_join_auto)."""
     import ray
@@ -221,6 +242,19 @@ def broadcast_hash_join(
     if not suffix:
         raise ValueError("broadcast_hash_join: suffix must be non-empty")
     right_ref = ray.put(right_table)
+    if right_table.num_rows <= TASK_PROBE_LIMIT_ROWS:
+        ck = (
+            right_ref.hex() if hasattr(right_ref, "hex") else str(id(right_ref)),
+            tuple(left_keys),
+            tuple(right_keys),
+            join_type,
+            suffix,
+        )
+
+        def probe(batch: pa.Table) -> pa.Table:
+            return _cached_joiner(ck, right_ref, left_keys, right_keys, join_type, suffix)(batch)
+
+        return ds_left.map_batches(probe, batch_format="pyarrow")
     return ds_left.map_batches(
         _BroadcastJoiner,
         fn_constructor_kwargs={
