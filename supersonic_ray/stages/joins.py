@@ -211,7 +211,10 @@ def _cached_joiner(cache_key, right_ref, left_keys, right_keys, join_type, suffi
     j = _BROADCAST_JOINER_CACHE.get(cache_key)
     if j is None:
         j = _BroadcastJoiner(right_ref, left_keys, right_keys, join_type, suffix)
-        if len(_BROADCAST_JOINER_CACHE) >= 8:
+        # each entry holds a combined-chunks copy of the build side (up
+        # to TASK_PROBE_LIMIT_ROWS) plus its hash index — bound heap to
+        # ~4 builds per worker process
+        if len(_BROADCAST_JOINER_CACHE) >= 4:
             _BROADCAST_JOINER_CACHE.pop(next(iter(_BROADCAST_JOINER_CACHE)))
         _BROADCAST_JOINER_CACHE[cache_key] = j
     return j
