@@ -227,8 +227,11 @@ def run_scaling() -> dict:
     measured below the host ceiling.
     """
     repeat = int(os.environ.get("GRAFT_SCALING_REPEAT", "2"))
+    levels = tuple(
+        int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "2,8,32").split(",")
+    )
     results = {}
-    for ncpu in (2, 8, 32):
+    for ncpu in levels:
         best = None
         for _ in range(repeat if ncpu > 2 else max(1, repeat - 1)):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
@@ -246,23 +249,26 @@ def run_scaling() -> dict:
             if best is None or r["encode_GBps"] > best["encode_GBps"]:
                 best = r
         results[ncpu] = best
-    t2 = results[2]["encode_GBps"]
-    t8 = results[8]["encode_GBps"]
-    t32 = results[32]["encode_GBps"]
-    return {
-        "metric": "encode scaling efficiency (N=2 -> 4N=8 CPUs; 8 -> 32 informational)",
-        "value": round((t8 / t2) / 4.0, 3),
+    out = {
+        "metric": f"encode scaling efficiency (N -> 4N CPUs over levels {list(levels)})",
         "unit": "efficiency",
-        "GBps_2": t2,
-        "GBps_8": t8,
-        "GBps_32": t32,
-        "sec_2": results[2]["queries"]["encode"],
-        "sec_8": results[8]["queries"]["encode"],
-        "sec_32": results[32]["queries"]["encode"],
-        "efficiency_2_to_8": round((t8 / t2) / 4.0, 3),
-        "efficiency_8_to_32": round((t32 / t8) / 4.0, 3),
-        "sf": results[32]["sf"],
+        "sf": results[levels[-1]]["sf"],
     }
+    for n in levels:
+        out[f"GBps_{n}"] = results[n]["encode_GBps"]
+        out[f"sec_{n}"] = results[n]["queries"]["encode"]
+        # per-level host-window control measured INSIDE that level's run
+        ctrl = results[n].get("host_bz2_8proc_MBps")
+        if ctrl is not None:
+            out[f"host_bz2_8proc_MBps_at_{n}"] = ctrl
+    value = None
+    for lo, hi in zip(levels, levels[1:]):
+        eff = round((results[hi]["encode_GBps"] / results[lo]["encode_GBps"]) / (hi / lo), 3)
+        out[f"efficiency_{lo}_to_{hi}"] = eff
+        if hi == 4 * lo and value is None:
+            value = eff
+    out["value"] = value if value is not None else out[f"efficiency_{levels[0]}_to_{levels[1]}"]
+    return out
 
 
 if __name__ == "__main__":

@@ -352,3 +352,40 @@ def test_validate_schema(ray_session):
         validate_schema(ds, pa.schema([("a", pa.int32()), ("b", pa.string())]))
     with pytest.raises(TypeError, match="missing"):
         validate_schema(ds, pa.schema([("zz", pa.int64()), ("a", pa.int64()), ("b", pa.string())]))
+
+
+def test_broadcast_join_task_and_actor_paths_agree(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from supersonic_ray.stages import joins
+
+    left = pa.table({"k": [1, 2, 3, 4, None], "v": ["a", "b", "c", "d", "e"]})
+    right = pa.table({"k": [2, 4, 4, 9], "w": [20, 40, 41, 90]})
+
+    def run():
+        return (
+            joins.broadcast_hash_join(rd.from_arrow(left), right, ["k"], ["k"], "left_outer")
+            .to_pandas().sort_values(["v", "w"]).reset_index(drop=True)
+        )
+
+    task_path = run()  # 4 rows <= TASK_PROBE_LIMIT_ROWS -> task pool
+    monkeypatch.setattr(joins, "TASK_PROBE_LIMIT_ROWS", 0)  # force actor pool
+    actor_path = run()
+    pd.testing.assert_frame_equal(task_path, actor_path)
+    # duplicate build keys replicate; NULL probe key matches nothing
+    assert len(task_path) == 6
+    assert task_path.loc[task_path["v"] == "e", "w"].isna().all()
+
+
+def test_cached_joiner_evicts_and_reuses():
+    from supersonic_ray.stages import joins
+
+    joins._BROADCAST_JOINER_CACHE.clear()
+    right = pa.table({"k": [1], "w": [10]})
+    first = joins._cached_joiner(("a",), right, ["k"], ["k"], "inner", "_r")
+    again = joins._cached_joiner(("a",), right, ["k"], ["k"], "inner", "_r")
+    assert first is again  # built once per key
+    for i in range(5):
+        joins._cached_joiner((f"x{i}",), right, ["k"], ["k"], "inner", "_r")
+    assert len(joins._BROADCAST_JOINER_CACHE) <= 4  # bounded heap
+    joins._BROADCAST_JOINER_CACHE.clear()
