@@ -1269,6 +1269,17 @@ def vocab_top_words_docs(sf_dir: str):
     return out.sort_values(["cnt", "word"], ascending=[False, True]).reset_index(drop=True)
 
 
+def tfidf_top_terms_docs(sf_dir: str):
+    """Per-doc top-3 TF-IDF terms: distributed document-frequency pass,
+    IDF table broadcast ONCE (per-worker cache), map-only rescore —
+    the aggregate -> broadcast-back -> rescore two-pass shape."""
+    from supersonic_ray.stages.text import tfidf_top_terms
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "text"])
+    out = tfidf_top_terms(ds, "text", "doc_id", k=3).to_pandas()
+    return out.sort_values(["doc_id", "score", "word"], ascending=[True, False, True]).reset_index(drop=True)
+
+
 def sample_bernoulli(sf_dir: str):
     """Seeded Bernoulli sampling (terminal_expressions.h:69-71 analog)."""
     from supersonic_ray.stages.ops import bernoulli_sample
@@ -1602,6 +1613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- window boundary (#50): everything below is unchanged since
         # ---- its green CORRECTNESS row (r02, or local oracle replica):
         # ---- expr_* members here were green at r02 and untouched since
+        "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "sort_multikey": sort_multikey,
         "merge_union": merge_union,
         "expr_arithmetic": expr_arithmetic,
@@ -2079,6 +2091,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_tokens, bin_id
             FROM packed ORDER BY source, doc_id
+        """,
+        "tfidf_top_terms_docs": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(coalesce(text, '')), '[^a-z]+')) AS word
+              FROM documents),
+            w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+            tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY doc_id, word),
+            df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w2 GROUP BY word),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.word,
+                     round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+              FROM tf JOIN df USING (word), n),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, word) AS rk
+              FROM scored)
+            SELECT doc_id, word, score FROM ranked WHERE rk <= 3
+            ORDER BY doc_id, score DESC, word
         """,
         "vocab_top_words_docs": """
             WITH words AS (

@@ -810,3 +810,104 @@ def vocab_top_words(ds, text_col: str = "text", k: int = 100):
 
     out = agg.map_batches(rename, batch_format="pyarrow")
     return out.sort(["cnt", "word"], descending=[True, False]).limit(k)
+
+
+# max distinct words the IDF table may hold before the driver refuses
+# to collect it (same loud-failure convention as SCALAR_COLLECT_LIMIT);
+# 5M words ~= 80 MB broadcast — comfortable per node.
+TFIDF_VOCAB_LIMIT = 5_000_000
+
+
+def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id", k: int = 3):
+    """Per-document top-k TF-IDF terms — the canonical two-pass
+    aggregate → broadcast-back → rescore shape:
+
+    pass 1 (distributed): document frequency per word.  Each batch
+    explodes to DISTINCT (doc, word) pairs and pre-counts words, so the
+    exchange carries one (word, partial_df) row per distinct word per
+    batch; a small groupby-sum finishes DF.  The resulting IDF table is
+    bounded by VOCABULARY size (guarded by TFIDF_VOCAB_LIMIT), ray.put
+    ONCE, and looked up inside every pass-2 task — never re-shipped per
+    batch, never a shuffle join against the corpus.
+
+    pass 2 (map-only): per batch, term frequencies via Arrow group_by,
+    score = tf * ln(N / df), per-doc top-k under (score DESC, word ASC).
+    Returns (id_col, word, score) with score rounded to 6 decimals so
+    the SQL oracle can compare exactly.
+    """
+    import math
+
+    import ray
+
+    def _doc_word_pairs(batch: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(pc.fill_null(batch.column(text_col), ""))
+        lists = pc.split_pattern_regex(txt, "[^a-z]+")
+        flat = pc.list_flatten(lists)
+        ids = batch.column(id_col).take(pc.list_parent_indices(lists))
+        pairs = pa.table({"doc": ids, "word": flat})
+        return pairs.filter(pc.not_equal(pairs.column("word"), ""))
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        distinct = _doc_word_pairs(batch).group_by(["doc", "word"]).aggregate([])
+        vc = distinct.column("word").combine_chunks().value_counts()
+        return pa.table(
+            {"word": vc.field("values"), "df": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    n_docs = ds.count()
+    df_ds = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("word")
+        .sum("df")
+        .materialize()
+    )
+    if df_ds.count() > TFIDF_VOCAB_LIMIT:
+        raise ValueError(
+            f"tfidf_top_terms: vocabulary exceeds TFIDF_VOCAB_LIMIT={TFIDF_VOCAB_LIMIT}; "
+            "shard the corpus or raise the limit explicitly"
+        )
+    df_pd = df_ds.to_pandas()
+    idf_index = pd.Index(df_pd["word"].to_numpy())
+    idf_vals = np.log(float(n_docs) / df_pd["sum(df)"].to_numpy(dtype=np.float64))
+    idf_ref = ray.put((idf_index, idf_vals))
+
+    def score(batch: pa.Table) -> pa.Table:
+        # per-worker-process IDF cache (the membership-filter pattern):
+        # plasma fetch + index warm-up once per worker, not per batch
+        ck = idf_ref.hex()
+        cached = _IDF_CACHE.get(ck)
+        if cached is None:
+            cached = ray.get(idf_ref)
+            if len(_IDF_CACHE) >= 4:
+                _IDF_CACHE.pop(next(iter(_IDF_CACHE)))
+            _IDF_CACHE[ck] = cached
+        idx, vals = cached
+        tf = (
+            _doc_word_pairs(batch)
+            .group_by(["doc", "word"])
+            .aggregate([("word", "count")])
+        )
+        g = tf.to_pandas()
+        if not len(g):
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "word": pa.array([], pa.string()),
+                 "score": pa.array([], pa.float64())}
+            )
+        g["score"] = (
+            g["word_count"].to_numpy(dtype=np.float64)
+            * vals[idx.get_indexer(g["word"].to_numpy())]
+        ).round(6)
+        g = g.sort_values(["doc", "score", "word"], ascending=[True, False, True])
+        top = g.groupby("doc", sort=False).head(k)
+        return pa.table(
+            {
+                id_col: pa.array(top["doc"].to_numpy(), pa.int64()),
+                "word": pa.array(top["word"], pa.string()),
+                "score": pa.array(top["score"].to_numpy(), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+_IDF_CACHE: dict = {}

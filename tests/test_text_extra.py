@@ -350,3 +350,33 @@ def test_vocab_top_words_order_and_ties(ray_session):
     # counts: apple 2, banana 2, cherry 2 -> tie broken by word ASC
     assert out["word"].tolist() == ["apple", "banana"]
     assert out["cnt"].tolist() == [2, 2]
+
+
+def test_tfidf_top_terms_block_invariant(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from supersonic_ray.stages.text import tfidf_top_terms
+
+    t = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["cat cat dog", "dog fish", "cat fish fish", "bird"],
+    })
+
+    def run(blocks):
+        ds = rd.from_arrow(t).repartition(blocks)
+        return (
+            tfidf_top_terms(ds, "text", "doc_id", k=2).to_pandas()
+            .sort_values(["doc_id", "score", "word"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+
+    one, four = run(1), run(4)
+    pd.testing.assert_frame_equal(one, four)  # DF pass is corpus-global
+    # hand check: doc 0 'cat' tf=2, df(cat)=2, N=4 -> 2*ln(2)
+    row = one[(one.doc_id == 0) & (one.word == "cat")]
+    assert abs(row["score"].iloc[0] - round(2 * math.log(4 / 2), 6)) < 1e-9
+    # 'bird' appears only in doc 3 -> ln(4) top term there
+    row = one[one.doc_id == 3]
+    assert row["word"].tolist() == ["bird"]
