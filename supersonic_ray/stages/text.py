@@ -835,8 +835,6 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id", k: int =
     Returns (id_col, word, score) with score rounded to 6 decimals so
     the SQL oracle can compare exactly.
     """
-    import math
-
     import ray
 
     def _doc_word_pairs(batch: pa.Table) -> pa.Table:
