@@ -1280,6 +1280,33 @@ def tfidf_top_terms_docs(sf_dir: str):
     return out.sort_values(["doc_id", "score", "word"], ascending=[True, False, True]).reset_index(drop=True)
 
 
+def dedup_clusters_docs(sf_dir: str):
+    """Duplicate-CLASS clustering: connected components (min-label
+    propagation, stages/graph.py) over a deterministic planted edge
+    graph — chains doc_id→doc_id+1 where doc_id %% 20 < 3 — standing in
+    for the MinHash/SimHash candidate pairs this step consumes in a
+    real dedup chain (the pair stages themselves are verified by their
+    own planted-pair tests).  Oracle: recursive-CTE transitive
+    closure."""
+    from supersonic_ray.stages.graph import connected_components
+    from supersonic_ray.stages.joins import hash_join_auto
+    from supersonic_ray.stages.ops import compute, filter_expr
+
+    docs = _ld(sf_dir, "documents", ["doc_id"])
+
+    def mod20(t: pa.Table) -> pa.ChunkedArray:
+        d = t.column("doc_id")
+        return pc.subtract(d, pc.multiply(pc.divide(d, 20), 20))  # ids >= 0
+
+    left = compute(docs, {"nxt": lambda t: pc.add(t.column("doc_id"), 1)})
+    left = filter_expr(left, lambda t: pc.less(mod20(t), 3))
+    # inner join keeps only edges whose endpoint exists in the corpus
+    edges = hash_join_auto(left, docs, ["nxt"], ["doc_id"])
+    edges = compute(edges, {"a": lambda t: t.column("doc_id"), "b": lambda t: t.column("nxt")})
+    out = connected_components(edges, "a", "b").to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def sample_bernoulli(sf_dir: str):
     """Seeded Bernoulli sampling (terminal_expressions.h:69-71 analog)."""
     from supersonic_ray.stages.ops import bernoulli_sample
@@ -1614,6 +1641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- its green CORRECTNESS row (r02, or local oracle replica):
         # ---- expr_* members here were green at r02 and untouched since
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
+        "dedup_clusters_docs": dedup_clusters_docs,
         "sort_multikey": sort_multikey,
         "merge_union": merge_union,
         "expr_arithmetic": expr_arithmetic,
@@ -2111,6 +2139,21 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT doc_id, word, score FROM ranked WHERE rk <= 3
             ORDER BY doc_id, score DESC, word
+        """,
+        "dedup_clusters_docs": """
+            WITH RECURSIVE e0 AS (
+              SELECT d1.doc_id AS src, d2.doc_id AS dst
+              FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+              WHERE d1.doc_id % 20 < 3
+            ), e AS (
+              SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+            ), reach AS (
+              SELECT src AS node, src AS lbl FROM e
+              UNION
+              SELECT e.dst, reach.lbl FROM reach JOIN e ON e.src = reach.node
+            )
+            SELECT node, min(lbl) AS component FROM reach
+            GROUP BY node ORDER BY node
         """,
         "vocab_top_words_docs": """
             WITH words AS (

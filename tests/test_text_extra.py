@@ -380,3 +380,18 @@ def test_tfidf_top_terms_block_invariant(ray_session):
     # 'bird' appears only in doc 3 -> ln(4) top term there
     row = one[one.doc_id == 3]
     assert row["word"].tolist() == ["bird"]
+
+
+def test_connected_components_chains_and_selfloop(ray_session):
+    import ray.data as rd
+
+    from supersonic_ray.stages.graph import connected_components
+
+    # diameter-3 chain, a pair, and a self-loop; min id labels the class
+    edges = pa.table({"a": [2, 3, 4, 11, 20], "b": [1, 2, 3, 10, 20]})
+    out = (
+        connected_components(rd.from_arrow(edges))
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert out["node"].tolist() == [1, 2, 3, 4, 10, 11, 20]
+    assert out["component"].tolist() == [1, 1, 1, 1, 10, 10, 20]
