@@ -21,7 +21,8 @@ AUDITED = {
     "stages/joins.py": 7,  # asof broadcast RHS build (once/actor), asof per-batch Arrow take, rowid gather, indexed-broadcast gather x2, range-join per-batch take + band-boundary take (all worker-side Arrow takes; hash-join + asof probes are Arrow-native)
     "stages/skew.py": 1,  # sampled hot-key histogram (bounded by sample)
     "stages/vectors.py": 2,  # IVF training sample (limit N), dim probe take(1)
-    "stages/text.py": 0,
+    "stages/text.py": 3,  # tfidf: per-batch worker Arrow take (parent indices), GUARDED to_pandas of the DF table (TFIDF_VOCAB_LIMIT, vocabulary-sized not corpus-sized), per-batch worker tf.to_pandas
+    "stages/graph.py": 0,  # label sums are scalar aggregates; labels stay a Dataset
     "stages/ops.py": 0,
     "stages/stateful.py": 0,
     "stages/windows.py": 0,
