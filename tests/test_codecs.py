@@ -202,3 +202,35 @@ def test_fsst_native_matches_python_paths():
         assert decode_buffer(scalar, syms) == data
     finally:
         _native.LIB = lib
+
+
+def test_fsst_fast_kernel_fuzz_matches_scalar():
+    """Seeded fuzz over adversarial symbol tables and binary payloads:
+    the 2-byte-bucket C kernel must stay byte-identical to the scalar
+    encoder — 0xff-prefixed symbols, 1-byte-heavy tables, data with
+    every byte value, and payload tails shorter than 8 bytes."""
+    import random
+
+    from supersonic_ray.codecs import _native
+    from supersonic_ray.codecs.fsst import _encode_buffer_scalar, train_symbols
+
+    if _native.LIB is None:
+        import pytest
+
+        pytest.skip("no C compiler")
+    rng = random.Random(1234)
+    for trial in range(12):
+        alphabet = bytes(rng.choices(range(256), k=rng.randint(2, 40)))
+        data = bytes(rng.choices(alphabet, k=rng.randint(1, 5000)))
+        if trial % 3 == 0:
+            # adversarial table: hand-built, heavy on 1-byte symbols
+            pool = {bytes([b]) for b in alphabet[:6]} | {
+                bytes(rng.choices(alphabet, k=rng.randint(2, 8))) for _ in range(60)
+            }
+            syms = list(pool)[:255]
+        else:
+            syms = train_symbols(data)
+        scalar = _encode_buffer_scalar(data, syms)
+        nt = _native.NativeTable(syms)
+        assert nt.encode(data) == scalar, (trial, alphabet[:8])
+        assert nt.decode(scalar, len(data)) == data
