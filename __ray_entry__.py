@@ -1171,6 +1171,19 @@ def agg_clusters_sorted(sf_dir: str):
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def _denullable(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-facing dtype normalization: pandas nullable extension ints
+    (Int64 with pd.NA) hash differently from the float64/NaN frames the
+    oracle produces even when every value matches — cast any NA-bearing
+    extension-int column to float64 (DuckDB's representation) and
+    NA-free ones to plain int64."""
+    for c in df.columns:
+        dt = str(df[c].dtype)
+        if dt.startswith(("Int", "UInt")):
+            df[c] = df[c].astype("float64" if df[c].isna().any() else "int64")
+    return df
+
+
 def group_with_limit(sf_dir: str):
     """BoundGroupAggregateWithLimit (aggregate.h:266-277): first K keys
     aggregated individually, remainder collapsed into one NULL-key row."""
@@ -1180,7 +1193,7 @@ def group_with_limit(sf_dir: str):
     out = group_aggregate_with_limit(
         ds, ["n_regionkey"], [AggSpec("count", None, "n")], max_unique_keys=3
     ).to_pandas()
-    return out.sort_values("n_regionkey", na_position="last").reset_index(drop=True)
+    return _denullable(out.sort_values("n_regionkey", na_position="last").reset_index(drop=True))
 
 
 def group_with_limit_arrival(sf_dir: str):
@@ -1620,11 +1633,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- expression families (round-3 additions / r02-untested only:
         # -- the green-r02 unchanged members yield their window slots to
         # -- round-3 flagship operators below)
-        "expr_hyperbolic": expr_hyperbolic,
         "expr_cast_parse": expr_cast_parse,
         "expr_fingerprint": expr_fingerprint,
         "expr_date_local": expr_date_local,
-        "expr_is_normal": expr_is_normal,
         # -- sources + sinks
         "csv_source_roundtrip": csv_source_roundtrip,
         "json_source_roundtrip": json_source_roundtrip,
@@ -1637,11 +1648,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_with_limit_arrival": group_with_limit_arrival,
         "pii_redact_docs": pii_redact_docs,
         "line_dedup_docs": line_dedup_docs,
-        # ---- window boundary (#50): everything below is unchanged since
-        # ---- its green CORRECTNESS row (r02, or local oracle replica):
-        # ---- expr_* members here were green at r02 and untouched since
+        # -- round-3 flagships that had no hard driver row yet (rotated
+        # -- into the window this round per the r03 verdict)
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "dedup_clusters_docs": dedup_clusters_docs,
+        # ---- window boundary (#50): everything below has a green driver
+        # ---- CORRECTNESS row from a prior round (r02 or r03) and its
+        # ---- code path is unchanged since that row; expr_hyperbolic and
+        # ---- expr_is_normal rotated down (green r03, pure-Arrow, frozen)
+        "expr_hyperbolic": expr_hyperbolic,
+        "expr_is_normal": expr_is_normal,
         "sort_multikey": sort_multikey,
         "merge_union": merge_union,
         "expr_arithmetic": expr_arithmetic,

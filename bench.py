@@ -267,7 +267,15 @@ def run_scaling() -> dict:
         out[f"efficiency_{lo}_to_{hi}"] = eff
         if hi == 4 * lo and value is None:
             value = eff
-    out["value"] = value if value is not None else out[f"efficiency_{levels[0]}_to_{levels[1]}"]
+    if value is None:
+        # no exact N->4N pair: fall back to the first adjacent pair, or
+        # report null for a single-level run instead of raising
+        value = (
+            out.get(f"efficiency_{levels[0]}_to_{levels[1]}")
+            if len(levels) >= 2
+            else None
+        )
+    out["value"] = value
     return out
 
 

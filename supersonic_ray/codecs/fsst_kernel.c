@@ -139,10 +139,15 @@ int64_t fsst_decode(const uint8_t *enc, int64_t n, const uint8_t *syms,
       if (c >= n_syms) return -1;
       uint8_t L = sym_lens[c];
       if (o + L > out_cap) return -1;
-      /* unconditional 8-byte splat: the caller allocates out_cap + 8
-       * bytes (see NativeTable.decode), so writing the full slot is
-       * always in-bounds; only o advances by the true length */
-      memcpy(out + o, syms + c * 8, 8);
+      /* 8-byte splat fast path only while provably in-bounds of the
+       * caller's buffer (out_cap is the true capacity); near the end
+       * fall back to an exact-length copy — safe by construction for
+       * any caller, including exact-capacity buffers */
+      if (o + 8 <= out_cap) {
+        memcpy(out + o, syms + c * 8, 8);
+      } else {
+        memcpy(out + o, syms + c * 8, L);
+      }
       o += L;
       i++;
     }

@@ -56,11 +56,21 @@ def connected_components(edges_ds, a_col: str = "a", b_col: str = "b", max_iters
         .materialize()
     )
 
-    def label_sum(lds) -> int:
+    def label_sum(lds) -> int | None:
+        # Dataset.sum returns None on an empty dataset
         s = lds.sum("label")
-        return int(s if not isinstance(s, dict) else s["sum(label)"])
+        if isinstance(s, dict):
+            s = s.get("sum(label)")
+        return None if s is None else int(s)
 
     prev_sum = label_sum(labels)
+    if prev_sum is None:
+        # zero edges (a perfectly normal LSH/MinHash outcome) → zero
+        # nodes; return the empty (node, component) frame directly
+        return labels.map_batches(
+            lambda t: pa.table({"node": t.column("node"), "component": t.column("label")}),
+            batch_format="pyarrow",
+        )
     for _ in range(max_iters):
         # labels flow across edges: node's label reaches every neighbor
         flowed = hash_join_auto(edges, labels, ["src"], ["node"]).map_batches(

@@ -891,9 +891,19 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id", k: int =
                 {id_col: pa.array([], pa.int64()), "word": pa.array([], pa.string()),
                  "score": pa.array([], pa.float64())}
             )
+        indexer = idx.get_indexer(g["word"].to_numpy())
+        if (indexer < 0).any():
+            # pass 1 and pass 2 re-execute the input independently; a
+            # word absent from the pass-1 vocabulary means an upstream
+            # stage is nondeterministic — fail loudly, never apply a
+            # wrong IDF silently (vals[-1] would)
+            bad = g["word"].to_numpy()[indexer < 0][:5]
+            raise ValueError(
+                f"tfidf pass-2 saw words absent from the pass-1 vocabulary "
+                f"(e.g. {list(bad)!r}) — nondeterministic upstream dataset?"
+            )
         g["score"] = (
-            g["word_count"].to_numpy(dtype=np.float64)
-            * vals[idx.get_indexer(g["word"].to_numpy())]
+            g["word_count"].to_numpy(dtype=np.float64) * vals[indexer]
         ).round(6)
         g = g.sort_values(["doc", "score", "word"], ascending=[True, False, True])
         top = g.groupby("doc", sort=False).head(k)

@@ -395,3 +395,15 @@ def test_connected_components_chains_and_selfloop(ray_session):
     )
     assert out["node"].tolist() == [1, 2, 3, 4, 10, 11, 20]
     assert out["component"].tolist() == [1, 1, 1, 1, 10, 10, 20]
+
+
+def test_connected_components_empty_edges(ray_session):
+    # zero duplicate pairs is a normal LSH/MinHash outcome: the chain
+    # must return an empty labels frame, not crash on int(None)
+    import ray.data as rd
+
+    from supersonic_ray.stages.graph import connected_components
+
+    edges = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    out = connected_components(rd.from_arrow(edges))
+    assert out.count() == 0

@@ -40,6 +40,20 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def compare(name: str, ours: pd.DataFrame, oracle: pd.DataFrame) -> list[str]:
     problems = []
+    # Driver-strictness: the driver hashes raw cell values, where a pandas
+    # extension NA (pd.NA in an Int64/boolean column) differs from the
+    # float64/NaN or object/None the oracle produces.  The replica's
+    # normalize() below unifies int widths and would mask that, so flag
+    # NA-bearing extension dtypes up front (this is exactly what turned
+    # group_with_limit red on the round-3 driver while passing here).
+    for c in ours.columns:
+        dt = str(ours[c].dtype)
+        if dt.startswith(("Int", "UInt", "Float")) or dt == "boolean":
+            if ours[c].isna().any():
+                problems.append(
+                    f"col {c}: pandas extension dtype {dt} with pd.NA will "
+                    "hash-mismatch on the driver — cast to float64/object first"
+                )
     if len(ours) != len(oracle):
         problems.append(f"row count {len(ours)} vs oracle {len(oracle)}")
     if sorted(map(str.lower, ours.columns)) != sorted(map(str.lower, oracle.columns)):
