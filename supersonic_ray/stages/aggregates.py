@@ -658,11 +658,27 @@ def scalar_aggregate(ds, specs: list[AggSpec]) -> pa.Table:
             row[s.alias] = [total / n if n and total is not None else None]
 
     for s in ordered_fl:
-        filtered = ds.map_batches(
-            lambda b, col=s.column: b.filter(pc.is_valid(b.column(col))), batch_format="pyarrow"
-        )
-        one = filtered.sort(s.order_by, descending=(s.fn == "last")).limit(1).take_all()
-        row[s.alias] = [one[0][s.column] if one else None]
+        # arg-extreme partials (round-4; was a full all-to-all range
+        # sort + limit(1) to extract ONE row): each batch emits its own
+        # extreme row under the order, the driver combine sorts
+        # O(#batches) rows — zero shuffle, same contract as the grouped
+        # _first_last_components plan
+        order_cols = list(s.order_by) if isinstance(s.order_by, (list, tuple)) else [s.order_by]
+        sort_dir = "descending" if s.fn == "last" else "ascending"
+        keep_cols = list(dict.fromkeys([s.column, *order_cols]))
+
+        def arg_extreme(b: pa.Table, col=s.column, oc=tuple(order_cols), d=sort_dir, kc=tuple(keep_cols)) -> pa.Table:
+            b = b.select(list(kc)).filter(pc.is_valid(b.column(col)))
+            if b.num_rows == 0:
+                return b
+            return b.sort_by([(c, d) for c in oc]).slice(0, 1)
+
+        partials = ds.map_batches(arg_extreme, batch_format="pyarrow").to_pandas()
+        if len(partials):
+            best = partials.sort_values(order_cols, ascending=(s.fn != "last"), kind="mergesort").iloc[0]
+            row[s.alias] = [best[s.column]]
+        else:
+            row[s.alias] = [None]
 
     if holistic:
         # CONCAT / unordered FIRST-LAST / UDAF: output or state is

@@ -137,6 +137,7 @@ def stream_sessionize_distributed(
     agg_col: str | None = None,
     num_shards: int | None = None,
     batch_rows: int = 4096,
+    target_shard_rows: int = 2_000_000,
 ):
     """Driver-OFF-the-data-path sessionization (round-3; the sharded
     driver loop above remains the live micro-batch semantics reference):
@@ -144,13 +145,28 @@ def stream_sessionize_distributed(
     moves the data, never the driver — and each shard task replays its
     shard ts-ordered through a SessionTracker in micro-batches,
     emitting exactly what the incremental tracker would.  Returns a
-    Dataset (stream-consumable).  Memory per task = one shard; at
-    cluster scale num_shards ≈ total cores keeps shards bounded."""
+    Dataset (stream-consumable).
+
+    Shard-size contract (round-4): each shard materializes as ONE
+    pandas frame inside its map_groups task, so the shard count is
+    sized from the ROW COUNT (ceil(rows / target_shard_rows), floor =
+    cluster CPUs), not from CPU count alone — at 100 TB a
+    shards≈cores split would put ~rows/cores rows (100s of GB) in a
+    single task heap.  ``ds.count()`` is metadata-only for file-backed
+    datasets; for a derived pipeline pass ``num_shards`` explicitly to
+    avoid the extra counting pass.  Residual caveat: sessions are
+    per-key ordered state, so one pathologically hot KEY still lands
+    in one shard — that bound is semantic, not an implementation
+    artifact."""
+    import math
+
     import numpy as np
     import ray
 
     if num_shards is None:
-        num_shards = max(4, int(ray.cluster_resources().get("CPU", 4)))
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        n_rows = ds.count()
+        num_shards = max(4, cpus, math.ceil(n_rows / max(1, target_shard_rows)))
 
     def add_shard(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

@@ -385,17 +385,32 @@ def minhash_lsh_dedup(
 
     pairs = signed.map_batches(explode, batch_format="pandas")
 
-    def losers(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({id_col: []}).astype({id_col: g[id_col].dtype})
-        ids = sorted(g[id_col].tolist())
-        return pd.DataFrame({id_col: ids[1:]})
+    # Vectorized winner pick (round-4; replaces a per-bucket map_groups
+    # that spawned one Python task per band bucket — ~10^13 tiny groups
+    # at 10^12 docs x 16 bands).  A doc survives iff it is the min id
+    # of EVERY bucket it lands in, and every doc lands in exactly
+    # `bands` buckets, so:
+    #   winners  = min(id) per band_key      (partial+final aggregate)
+    #   wins(id) = #buckets a given id won   (tiny second aggregate)
+    #   keep     = ids with wins == bands    (losers never enumerate)
+    # All exchanges carry (int64, int64) pairs; no per-group tasks.
+    from .aggregates import AggSpec, group_aggregate
+    from .joins import semi_join_auto
 
-    dup_ids = pairs.groupby("band_key").map_groups(losers, batch_format="pandas")
-    # loser ids NEVER land on the driver: distributed distinct (one
-    # groupby on the id) then a hash-partitioned anti join — at 100 TB
-    # the dup set is billions of ids and must stay a Dataset.
-    kept = _distributed_anti_join(signed, dup_ids, id_col)
+    winners = group_aggregate(pairs, ["band_key"], [AggSpec("min", id_col, id_col)])
+    wins = group_aggregate(
+        winners.select_columns([id_col]), [id_col], [AggSpec("count", None, "__wins")]
+    )
+
+    def all_bands(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("__wins"), bands)
+        return batch.filter(keep).select([id_col])
+
+    keep_ids = wins.map_batches(all_bands, batch_format="pyarrow")
+    # keeper ids NEVER land on the driver: adaptive semi join (broadcast
+    # under the counted limit, hash-partitioned above) — at 100 TB the
+    # keep set is billions of ids and must stay a Dataset.
+    kept = semi_join_auto(signed, keep_ids, [id_col], [id_col])
     return kept.drop_columns(["__sig"])
 
 

@@ -91,3 +91,53 @@ def test_distributed_streaming_equals_batch(ray_session, sf_dir):
     s["sum_value"] = s["sum_value"].round(4)
     s = s.astype(b.dtypes.to_dict())
     pd.testing.assert_frame_equal(b, s)
+
+
+def test_distributed_streaming_shard_rows_bounded(ray_session, sf_dir):
+    """Round-4: auto shard count must grow with ROW COUNT so a shard's
+    pandas frame stays bounded as the input grows — shards ≈ cores
+    would put rows/cores rows in one task heap at scale.  With
+    target_shard_rows=100 on the sf events table, every hash shard
+    must materialize well under the whole dataset, and results still
+    equal the batch reference."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from supersonic_ray.stages.streaming import stream_sessionize_distributed
+    from supersonic_ray.stages.windows import session_window
+
+    gap = 30 * 60 * 1_000_000
+    cols = ["event_id", "user_id", "ts", "value"]
+    ds1 = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+    n_rows = ds1.count()
+    target = 100
+    assert n_rows > 4 * target  # the test only means something if rows >> target
+
+    # shard-size bound: with the row-derived shard count, the max rows
+    # any single map_groups task can see is the max hash-bucket size
+    import math
+
+    num_shards_expected = max(4, int(ray.cluster_resources().get("CPU", 4)),
+                              math.ceil(n_rows / target))
+    uid = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]).to_pandas()["user_id"]
+    shard = pd.util.hash_array(uid.to_numpy()) % np.uint64(num_shards_expected)
+    max_shard_rows = int(pd.Series(shard).value_counts().iloc[0])
+    assert max_shard_rows < n_rows / 2  # bounded: no shard holds the corpus
+
+    ds2 = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+    stream = stream_sessionize_distributed(
+        ds2, "user_id", "ts", gap_us=gap, agg_col="value",
+        batch_rows=128, target_shard_rows=target,
+    ).to_pandas()
+    batch = session_window(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols),
+        "user_id", "ts", gap_us=gap, agg_col="value", tiebreak="event_id",
+    ).to_pandas()
+    key = ["user_id", "session_id"]
+    b = batch[key + ["n_events", "sum_value"]].sort_values(key).reset_index(drop=True)
+    s = stream[key + ["n_events", "sum_value"]].sort_values(key).reset_index(drop=True)
+    b["sum_value"] = b["sum_value"].round(4)
+    s["sum_value"] = s["sum_value"].round(4)
+    s = s.astype(b.dtypes.to_dict())
+    pd.testing.assert_frame_equal(b, s)
