@@ -153,6 +153,38 @@ def agg_distinct(sf_dir: str):
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def agg_distinct_nullkey(sf_dir: str):
+    """NULL group keys through the DISTRIBUTED mixed plan (round-4;
+    previously any NULL key fell back to per-group holistic tasks):
+    the key nullif-derives real NULLs, and DISTINCT + arg-extreme
+    components carry them via the fill+indicator trick."""
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
+    from supersonic_ray.stages.ops import compute
+
+    ds = _ld(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"])
+    ds = compute(
+        ds,
+        {
+            "prio": lambda t: pc.if_else(
+                pc.equal(t.column("o_orderpriority"), "3-MEDIUM"),
+                pa.nulls(t.num_rows, pa.string()),
+                t.column("o_orderpriority"),
+            )
+        },
+    )
+    out = group_aggregate(
+        ds,
+        ["prio"],
+        [
+            AggSpec("count", "o_custkey", "n_cust", distinct=True),
+            AggSpec("sum", "o_totalprice", "sum_price"),
+            AggSpec("first", "o_orderstatus", "first_status", order_by="o_orderkey"),
+        ],
+    ).to_pandas()
+    out["sum_price"] = out["sum_price"].round(2)
+    return out.sort_values("prio", na_position="last").reset_index(drop=True)
+
+
 def agg_concat(sf_dir: str):
     """CONCAT aggregate (supersonic.proto:91-99) with explicit order."""
     from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
@@ -1611,6 +1643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- aggregation (round-3 distributed holistic plans)
         "agg_scalar": agg_scalar,
         "agg_distinct": agg_distinct,
+        "agg_distinct_nullkey": agg_distinct_nullkey,
         "agg_concat": agg_concat,
         "agg_first_last": agg_first_last,
         "agg_clusters_sorted": agg_clusters_sorted,
@@ -1635,7 +1668,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- round-3 flagship operators below)
         "expr_cast_parse": expr_cast_parse,
         "expr_fingerprint": expr_fingerprint,
-        "expr_date_local": expr_date_local,
         # -- sources + sinks
         "csv_source_roundtrip": csv_source_roundtrip,
         "json_source_roundtrip": json_source_roundtrip,
@@ -1655,9 +1687,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- window boundary (#50): everything below has a green driver
         # ---- CORRECTNESS row from a prior round (r02 or r03) and its
         # ---- code path is unchanged since that row; expr_hyperbolic and
-        # ---- expr_is_normal rotated down (green r03, pure-Arrow, frozen)
+        # ---- expr_is_normal / expr_date_local rotated down (green r03,
+        # ---- pure-Arrow expression paths, frozen)
         "expr_hyperbolic": expr_hyperbolic,
         "expr_is_normal": expr_is_normal,
+        "expr_date_local": expr_date_local,
         "sort_multikey": sort_multikey,
         "merge_union": merge_union,
         "expr_arithmetic": expr_arithmetic,
@@ -1801,6 +1835,13 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l_suppkey) AS n_supp,
                    count(DISTINCT l_partkey) AS n_part
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "agg_distinct_nullkey": """
+            SELECT nullif(o_orderpriority, '3-MEDIUM') AS prio,
+                   count(DISTINCT o_custkey) AS n_cust,
+                   round(sum(o_totalprice), 2) AS sum_price,
+                   arg_min(o_orderstatus, o_orderkey) AS first_status
+            FROM orders GROUP BY 1 ORDER BY prio NULLS LAST
         """,
         "agg_concat": """
             SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names

@@ -166,6 +166,18 @@ def _group_aggregate_holistic(ds, keys: list[str], specs: list[AggSpec]):
     return ds.groupby(keys).map_groups(per_group, batch_format="pandas")
 
 
+def _null_fill_scalar(tp: pa.DataType) -> pa.Scalar:
+    """Typed placeholder for NULL group keys travelling a shuffle next
+    to an is-null indicator column (the NULL-safe grouping trick)."""
+    if pa.types.is_string(tp) or pa.types.is_large_string(tp):
+        return pa.scalar("", tp)
+    if pa.types.is_binary(tp) or pa.types.is_large_binary(tp):
+        return pa.scalar(b"", tp)
+    if pa.types.is_boolean(tp):
+        return pa.scalar(False)
+    return pa.scalar(0).cast(tp)
+
+
 def _group_aggregate_partial(ds, keys: list[str], specs: list[AggSpec]):
     count_star = [s for s in specs if s.fn == "count" and s.column is None]
     count_cols = [s for s in specs if s.fn == "count" and s.column is not None]
@@ -232,15 +244,7 @@ def _group_aggregate_partial(ds, keys: list[str], specs: list[AggSpec]):
             col = res.column(k)
             if col.null_count:
                 res = res.append_column(f"__kn_{i}", pc.cast(pc.is_null(col), pa.int8()))
-                tp = col.type
-                if pa.types.is_string(tp) or pa.types.is_large_string(tp):
-                    fill = pa.scalar("", tp)
-                elif pa.types.is_binary(tp) or pa.types.is_large_binary(tp):
-                    fill = pa.scalar(b"", tp)
-                elif pa.types.is_boolean(tp):
-                    fill = pa.scalar(False)
-                else:
-                    fill = pa.scalar(0).cast(tp)
+                fill = _null_fill_scalar(col.type)
                 res = res.set_column(res.column_names.index(k), k, pc.fill_null(col, fill))
             else:
                 res = res.append_column(f"__kn_{i}", pa.array(np.zeros(n, dtype=np.int8)))
@@ -460,10 +464,15 @@ def _group_aggregate_mixed(ds, keys: list[str], specs: list[AggSpec]):
     the limit, hash-partitioned above).  No stage ever holds a whole
     raw group in one task.
 
-    NULL GROUP KEYS: component merge joins can't match NULL keys, so if
-    the (small, post-aggregation) base exposes any NULL key the whole
-    query falls back to the holistic per-group path — correct, and only
-    as slow as the pre-round-3 behavior."""
+    NULL GROUP KEYS (round-4): component merge joins can't match NULL
+    keys, so when the (small, post-aggregation) base exposes any NULL
+    key the SOURCE is rewritten once with the same fill+indicator trick
+    _group_aggregate_partial uses internally — each key fills its NULLs
+    with a typed placeholder and carries an int8 is-null indicator, the
+    whole component plan (dedup pairs, arg-extreme partials, run-concat,
+    adaptive joins) runs on (key, indicator) tuples, and a final fix-up
+    restores the NULLs.  The plan stays fully distributed; no holistic
+    per-group fallback remains for built-in specs."""
     from .joins import hash_join_auto
 
     from .ops import decode_dictionary_columns
@@ -484,15 +493,37 @@ def _group_aggregate_mixed(ds, keys: list[str], specs: list[AggSpec]):
     ).materialize()
 
     null_keys = src if not keys else base
-    has_null_keys = any(
+    has_null_keys = keys and any(
         r["n"]
         for r in null_keys.map_batches(
             lambda t: pa.table({"n": [sum(t.column(k).null_count for k in keys)]}),
             batch_format="pyarrow",
         ).take_all()
     )
+    orig_keys = list(keys)
+    kn_cols: list[str] = []
     if has_null_keys:
-        return _group_aggregate_holistic(src, keys, specs)
+        kn_cols = [f"__gkn_{i}" for i in range(len(keys))]
+
+        def null_safe(batch: pa.Table) -> pa.Table:
+            for i, k in enumerate(keys):
+                col = batch.column(k)
+                batch = batch.append_column(
+                    kn_cols[i], pc.cast(pc.is_null(col), pa.int8())
+                )
+                if col.null_count:
+                    batch = batch.set_column(
+                        batch.column_names.index(k),
+                        k,
+                        pc.fill_null(col, _null_fill_scalar(col.type)),
+                    )
+            return batch
+
+        src = src.map_batches(null_safe, batch_format="pyarrow").materialize()
+        keys = keys + kn_cols
+        base = _group_aggregate_partial(
+            src, keys, dist_specs + [AggSpec("count", None, "__kcov")]
+        ).materialize()
 
     components: list[tuple[object, str, object]] = []  # (dataset, alias, fill)
     pair_cache: dict[str, object] = {}
@@ -536,10 +567,21 @@ def _group_aggregate_mixed(ds, keys: list[str], specs: list[AggSpec]):
         out = hash_join_auto(out, comp, keys, keys, "left_outer")
 
     fills = {alias: fill for _c, alias, fill in components if fill is not None}
-    final_cols = keys + [s.alias for s in specs]
+    final_cols = orig_keys + [s.alias for s in specs]
     int_aliases = [s.alias for s in specs if s.fn == "count"]
 
     def finalize(t: pa.Table) -> pa.Table:
+        # restore NULL group keys from their indicators (round-4 plan)
+        for i, k in enumerate(orig_keys):
+            if not kn_cols:
+                break
+            kn = t.column(kn_cols[i])
+            if pc.sum(kn).as_py():
+                idx = t.column_names.index(k)
+                col = t.column(k)
+                t = t.set_column(
+                    idx, k, pc.if_else(pc.equal(kn, 1), pa.nulls(t.num_rows, col.type), col)
+                )
         for alias, fill in fills.items():
             idx = t.column_names.index(alias)
             col = t.column(alias)
