@@ -1559,6 +1559,34 @@ def plan_q3_json(sf_dir: str):
     return out.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).reset_index(drop=True)
 
 
+PLAN_WINDOW_JSON = """
+{"steps": [
+  {"op": "scan", "table": "events",
+   "columns": ["event_id", "user_id", "ts", "value"]},
+  {"op": "running", "partition_keys": ["user_id"],
+   "order_by": ["ts", "event_id"],
+   "exprs": {"rn": {"fn": "row_number"},
+             "rnk": {"fn": "rank", "column": "value"},
+             "prev_v": {"fn": "lag", "column": "value"},
+             "next_v": {"fn": "lead", "column": "value"}}},
+  {"op": "project", "columns": ["event_id", "rn", "rnk", "prev_v", "next_v"]}
+]}
+"""
+
+
+def plan_window_json(sf_dir: str):
+    """Round-4 plan-grammar breadth: analytic window functions
+    (ROW_NUMBER/RANK/LAG/LEAD over ordered partitions) deserialized
+    from a JSON plan document — the reference's proto plan surface
+    (build_expression_from_proto.cc) extended to the running/window
+    family so ray-job payloads can express every driver query shape."""
+    from supersonic_ray.pipelines import run_plan_json
+
+    out = run_plan_json(PLAN_WINDOW_JSON, sf_dir).to_pandas()
+    out[["prev_v", "next_v"]] = out[["prev_v", "next_v"]].round(4)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def foreign_filter_rank_q(sf_dir: str):
     """ForeignFilter exact semantics (foreign_filter.h:33-43): semi join
     on sorted unique filter keys AND FK rewritten to the matched key's
@@ -1631,6 +1659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_region_revenue": q5_region_revenue,
         "plan_q1_json": plan_q1_json,
         "plan_q3_json": plan_q3_json,
+        "plan_window_json": plan_window_json,
         # -- joins (round-3 Arrow-native probe + adaptive planners)
         "semi_join_customers": semi_join_customers,
         "anti_join_customers": anti_join_customers,
@@ -1666,7 +1695,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- expression families (round-3 additions / r02-untested only:
         # -- the green-r02 unchanged members yield their window slots to
         # -- round-3 flagship operators below)
-        "expr_cast_parse": expr_cast_parse,
         "expr_fingerprint": expr_fingerprint,
         # -- sources + sinks
         "csv_source_roundtrip": csv_source_roundtrip,
@@ -1687,11 +1715,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- window boundary (#50): everything below has a green driver
         # ---- CORRECTNESS row from a prior round (r02 or r03) and its
         # ---- code path is unchanged since that row; expr_hyperbolic and
-        # ---- expr_is_normal / expr_date_local rotated down (green r03,
-        # ---- pure-Arrow expression paths, frozen)
+        # ---- expr_is_normal / expr_date_local / expr_cast_parse rotated
+        # ---- down (green r03, pure-Arrow expression paths, frozen)
         "expr_hyperbolic": expr_hyperbolic,
         "expr_is_normal": expr_is_normal,
         "expr_date_local": expr_date_local,
+        "expr_cast_parse": expr_cast_parse,
         "sort_multikey": sort_multikey,
         "merge_union": merge_union,
         "expr_arithmetic": expr_arithmetic,
@@ -1990,6 +2019,16 @@ def oracle_sql() -> dict[str, str]:
             FROM g ORDER BY event_id
         """,
         "window_rank_lag": """
+            SELECT event_id,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   CAST(rank() OVER (PARTITION BY user_id ORDER BY value) AS BIGINT) AS rnk,
+                   round(lag(value) OVER w, 4) AS prev_v,
+                   round(lead(value) OVER w, 4) AS next_v
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id
+        """,
+        "plan_window_json": """
             SELECT event_id,
                    CAST(row_number() OVER w AS BIGINT) AS rn,
                    CAST(rank() OVER (PARTITION BY user_id ORDER BY value) AS BIGINT) AS rnk,

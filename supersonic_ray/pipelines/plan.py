@@ -31,7 +31,22 @@ Plan document::
       {"op": "join", "left_keys": [...], "right_keys": [...],
        "join_type": "inner", "right": [<steps of the build side>]},
       {"op": "semi_join" | "anti_join", "left_keys": [...],
-       "right_keys": [...], "right": [<steps>]}
+       "right_keys": [...], "right": [<steps>]},
+      {"op": "union", "right": [<steps>]},
+      {"op": "running", "partition_keys": [...], "order_by": [...],
+       "exprs": {"alias": {"fn": "running_sum" | "changed" | "smudge" |
+                           "smudge_if" | "running_min_with_flush" |
+                           "row_number" | "rank" | "dense_rank" |
+                           "lag" | "lead",
+                 "column": "c", "n": 1, "cond": "c2"}}},
+      {"op": "window", "kind": "session" | "sliding", "key": "k",
+       "ts_col": "ts", "gap_us": ..., "width_us": ..., "slide_us": ...,
+       "agg_col": "v", "tiebreak": "id"},
+      {"op": "asof_join", "right": [<steps>], "left_by": ...,
+       "right_by": ..., "left_on": ..., "right_on": ...,
+       "payload_cols": [...]},
+      {"op": "range_join", "right": [<steps>], "value_col": ...,
+       "lo_col": "lo", "hi_col": "hi", "keep_bounds": false}
     ]}
 
 Join build sides are themselves plans (recursive ``right`` step lists),
@@ -104,6 +119,35 @@ def build_expr(spec: dict) -> Callable[[pa.Table], Any]:
     return lambda t: fn(*[a(t) for a in args], *params)
 
 
+def _build_running(spec: dict) -> Callable:
+    """Running/analytic expression spec → fn(sorted-group df) → Series
+    (bind-time validation, like build_expr)."""
+    from supersonic_ray.stages import stateful as S
+
+    fn = spec["fn"]
+    col = spec.get("column")
+    if fn in ("running_sum", "changed", "smudge"):
+        impl = getattr(S, fn)
+        return lambda g: impl(g[col])
+    if fn == "smudge_if":
+        cond = spec["cond"]
+        return lambda g: S.smudge_if(g[col], g[cond])
+    if fn == "running_min_with_flush":
+        flush = spec["cond"]
+        return lambda g: S.running_min_with_flush(g[col], g[flush])
+    if fn == "row_number":
+        return S.row_number
+    if fn == "rank":
+        return S.rank_by(col)
+    if fn == "dense_rank":
+        return S.dense_rank_by(col)
+    if fn == "lag":
+        return S.lag(col, spec.get("n", 1))
+    if fn == "lead":
+        return S.lead(col, spec.get("n", 1))
+    raise ValueError(f"unknown running expression {fn!r}")
+
+
 def build_pipeline(plan: dict, sf_dir: str):
     """Plan document → lazy Dataset (never executes; caller consumes)."""
     import ray.data as rd
@@ -119,6 +163,7 @@ def build_pipeline(plan: dict, sf_dir: str):
         sort,
         top_k,
     )
+    from supersonic_ray.stages.stateful import apply_running
 
     ds = None
     for i, step in enumerate(plan["steps"]):
@@ -163,6 +208,65 @@ def build_pipeline(plan: dict, sf_dir: str):
                 step["left_keys"],
                 step.get("right_keys"),
                 anti=(kind == "anti_join"),
+            )
+        elif kind == "union":
+            ds = ds.union(build_pipeline({"steps": step["right"]}, sf_dir))
+        elif kind == "running":
+            ds = apply_running(
+                ds,
+                step.get("partition_keys"),
+                step["order_by"],
+                {a: _build_running(s) for a, s in step["exprs"].items()},
+            )
+        elif kind == "window":
+            from supersonic_ray.stages.windows import session_window, sliding_window
+
+            wk = step["kind"]
+            if wk == "session":
+                ds = session_window(
+                    ds,
+                    step["key"],
+                    step["ts_col"],
+                    gap_us=step["gap_us"],
+                    agg_col=step.get("agg_col"),
+                    tiebreak=step.get("tiebreak"),
+                )
+            elif wk == "sliding":
+                ds = sliding_window(
+                    ds,
+                    step["key"],
+                    step["ts_col"],
+                    width_us=step["width_us"],
+                    slide_us=step["slide_us"],
+                    agg_col=step["agg_col"],
+                )
+            else:
+                raise ValueError(f"unknown window kind {wk!r} (tumbling "
+                                 "windows serialize as compute+group_aggregate)")
+        elif kind == "asof_join":
+            from supersonic_ray.stages.joins import asof_join_auto
+
+            right = build_pipeline({"steps": step["right"]}, sf_dir)
+            ds = asof_join_auto(
+                ds,
+                right,
+                left_by=step["left_by"],
+                right_by=step["right_by"],
+                left_on=step["left_on"],
+                right_on=step["right_on"],
+                payload_cols=step["payload_cols"],
+            )
+        elif kind == "range_join":
+            from supersonic_ray.stages.joins import range_join_auto
+
+            right = build_pipeline({"steps": step["right"]}, sf_dir)
+            ds = range_join_auto(
+                ds,
+                right,
+                step["value_col"],
+                lo_col=step.get("lo_col", "lo"),
+                hi_col=step.get("hi_col", "hi"),
+                keep_bounds=step.get("keep_bounds", False),
             )
         else:
             raise ValueError(f"unknown plan op {kind!r}")

@@ -86,6 +86,10 @@ def compute(ds, exprs: dict[str, Callable[[pa.Table], pa.Array]], keep_input: bo
         out = batch if keep_input else batch.select([])
         for name, expr in exprs.items():
             col = expr(batch)
+            if isinstance(col, pa.Scalar):
+                # Const*/literal expressions (tuple_schema ConstExpr
+                # family): broadcast the scalar to the batch length
+                col = pa.repeat(col, batch.num_rows)
             if name in out.column_names:
                 out = out.set_column(out.column_names.index(name), name, col)
             else:

@@ -85,3 +85,87 @@ def test_plan_join_and_dedup_ops(ray_session, sf_dir):
     out = build_pipeline(plan, sf_dir).to_pandas()
     assert len(out) == out["n_name"].nunique()
     assert {"s_suppkey", "s_name", "n_nationkey", "n_name"} <= set(out.columns)
+
+
+def test_plan_running_window_matches_handbuilt(ray_session, sf_dir):
+    """Round-4 grammar: running/analytic exprs from a JSON plan equal
+    the hand-built apply_running pipeline."""
+    import __ray_entry__ as entry
+
+    from_plan = entry.plan_window_json(sf_dir)
+    hand = entry.window_rank_lag(sf_dir)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(from_plan, hand, check_dtype=False)
+
+
+def test_plan_asof_and_range_join(ray_session, sf_dir):
+    """Round-4 grammar: asof_join and range_join steps with recursive
+    build sides deserialize and run through the adaptive planners."""
+    from supersonic_ray.pipelines import build_pipeline
+
+    asof_plan = {
+        "steps": [
+            {"op": "scan", "table": "events", "columns": ["event_id", "user_id", "ts"]},
+            {"op": "asof_join",
+             "left_by": "user_id", "right_by": "o_custkey",
+             "left_on": "ts", "right_on": "o_orderdate",
+             "payload_cols": ["o_orderkey"],
+             "right": [
+                 {"op": "scan", "table": "orders",
+                  "columns": ["o_custkey", "o_orderdate", "o_orderkey"]},
+                 {"op": "dedup", "keys": ["o_custkey", "o_orderdate"],
+                  "order_by": "o_orderkey"},
+             ]},
+        ]
+    }
+    out = build_pipeline(asof_plan, sf_dir).to_pandas()
+    assert len(out) > 0 and "o_orderkey" in out.columns
+
+    range_plan = {
+        "steps": [
+            {"op": "scan", "table": "orders", "columns": ["o_orderkey", "o_totalprice"]},
+            {"op": "range_join", "value_col": "o_totalprice",
+             "lo_col": "lo", "hi_col": "hi",
+             "right": [
+                 {"op": "scan", "table": "part", "columns": ["p_partkey"]},
+                 {"op": "limit", "n": 1},
+                 {"op": "compute", "exprs": {
+                     "lo": {"lit": 0.0}, "hi": {"lit": 100000.0},
+                     "band": {"lit": "low"}}},
+                 {"op": "project", "columns": ["lo", "hi", "band"]},
+             ]},
+        ]
+    }
+    out2 = build_pipeline(range_plan, sf_dir).to_pandas()
+    assert (out2["o_totalprice"] < 100000.0).all() and (out2["band"] == "low").all()
+
+
+def test_plan_session_window_and_union(ray_session, sf_dir):
+    from supersonic_ray.pipelines import build_pipeline
+    from supersonic_ray.stages.windows import session_window
+    import ray.data as rd
+
+    gap = 30 * 60 * 1_000_000
+    plan = {
+        "steps": [
+            {"op": "scan", "table": "events", "columns": ["event_id", "user_id", "ts", "value"]},
+            {"op": "window", "kind": "session", "key": "user_id", "ts_col": "ts",
+             "gap_us": gap, "agg_col": "value", "tiebreak": "event_id"},
+        ]
+    }
+    out = build_pipeline(plan, sf_dir).to_pandas()
+    hand = session_window(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]),
+        "user_id", "ts", gap_us=gap, agg_col="value", tiebreak="event_id",
+    ).to_pandas()
+    assert len(out) == len(hand)
+
+    union_plan = {
+        "steps": [
+            {"op": "scan", "table": "region"},
+            {"op": "union", "right": [{"op": "scan", "table": "region"}]},
+        ]
+    }
+    u = build_pipeline(union_plan, sf_dir).to_pandas()
+    assert len(u) == 10  # 5 regions twice
