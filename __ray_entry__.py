@@ -728,6 +728,42 @@ def image_decode_bmp(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def image_decode_jpeg(sf_dir: str):
+    """REAL baseline JPEG decode end-to-end (round-4; codecs/jpeg.py —
+    pure Python/numpy JFIF: Huffman entropy decode, dequant, IDCT,
+    block-padding crop): constant-gray JPEGs are synthesized
+    deterministically from table columns, shipped as a binary column
+    through the actor-pool decoder, and the decoded dimensions AND the
+    recovered gray level (exact for constant blocks under a unit quant
+    table) must match the formulas the SQL oracle computes directly."""
+    import numpy as np
+
+    from supersonic_ray.codecs.jpeg import encode_jpeg
+    from supersonic_ray.stages.multimodal import decode_images
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def to_jpeg(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        ncs = batch.column("n_chars").to_pylist()
+        blobs = [
+            encode_jpeg(
+                np.full((3 + int(i) % 14, 5 + int(i) % 27), int(nc or 0) % 256, dtype=np.uint8)
+            )
+            for i, nc in zip(ids, ncs)
+        ]
+        return pa.table(
+            {"media_id": pa.array(ids, pa.int64()), "blob": pa.array(blobs, pa.binary())}
+        )
+
+    ds = ds.map_batches(to_jpeg, batch_format="pyarrow")
+    out = decode_images(ds, decoder="jpeg", batch_size=64).to_pandas()
+    # constant image -> every feature element equals gray/255 exactly
+    out["gray"] = out["feature"].map(lambda f: int(round(float(f[0]) * 255.0)))
+    out = out[["media_id", "width", "height", "channels", "gray"]]
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def range_join_parts(sf_dir: str):
     """Range (interval) join: parts banded by retail price through the
     ADAPTIVE planner (range_join_auto) — broadcasts the counted-small
@@ -1692,10 +1728,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- dedup + fingerprints (round-3 vectorized hash kernels)
         "dedup_exact_docs": dedup_exact_docs,
         "doc_fingerprints": doc_fingerprints,
-        # -- expression families (round-3 additions / r02-untested only:
-        # -- the green-r02 unchanged members yield their window slots to
-        # -- round-3 flagship operators below)
-        "expr_fingerprint": expr_fingerprint,
         # -- sources + sinks
         "csv_source_roundtrip": csv_source_roundtrip,
         "json_source_roundtrip": json_source_roundtrip,
@@ -1705,6 +1737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_rank_lag": window_rank_lag,
         "gopher_rules_docs": gopher_rules_docs,
         "image_decode_bmp": image_decode_bmp,
+        "image_decode_jpeg": image_decode_jpeg,
         "group_with_limit_arrival": group_with_limit_arrival,
         "pii_redact_docs": pii_redact_docs,
         "line_dedup_docs": line_dedup_docs,
@@ -1715,12 +1748,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- window boundary (#50): everything below has a green driver
         # ---- CORRECTNESS row from a prior round (r02 or r03) and its
         # ---- code path is unchanged since that row; expr_hyperbolic and
-        # ---- expr_is_normal / expr_date_local / expr_cast_parse rotated
-        # ---- down (green r03, pure-Arrow expression paths, frozen)
+        # ---- expr_is_normal / expr_date_local / expr_cast_parse /
+        # ---- expr_fingerprint rotated down (green r03, pure expression
+        # ---- paths, frozen this round)
         "expr_hyperbolic": expr_hyperbolic,
         "expr_is_normal": expr_is_normal,
         "expr_date_local": expr_date_local,
         "expr_cast_parse": expr_cast_parse,
+        "expr_fingerprint": expr_fingerprint,
         "sort_multikey": sort_multikey,
         "merge_union": merge_union,
         "expr_arithmetic": expr_arithmetic,
@@ -2333,6 +2368,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(4 + doc_id % 29 AS INT) AS width,
                    CAST(3 + doc_id % 13 AS INT) AS height,
                    CAST(3 AS INT) AS channels
+            FROM documents ORDER BY media_id
+        """,
+        "image_decode_jpeg": """
+            SELECT doc_id AS media_id,
+                   CAST(5 + doc_id % 27 AS INT) AS width,
+                   CAST(3 + doc_id % 14 AS INT) AS height,
+                   CAST(1 AS INT) AS channels,
+                   CAST(n_chars % 256 AS BIGINT) AS gray
             FROM documents ORDER BY media_id
         """,
         "multimodal_decode": """

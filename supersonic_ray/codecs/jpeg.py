@@ -1,0 +1,376 @@
+"""Baseline JPEG (JFIF) codec in pure Python/numpy — the round-3
+verdict's "compressed multimodal codec" plug point made real without
+external libraries.
+
+Decoder (`decode_jpeg`): full baseline sequential DCT path from the
+public ITU-T T.81 spec — marker parse (DQT/DHT/SOF0/SOS, APPn/COM
+skipped), canonical Huffman entropy decode with 0xFF00 unstuffing, DC
+prediction, dequantization in zigzag order, 8x8 IDCT via an orthonormal
+DCT matrix, block-padding crop, and JFIF YCbCr->RGB for 3-component
+images.  Restrictions (raise loudly): 8-bit precision, no progressive
+(SOF2), no subsampling (4:4:4 only — the chroma-upsample plug point),
+no restart intervals.
+
+Encoder (`encode_jpeg`): the matching baseline encoder used to
+synthesize deterministic test fixtures — real 2-D DCT, quantization,
+run-length + canonical Huffman coding, byte stuffing.  The Huffman
+tables it EMITS are simple valid canonical tables (fixed 4-bit DC /
+8-bit AC codes) rather than the Annex K defaults; decoders (including
+ours) read tables from the DHT segments, so the stream is fully
+conformant baseline JPEG.
+
+This is a correctness-first reference path: the per-bit Python Huffman
+loop is fine for the small fixtures the oracle query ships; production
+pipelines plug libjpeg (PIL) into ImageDecoder exactly where this
+slots in.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag order: index in the zigzag sequence -> raster index in the 8x8
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# orthonormal 8x8 DCT-II matrix: coeffs = M @ block @ M.T
+_M = np.zeros((8, 8))
+for _u in range(8):
+    _c = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _M[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+# ------------------------------------------------------------------ bits
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.buf.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (spec F.1.2.3)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.d[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.d[self.pos]
+                self.pos += 1
+                if nxt != 0x00:
+                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in entropy data")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _build_codes(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman (T.81 C.2): (length, code) -> symbol."""
+    codes: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+def _read_code(r: _BitReader, codes: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = codes.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy data")
+
+
+def _extend(bits: int, size: int) -> int:
+    """Amplitude decode (T.81 F.12): ones'-complement negatives."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+# --------------------------------------------------------------- encoder
+
+# simple valid canonical tables the encoder EMITS into DHT (decoders
+# read tables from the stream, so these need only be valid, not Annex K)
+_DC_COUNTS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_SYMBOLS = bytes(range(12))
+_AC_SYMBOLS = bytes(
+    [0x00, 0xF0]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+_AC_COUNTS = [0, 0, 0, 0, 0, 0, 0, len(_AC_SYMBOLS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+    """Encode an HxW (grayscale) or HxWx3 (RGB) uint8 array as baseline
+    sequential JFIF, 4:4:4, one shared quant + Huffman table set."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        comps = [img.astype(np.float64)]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        comps = [y, cb, cr]
+    else:
+        raise ValueError("img must be HxW or HxWx3 uint8")
+    h, w = img.shape[:2]
+    if quant is None:
+        quant = np.ones((8, 8), dtype=np.int64)
+    q = np.asarray(quant, dtype=np.int64).reshape(8, 8)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q.reshape(-1)[_ZIGZAG]))  # DQT
+    ncomp = len(comps)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0x00])  # 1x1 sampling, quant table 0
+    out += _seg(0xC0, sof)  # SOF0 baseline
+    out += _seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMBOLS)  # DHT DC0
+    out += _seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + _AC_SYMBOLS)  # DHT AC0
+    sos = bytes([ncomp]) + b"".join(bytes([cid, 0x00]) for cid in range(1, ncomp + 1))
+    out += _seg(0xDA, sos + bytes([0x00, 0x3F, 0x00]))
+
+    dc_codes = _build_codes(_DC_COUNTS, _DC_SYMBOLS)
+    ac_codes = _build_codes(_AC_COUNTS, _AC_SYMBOLS)
+    enc_dc = {sym: code for (length, code), sym in dc_codes.items()}
+    enc_dc_len = {sym: length for (length, code), sym in dc_codes.items()}
+    enc_ac = {sym: code for (length, code), sym in ac_codes.items()}
+    enc_ac_len = {sym: length for (length, code), sym in ac_codes.items()}
+
+    bw = _BitWriter()
+    bh, bwid = -(-h // 8), -(-w // 8)
+    # edge-replicate pad each component to block multiples
+    padded = [
+        np.pad(c, ((0, bh * 8 - h), (0, bwid * 8 - w)), mode="edge") for c in comps
+    ]
+    prev_dc = [0] * ncomp
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci, comp in enumerate(padded):
+                block = comp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = _M @ block @ _M.T
+                qc = np.round(coef / q).astype(np.int64).reshape(-1)[_ZIGZAG]
+                # DC
+                diff = int(qc[0]) - prev_dc[ci]
+                prev_dc[ci] = int(qc[0])
+                size = _category(diff)
+                bw.write(enc_dc[size], enc_dc_len[size])
+                if size:
+                    amp = diff if diff > 0 else diff + (1 << size) - 1
+                    bw.write(amp, size)
+                # AC run-length
+                run = 0
+                last_nz = int(np.max(np.nonzero(qc)[0])) if np.any(qc[1:]) else 0
+                for i in range(1, 64):
+                    v = int(qc[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        bw.write(enc_ac[0xF0], enc_ac_len[0xF0])  # ZRL
+                        run -= 16
+                    size = _category(v)
+                    sym = (run << 4) | size
+                    bw.write(enc_ac[sym], enc_ac_len[sym])
+                    amp = v if v > 0 else v + (1 << size) - 1
+                    bw.write(amp, size)
+                    run = 0
+                if last_nz < 63:
+                    bw.write(enc_ac[0x00], enc_ac_len[0x00])  # EOB
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------- decoder
+
+def decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode baseline JFIF → (width, height, channels, float32 pixels
+    HxWxC in [0,1]).  Same return contract as decode_bmp/decode_ppm."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file (no SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}  # (class, id) -> codes
+    frame = None  # (h, w, [(cid, hq, vq, tq)])
+    scan = None
+
+    while pos < len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = blob[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:  # standalone
+            continue
+        (seglen,) = struct.unpack_from(">H", blob, pos)
+        body = blob[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT (possibly several tables)
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 0x0F
+                bp += 1
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported (baseline)")
+                zz = np.frombuffer(body, dtype=np.uint8, count=64, offset=bp).astype(np.int64)
+                bp += 64
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = zz
+                qtables[tq] = tbl.reshape(8, 8)
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 0x0F
+                bp += 1
+                counts = list(body[bp : bp + 16])
+                bp += 16
+                nsym = sum(counts)
+                symbols = body[bp : bp + nsym]
+                bp += nsym
+                htables[(tc, th)] = _build_codes(counts, symbols)
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                hs, vs = samp >> 4, samp & 0x0F
+                if (hs, vs) != (1, 1):
+                    raise ValueError(
+                        "chroma subsampling unsupported (4:4:4 only) — "
+                        "the upsample plug point"
+                    )
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline SOF 0x{marker:02X} unsupported")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals (DRI) unsupported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F) for i in range(ns)]
+            break
+        # APPn / COM / others: skip
+
+    if frame is None or scan is None:
+        raise ValueError("missing SOF0/SOS")
+    h, w, fcomps = frame
+    ncomp = len(fcomps)
+    if len(scan) != ncomp:
+        raise ValueError("partial scans unsupported")
+
+    r = _BitReader(blob[pos:])
+    bh, bw = -(-h // 8), -(-w // 8)
+    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in range(ncomp)]
+    prev_dc = [0] * ncomp
+    comp_info = []
+    for (cid, tq), (scid, td, ta) in zip(fcomps, scan):
+        if cid != scid:
+            raise ValueError("scan component order differs from frame")
+        comp_info.append((qtables[tq], htables[(0, td)], htables[(1, ta)]))
+
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, (q, dc_codes, ac_codes) in enumerate(comp_info):
+                zz = np.zeros(64, dtype=np.int64)
+                size = _read_code(r, dc_codes)
+                diff = _extend(r.bits(size), size)
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = _read_code(r, ac_codes)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    zz[k] = _extend(r.bits(size), size)
+                    k += 1
+                coef = np.zeros(64, dtype=np.float64)
+                coef[_ZIGZAG] = zz * q.reshape(-1)[_ZIGZAG]
+                block = _M.T @ coef.reshape(8, 8) @ _M + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+
+    planes = [p[:h, :w] for p in planes]
+    if ncomp == 1:
+        px = planes[0][..., None]
+    elif ncomp == 3:
+        y, cb, cr = planes
+        rr = y + 1.402 * (cr - 128.0)
+        gg = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        bb = y + 1.772 * (cb - 128.0)
+        px = np.stack([rr, gg, bb], axis=2)
+    else:
+        raise ValueError(f"{ncomp}-component JPEG unsupported")
+    px = np.clip(np.round(px), 0, 255)
+    return w, h, ncomp, (px / 255.0).astype(np.float32)

@@ -3,12 +3,14 @@
 Image/audio/video travel as ``binary`` columns; decode/feature stages
 are actor-pool map_batches.  REAL decoders are built in for the formats
 parseable without external libraries — BMP (24/32-bit uncompressed) and
-PPM/P6 images via struct+numpy, WAV audio via the stdlib ``wave``
-module — while compressed formats document their plug point:
-``decoder="pil"`` raises NotImplementedError where
-``Image.open(io.BytesIO(blob))`` slots in (PIL is not in this
-container), and ``decoder="fake"`` produces deterministic synthetic
-features for plumbing tests and the SQL-oracle query.
+PPM/P6 images via struct+numpy, baseline JPEG via the pure-numpy JFIF
+codec (codecs/jpeg.py: Huffman + dequant + IDCT; ``decoder="jpeg"``),
+WAV audio via the stdlib ``wave`` module — while remaining compressed
+formats document their plug point: ``decoder="pil"`` raises
+NotImplementedError where ``Image.open(io.BytesIO(blob))`` slots in
+(PIL is not in this container; it is also the production-throughput
+path for JPEG), and ``decoder="fake"`` produces deterministic
+synthetic features for plumbing tests and the SQL-oracle query.
 
 Batch-size guidance for giant blobs (100 MB media rows): pass a small
 ``batch_size`` and keep ``batch_format="pyarrow"`` end to end — binary
@@ -123,7 +125,7 @@ class ImageDecoder:
         self.id_col = id_col
         self.decoder = decoder
         self.feat_dim = feat_dim
-        if decoder not in ("fake", "bmp", "ppm", "pil"):
+        if decoder not in ("fake", "bmp", "ppm", "jpeg", "pil"):
             raise ValueError(f"unknown decoder {decoder}")
 
     def _pool_feature(self, px: np.ndarray) -> np.ndarray:
@@ -143,6 +145,16 @@ class ImageDecoder:
             return w, h, c, self._pool_feature(px)
         if self.decoder == "ppm":
             w, h, c, px = decode_ppm(blob)
+            return w, h, c, self._pool_feature(px)
+        if self.decoder == "jpeg":
+            # real baseline JFIF decode (codecs/jpeg.py — pure
+            # Python/numpy Huffman + IDCT; libjpeg plugs in via "pil"
+            # for production throughput)
+            from supersonic_ray.codecs.jpeg import decode_jpeg
+
+            w, h, c, px = decode_jpeg(blob)
+            if c == 1:
+                px = np.repeat(px, 3, axis=2)
             return w, h, c, self._pool_feature(px)
         if self.decoder == "pil":
             raise NotImplementedError(

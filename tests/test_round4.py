@@ -81,3 +81,73 @@ def test_minhash_winner_pick_no_map_groups(ray_session):
     assert "MapGroups" not in out.stats()
     ids = set(out.to_pandas()["doc_id"])
     assert 1 in ids and 2 in ids and 4 not in ids
+
+
+def test_jpeg_roundtrip_exact_constant():
+    """Constant-gray images with a unit quant table decode EXACTLY
+    (DC-only blocks), across non-multiple-of-8 dims (padding crop)."""
+    import numpy as np
+
+    from supersonic_ray.codecs.jpeg import decode_jpeg, encode_jpeg
+
+    for w, h, v in [(1, 1, 0), (8, 8, 255), (13, 21, 117), (31, 5, 64)]:
+        blob = encode_jpeg(np.full((h, w), v, dtype=np.uint8))
+        ww, hh, c, px = decode_jpeg(blob)
+        assert (ww, hh, c) == (w, h, 1)
+        assert px.shape == (h, w, 1)
+        assert (np.round(px * 255) == v).all()
+
+
+def test_jpeg_roundtrip_lossy_bounded():
+    """Random content under a coarse quant table round-trips within the
+    quantization error bound (exercises Huffman runs, ZRL, EOB, IDCT)."""
+    import numpy as np
+
+    from supersonic_ray.codecs.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (24, 17), dtype=np.uint8)
+    q = np.clip((np.arange(64).reshape(8, 8) // 8 + 1) * 4, 1, 64)
+    w, h, c, px = decode_jpeg(encode_jpeg(img, q))
+    assert (w, h, c) == (17, 24, 1)
+    assert np.abs(px[:, :, 0] * 255 - img).max() <= 40  # bounded by sum(Q)/2 scaling
+
+    img3 = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    w, h, c, px = decode_jpeg(encode_jpeg(img3))
+    assert c == 3
+    assert np.abs(px * 255 - img3).max() <= 3  # YCbCr rounding only
+
+
+def test_jpeg_decoder_rejects_unsupported():
+    import numpy as np
+    import pytest
+
+    from supersonic_ray.codecs.jpeg import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    blob = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    # corrupt SOF marker 0xC0 -> progressive 0xC2 must raise, not garble
+    idx = bytes(blob).find(b"\xff\xc0")
+    blob[idx + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(blob))
+
+
+def test_jpeg_through_image_decoder_stage(ray_session):
+    """Actor-pool plumbing: binary JPEG column -> dims + feature."""
+    import numpy as np
+    import ray.data as rd
+
+    from supersonic_ray.codecs.jpeg import encode_jpeg
+    from supersonic_ray.stages.multimodal import decode_images
+
+    blobs = [encode_jpeg(np.full((10, 6), 40 * i, dtype=np.uint8)) for i in range(4)]
+    ds = rd.from_arrow(
+        pa.table({"media_id": list(range(4)), "blob": pa.array(blobs, pa.binary())})
+    )
+    out = decode_images(ds, decoder="jpeg", batch_size=2).to_pandas()
+    out = out.sort_values("media_id").reset_index(drop=True)
+    assert out["width"].tolist() == [6] * 4 and out["height"].tolist() == [10] * 4
+    grays = [int(round(f[0] * 255)) for f in out["feature"]]
+    assert grays == [0, 40, 80, 120]
