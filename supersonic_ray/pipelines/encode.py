@@ -272,10 +272,18 @@ class ShardEncoder:
         chunk_rows: int = CHUNK_ROWS,
         overrides: dict | None = None,
         plans: dict[str, tuple[Any, int]] | None = None,
+        quota_bytes: int | None = 4 << 30,
     ):
+        from supersonic_ray.state.memory import MemoryQuota
+
         self.out_dir = out_dir
         self.chunk_rows = chunk_rows
         self.overrides = overrides
+        # per-SHARD heap quota (reference BufferAllocator cap,
+        # memory.h:100-465): a shard whose decoded row groups exceed it
+        # fails loudly (MEMORY_EXCEEDED) instead of ballooning the
+        # actor; default 4 GiB >> the ~300 MiB/actor the planner targets
+        self._quota = MemoryQuota(quota_bytes, "encode shard")
         # driver-resolved global plans (plan_scope="global"): selector
         # trials + FSST symbol-table training ran ONCE on the driver and
         # ship to every actor (north star: tables cached in stateful
@@ -311,6 +319,8 @@ class ShardEncoder:
             }
         pf = pq.ParquetFile(shard["path"])
         table = pf.read_row_groups(shard["row_groups"])
+        self._quota.reset()  # quota is per shard, not per actor lifetime
+        self._quota.charge_table(table)
         # per-shard resolution when no global plans were shipped — never
         # cached on the actor (shard→actor assignment is nondeterministic)
         plans = self._plans if self._plans is not None else resolve_column_plans(table, self.overrides)
@@ -352,6 +362,7 @@ def encode_parquet(
     chunk_rows: int = CHUNK_ROWS,
     overrides: dict | None = None,
     plan_scope: str = "global",
+    quota_bytes: int | None = 4 << 30,
 ):
     """Shard-planned encode: returns the (lazy) Dataset of per-partition
     metrics rows; consume it (e.g. ``.to_pandas()``) to run the job.
@@ -386,6 +397,7 @@ def encode_parquet(
             "chunk_rows": chunk_rows,
             "overrides": overrides,
             "plans": plans,
+            "quota_bytes": quota_bytes,
         },
         batch_size=1,
         concurrency=concurrency,

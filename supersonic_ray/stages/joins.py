@@ -331,17 +331,29 @@ def partitioned_hash_join(ds_left, ds_right, left_keys, right_keys, join_type: s
 # hash-partition.  2M rows ≈ 16 MB of int64 keys — comfortable per node.
 BROADCAST_LIMIT_ROWS = 2_000_000
 
+# BYTES quota on any broadcast build (complements the row-count limit:
+# 2M rows of wide payload can still be tens of GB).  The reference's
+# per-operator memory cap (aggregate.h:160-214 / memory.h quota tree);
+# fail loudly (MEMORY_EXCEEDED) instead of shipping a giant build side.
+BROADCAST_QUOTA_BYTES = 1 << 30
 
-def _collect_small(ds_m) -> pa.Table:
+
+def _collect_small(ds_m, quota_bytes: int | None = BROADCAST_QUOTA_BYTES) -> pa.Table:
     """Materialized small Dataset → one pa.Table (zero-copy for Arrow
-    blocks; pandas-backed blocks — e.g. map_groups outputs — convert)."""
+    blocks; pandas-backed blocks — e.g. map_groups outputs — convert).
+    Guarded by a bytes quota: a 'small' side that turns out huge raises
+    MemoryExceededError before it lands on one heap."""
     import ray
 
+    from supersonic_ray.state.memory import MemoryQuota
+
+    quota = MemoryQuota(quota_bytes, "broadcast build (_collect_small)")
     tables = []
     for ref in ds_m.to_arrow_refs():
         t = ray.get(ref)
         if not isinstance(t, pa.Table):
             t = pa.Table.from_pandas(t, preserve_index=False)
+        quota.charge_table(t)
         tables.append(t)
     tables = [t for t in tables if t.num_rows] or tables[:1]
     return pa.concat_tables(tables, promote_options="default") if tables else pa.table({})

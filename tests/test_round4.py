@@ -151,3 +151,37 @@ def test_jpeg_through_image_decoder_stage(ray_session):
     assert out["width"].tolist() == [6] * 4 and out["height"].tolist() == [10] * 4
     grays = [int(round(f[0] * 255)) for f in out["feature"]]
     assert grays == [0, 40, 80, 120]
+
+
+def test_memory_quota_fails_loudly(ray_session, tmp_path, sf_dir):
+    """Per-stage memory quotas (reference BufferAllocator caps,
+    memory.h:100-465): a too-small quota raises MEMORY_EXCEEDED instead
+    of silently ballooning a task heap — on the encode shard reader and
+    on the broadcast build."""
+    import pytest
+    import ray.data as rd
+
+    from supersonic_ray.pipelines.encode import encode_parquet
+    from supersonic_ray.stages.joins import _collect_small
+    from supersonic_ray.state.memory import MemoryExceededError, MemoryQuota
+
+    # unit: the counter itself
+    q = MemoryQuota(100, "unit")
+    q.charge(60)
+    q.release(30)
+    q.charge(60)  # 90 total — fine
+    with pytest.raises(MemoryExceededError, match="MEMORY_EXCEEDED"):
+        q.charge(20)
+
+    # encode shard: 10-byte quota must fail loudly from inside the pool
+    out_dir = str(tmp_path / "enc")
+    with pytest.raises(Exception, match="MEMORY_EXCEEDED"):
+        encode_parquet(
+            f"{sf_dir}/documents.parquet", out_dir, concurrency=2, quota_bytes=10
+        ).materialize()
+
+    # broadcast build: a 'small' side over the bytes quota refuses to
+    # land on one heap
+    big = rd.read_parquet(f"{sf_dir}/documents.parquet").materialize()
+    with pytest.raises(MemoryExceededError, match="MEMORY_EXCEEDED"):
+        _collect_small(big, quota_bytes=100)
