@@ -368,13 +368,14 @@ def sort_nulls_first(sf_dir: str):
 
 
 def topk_orders(sf_dir: str):
+    """ExtendedSort top-k through the partial-prune plan (round-4: each
+    block forwards its own 15 best rows; the exchange carries
+    O(k x blocks) rows, not the table).  Deterministic tiebreak on
+    o_orderkey ascending."""
     from supersonic_ray.stages.ops import top_k
 
     ds = _ld(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    from supersonic_ray.stages.ops import compute
-
-    # deterministic tiebreak on o_orderkey ascending
-    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(15)
+    out = top_k(ds, ["o_totalprice", "o_orderkey"], 15, descending=[True, False])
     return out.to_pandas()
 
 

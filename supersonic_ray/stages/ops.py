@@ -189,9 +189,39 @@ def sort(ds, keys: list[str], descending: list[bool] | bool = False, nulls_first
     return tagged.sort(sort_keys, descending=sort_desc).drop_columns(list(aux_cols))
 
 
-def top_k(ds, keys: list[str], k: int, descending: list[bool] | bool = True):
-    """ExtendedSort with limit (sort.h:103, proto/specification.proto:12-30)."""
-    return sort(ds, keys, descending).limit(k)
+def top_k(
+    ds,
+    keys: list[str],
+    k: int,
+    descending: list[bool] | bool = True,
+    nulls_first: bool | None = None,
+):
+    """ExtendedSort with limit (sort.h:103, proto/specification.proto:12-30).
+
+    Round-4: per-block partial top-k — each block forwards only its own
+    k best rows, so the final exact sort+limit runs over O(k x blocks)
+    survivors instead of all-to-all-sorting the whole input for k rows
+    (at sf0.1 the old shape range-shuffled 150k rows to emit 15).  Rows
+    with a NULL in any sort key are always forwarded (their placement
+    is the final sort's decision, so the prune never second-guesses
+    nulls_first)."""
+    desc = [descending] * len(keys) if isinstance(descending, bool) else list(descending)
+    order = [(c, "descending" if d else "ascending") for c, d in zip(keys, desc)]
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        b = decode_dict_batch(b)
+        mask = None
+        for c in keys:
+            isn = pc.is_null(b.column(c))
+            mask = isn if mask is None else pc.or_(mask, isn)
+        nulls = b.filter(mask)
+        top = b.filter(pc.invert(mask)).sort_by(order).slice(0, k)
+        return pa.concat_tables([top, nulls]) if nulls.num_rows else top
+
+    pruned = ds.map_batches(partial, batch_format="pyarrow")
+    return sort(pruned, keys, descending, nulls_first).limit(k)
 
 
 def sort_case_insensitive(ds, key: str, k: int | None = None, descending: bool = False):

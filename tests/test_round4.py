@@ -185,3 +185,19 @@ def test_memory_quota_fails_loudly(ray_session, tmp_path, sf_dir):
     big = rd.read_parquet(f"{sf_dir}/documents.parquet").materialize()
     with pytest.raises(MemoryExceededError, match="MEMORY_EXCEEDED"):
         _collect_small(big, quota_bytes=100)
+
+
+def test_top_k_partial_prune_with_nulls(ray_session):
+    """top_k's per-block prune must forward NULL-key rows so
+    nulls_first placement stays exact at any partitioning."""
+    import ray.data as rd
+
+    from supersonic_ray.stages.ops import top_k
+
+    t = pa.table({"v": [5, None, 3, 9, None, 1, 7, 2], "id": list(range(8))})
+    ds = rd.from_arrow(t).repartition(4)
+    out = top_k(ds, ["v"], 3, descending=True, nulls_first=True).to_pandas()
+    assert out["v"].isna().sum() == 2 and out["v"].dropna().tolist() == [9]
+    ds2 = rd.from_arrow(t).repartition(4)
+    out2 = top_k(ds2, ["v"], 3, descending=True, nulls_first=False).to_pandas()
+    assert out2["v"].tolist() == [9, 7, 5]
