@@ -321,15 +321,72 @@ class MinHasher:
         self.k = k
 
     def signature(self, text: str) -> np.ndarray:
+        """Single-doc reference path (kept for tests/spot checks)."""
         sh = _shingles(text or "", self.k)
         # (n_sh, n_hash) affine then min — vectorized
         vals = sh[:, None] * self.a[None, :] + self.b[None, :]
         return vals.min(axis=0)
 
+    def _batch_signatures(self, texts: pd.Series) -> np.ndarray:
+        """Whole-batch signatures (round-4; replaces a per-row Python
+        map): ONE token-hash call over the batch's flattened tokens,
+        the k-gram polynomial roll computed globally with cross-doc
+        windows masked out, and per-(doc, hash) minima via 64
+        ``np.minimum.reduceat`` segment reductions — no per-document
+        Python beyond the rare short-doc (<k tokens) fallback.
+        Bit-identical to ``signature`` per doc (same token hash, same
+        uint64 wraparound arithmetic)."""
+        from itertools import chain
+
+        k = self.k
+        B = np.uint64(1099511628211)
+        tok_lists = texts.fillna("").str.lower().str.split()
+        lens = tok_lists.str.len().to_numpy(dtype=np.int64)
+        flat = list(chain.from_iterable(tok_lists))
+        th = _token_hashes(flat)
+        offs = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+
+        powers = B ** np.arange(k, dtype=np.uint64)
+        N = len(th)
+        if N >= k:
+            n_win = N - k + 1
+            sh_all = np.zeros(n_win, dtype=np.uint64)
+            for j in range(k):
+                sh_all += th[j : j + n_win] * powers[k - 1 - j]
+        else:
+            sh_all = np.zeros(0, dtype=np.uint64)
+
+        long_mask = lens >= k
+        s_counts = np.where(long_mask, lens - k + 1, 1)
+        tot = int(s_counts.sum())
+        seg_starts = np.cumsum(s_counts) - s_counts
+        doc_of = np.repeat(np.arange(len(texts)), s_counts)
+        pos_in_doc = np.arange(tot, dtype=np.int64) - np.repeat(seg_starts, s_counts)
+        sh = np.empty(tot, dtype=np.uint64)
+        long_rows = long_mask[doc_of]
+        if long_rows.any():
+            sh[long_rows] = sh_all[offs[doc_of[long_rows]] + pos_in_doc[long_rows]]
+        with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+            for i in np.flatnonzero(~long_mask):  # rare: docs with < k tokens
+                h = np.uint64(0)
+                for x in th[offs[i] : offs[i + 1]]:
+                    h = h * B + np.uint64(x)
+                sh[seg_starts[i]] = h
+
+        sigs = np.empty((len(texts), len(self.a)), dtype=np.uint64)
+        for f in range(len(self.a)):
+            sigs[:, f] = np.minimum.reduceat(sh * self.a[f] + self.b[f], seg_starts)
+        return sigs
+
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
+        if not len(df):
+            df["__sig"] = pd.Series([], dtype="object")
+            return df
+        sigs = self._batch_signatures(df[self.text_col]).astype("<u8")
         # signatures as little-endian bytes: uint64 survives pandas→Arrow
-        df["__sig"] = df[self.text_col].map(lambda t: self.signature(t).astype("<u8").tobytes())
+        df["__sig"] = [row.tobytes() for row in sigs]
         return df
 
 

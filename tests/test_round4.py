@@ -201,3 +201,21 @@ def test_top_k_partial_prune_with_nulls(ray_session):
     ds2 = rd.from_arrow(t).repartition(4)
     out2 = top_k(ds2, ["v"], 3, descending=True, nulls_first=False).to_pandas()
     assert out2["v"].tolist() == [9, 7, 5]
+
+
+def test_minhash_batch_signatures_bit_identical():
+    """The vectorized whole-batch signature path must be bit-identical
+    to the single-doc reference path (same token hash, same uint64
+    roll), including empty/None/short docs."""
+    import numpy as np
+
+    from supersonic_ray.stages.text import MinHasher
+
+    mh = MinHasher()
+    rng = np.random.RandomState(3)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    docs = [" ".join(rng.choice(words, rng.randint(0, 30))) for _ in range(40)]
+    docs += [None, "", "one", "one two three four", "exactly five tokens in here"]
+    batch = mh._batch_signatures(pd.Series(docs))
+    for i, d in enumerate(docs):
+        assert (batch[i] == mh.signature(d or "")).all(), (i, d)
