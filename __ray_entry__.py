@@ -765,6 +765,40 @@ def image_decode_jpeg(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def image_decode_png(sf_dir: str):
+    """REAL lossless PNG decode end-to-end (round-4; codecs/png.py —
+    stdlib zlib inflate + numpy scanline unfilter): horizontal-GRADIENT
+    grayscale PNGs are synthesized from table formulas; because PNG is
+    lossless the oracle verifies exact SPATIAL pixel values (the (0,0)
+    pixel and the 3/4-width grid sample), not just dimensions."""
+    import numpy as np
+
+    from supersonic_ray.codecs.png import encode_png
+    from supersonic_ray.stages.multimodal import decode_images
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def to_png(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        ncs = batch.column("n_chars").to_pylist()
+        blobs = []
+        for i, nc in zip(ids, ncs):
+            w, h, base = 4 + int(i) % 21, 2 + int(i) % 9, int(nc or 0)
+            row = (base + np.arange(w)) % 256
+            blobs.append(encode_png(np.tile(row, (h, 1)).astype(np.uint8)))
+        return pa.table(
+            {"media_id": pa.array(ids, pa.int64()), "blob": pa.array(blobs, pa.binary())}
+        )
+
+    ds = ds.map_batches(to_png, batch_format="pyarrow")
+    out = decode_images(ds, decoder="png", batch_size=64).to_pandas()
+    # feature = 4x4 grid sample of the gray plane; col j samples x=(j*w)//4
+    out["gray00"] = out["feature"].map(lambda f: int(round(float(f[0]) * 255.0)))
+    out["gray03"] = out["feature"].map(lambda f: int(round(float(f[3]) * 255.0)))
+    out = out[["media_id", "width", "height", "channels", "gray00", "gray03"]]
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def range_join_parts(sf_dir: str):
     """Range (interval) join: parts banded by retail price through the
     ADAPTIVE planner (range_join_auto) — broadcasts the counted-small
@@ -1729,9 +1763,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- dedup + fingerprints (round-3 vectorized hash kernels)
         "dedup_exact_docs": dedup_exact_docs,
         "doc_fingerprints": doc_fingerprints,
-        # -- sources + sinks
+        # -- sources + sinks (json_source_roundtrip rotated down: green
+        # -- r03, sources/ untouched this round)
         "csv_source_roundtrip": csv_source_roundtrip,
-        "json_source_roundtrip": json_source_roundtrip,
         "parquet_partitioned_sink": parquet_partitioned_sink,
         # -- round-3 flagship operators (no prior driver row)
         "exact_quantiles_orders": exact_quantiles_orders,
@@ -1739,6 +1773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules_docs": gopher_rules_docs,
         "image_decode_bmp": image_decode_bmp,
         "image_decode_jpeg": image_decode_jpeg,
+        "image_decode_png": image_decode_png,
         "group_with_limit_arrival": group_with_limit_arrival,
         "pii_redact_docs": pii_redact_docs,
         "line_dedup_docs": line_dedup_docs,
@@ -1757,6 +1792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expr_date_local": expr_date_local,
         "expr_cast_parse": expr_cast_parse,
         "expr_fingerprint": expr_fingerprint,
+        "json_source_roundtrip": json_source_roundtrip,
         "sort_multikey": sort_multikey,
         "merge_union": merge_union,
         "expr_arithmetic": expr_arithmetic,
@@ -2377,6 +2413,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 + doc_id % 14 AS INT) AS height,
                    CAST(1 AS INT) AS channels,
                    CAST(n_chars % 256 AS BIGINT) AS gray
+            FROM documents ORDER BY media_id
+        """,
+        "image_decode_png": """
+            SELECT doc_id AS media_id,
+                   CAST(4 + doc_id % 21 AS INT) AS width,
+                   CAST(2 + doc_id % 9 AS INT) AS height,
+                   CAST(1 AS INT) AS channels,
+                   CAST(n_chars % 256 AS BIGINT) AS gray00,
+                   CAST((n_chars + (3 * (4 + doc_id % 21)) // 4) % 256 AS BIGINT) AS gray03
             FROM documents ORDER BY media_id
         """,
         "multimodal_decode": """

@@ -125,7 +125,7 @@ class ImageDecoder:
         self.id_col = id_col
         self.decoder = decoder
         self.feat_dim = feat_dim
-        if decoder not in ("fake", "bmp", "ppm", "jpeg", "pil"):
+        if decoder not in ("fake", "bmp", "ppm", "jpeg", "png", "pil"):
             raise ValueError(f"unknown decoder {decoder}")
 
     def _pool_feature(self, px: np.ndarray) -> np.ndarray:
@@ -155,6 +155,17 @@ class ImageDecoder:
             w, h, c, px = decode_jpeg(blob)
             if c == 1:
                 px = np.repeat(px, 3, axis=2)
+            return w, h, c, self._pool_feature(px)
+        if self.decoder == "png":
+            # real lossless PNG decode (codecs/png.py — stdlib zlib +
+            # numpy unfilter, all five filter types)
+            from supersonic_ray.codecs.png import decode_png
+
+            w, h, c, px = decode_png(blob)
+            if c == 1:
+                px = np.repeat(px, 3, axis=2)
+            elif c == 2:  # gray+alpha: feature sees the gray plane
+                px = np.repeat(px[..., :1], 3, axis=2)
             return w, h, c, self._pool_feature(px)
         if self.decoder == "pil":
             raise NotImplementedError(

@@ -219,3 +219,61 @@ def test_minhash_batch_signatures_bit_identical():
     batch = mh._batch_signatures(pd.Series(docs))
     for i, d in enumerate(docs):
         assert (batch[i] == mh.signature(d or "")).all(), (i, d)
+
+
+def test_png_roundtrip_and_filters():
+    """PNG is lossless: encode->decode is bit-exact for gray/RGB/RGBA;
+    hand-filtered streams (all five filter types) recover exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from supersonic_ray.codecs.png import _SIG, _chunk, decode_png, encode_png
+
+    rng = np.random.RandomState(1)
+    for shape in [(7, 5), (16, 16, 3), (9, 13, 4)]:
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        w, h, c, px = decode_png(encode_png(img))
+        ref = img[..., None] if img.ndim == 2 else img
+        assert (np.round(px * 255).astype(np.uint8) == ref).all()
+        assert (w, h) == (shape[1], shape[0])
+
+    # all five filter types in one stream (encoder-side reference filt)
+    wid, hgt, c = 6, 5, 3
+    img = rng.randint(0, 256, (hgt, wid, c), dtype=np.uint8)
+    raw = bytearray()
+    prev = np.zeros(wid * c, dtype=np.int32)
+    for y in range(hgt):
+        line = img[y].reshape(-1).astype(np.int32)
+        f = y % 5
+        raw.append(f)
+        enc = np.empty(wid * c, dtype=np.int32)
+        for x in range(wid * c):
+            a = int(line[x - c]) if x >= c else 0
+            b = int(prev[x])
+            cc = int(prev[x - c]) if x >= c else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa_ <= pb_ and pa_ <= pc_ else (b if pb_ <= pc_ else cc)
+            enc[x] = (int(line[x]) - pred) & 0xFF
+        raw += enc.astype(np.uint8).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", wid, hgt, 8, 2, 0, 0, 0)
+    blob = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+    w, h, cc_, px = decode_png(blob)
+    assert (np.round(px * 255).astype(np.uint8) == img).all()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_png(b"nope")
