@@ -1710,12 +1710,17 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registration ORDER matters: the driver's correctness run
-    evaluates the first 50 entries (CORRECTNESS_r02 stopped at #50), so
-    the window front-loads (a) every flagship / storage / plan query
-    that had no driver-oracle row in round 2 and (b) every path
-    REWRITTEN in round 3 (distributed holistic aggregation,
-    Arrow-native joins, vectorized hashing).  Queries after #50 are
-    unchanged since their green round-2 driver rows."""
+    evaluates the first 50 entries, so the window front-loads (a)
+    queries NEW this round (agg_distinct_nullkey, plan_window_json,
+    image_decode_jpeg, image_decode_png), (b) the round-3 flagships
+    that had no hard driver row yet (tfidf_top_terms_docs,
+    dedup_clusters_docs), and (c) every path REWRITTEN in round 4
+    (NULL-key mixed aggregation, top_k partial prune, MinHash winner
+    pick, scalar arg-extreme FIRST/LAST, group_with_limit dtype
+    normalization).  Every query below #50 has a green driver
+    CORRECTNESS row from round 2 or 3 and its code path is unchanged
+    since that row (rotated-down members are named at the boundary
+    comments)."""
     return {
         # -- flagships: storage round trips, zone maps, composite pipeline
         "encode_roundtrip_docs": encode_roundtrip_docs,
