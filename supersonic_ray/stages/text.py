@@ -490,6 +490,7 @@ class SimHasher:
 
     @staticmethod
     def simhash(text: str) -> int:
+        """Single-doc reference path (kept for tests/spot checks)."""
         toks = (text or "").lower().split()
         if not toks:
             return 0
@@ -499,9 +500,40 @@ class SimHasher:
         h = ((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
         return int(h >> np.uint64(1))  # 63-bit: survives pandas/Arrow int64
 
+    def _batch_simhash(self, texts: pd.Series) -> np.ndarray:
+        """Whole-batch simhashes (round-4; replaces a per-row Python
+        map): one token-hash call over the flattened batch, then 64
+        bit-plane ``np.add.reduceat`` segment sums — bit-identical to
+        ``simhash`` per doc."""
+        from itertools import chain
+
+        tok_lists = texts.fillna("").str.lower().str.split()
+        lens = tok_lists.str.len().to_numpy(dtype=np.int64)
+        n = len(texts)
+        out = np.zeros(n, dtype=np.uint64)
+        nz = lens > 0
+        if not nz.any():
+            return out.astype(np.int64)
+        flat = list(chain.from_iterable(tok_lists))
+        th = _token_hashes(flat)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        starts = offs[:-1][nz]  # strictly increasing: every nz doc has >=1 token
+        nz_lens = lens[nz]
+        for b in range(64):
+            ones = np.add.reduceat(
+                ((th >> np.uint64(b)) & np.uint64(1)).astype(np.int64), starts
+            )
+            v = 2 * ones - nz_lens
+            out[nz] |= (v > 0).astype(np.uint64) << np.uint64(b)
+        return (out >> np.uint64(1)).astype(np.int64)
+
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["simhash"] = df[self.text_col].map(self.simhash).astype("int64")
+        if not len(df):
+            df["simhash"] = pd.Series([], dtype="int64")
+            return df
+        df["simhash"] = self._batch_simhash(df[self.text_col])
         return df
 
 

@@ -277,3 +277,18 @@ def test_png_roundtrip_and_filters():
 
     with pytest.raises(ValueError):
         decode_png(b"nope")
+
+
+def test_simhash_batch_bit_identical():
+    import numpy as np
+
+    from supersonic_ray.stages.text import SimHasher
+
+    rng = np.random.RandomState(5)
+    words = ["red", "green", "blue", "cyan", "teal", "pink"]
+    docs = [" ".join(rng.choice(words, rng.randint(0, 25))) for _ in range(40)]
+    docs += [None, "", "solo"]
+    sh = SimHasher()
+    batch = sh._batch_simhash(pd.Series(docs))
+    for i, d in enumerate(docs):
+        assert int(batch[i]) == sh.simhash(d or ""), (i, d)
