@@ -3,13 +3,14 @@ verdict's "compressed multimodal codec" plug point made real without
 external libraries.
 
 Decoder (`decode_jpeg`): full baseline sequential DCT path from the
-public ITU-T T.81 spec — marker parse (DQT/DHT/SOF0/SOS, APPn/COM
+public ITU-T T.81 spec — marker parse (DQT/DHT/SOF0/SOS/DRI, APPn/COM
 skipped), canonical Huffman entropy decode with 0xFF00 unstuffing, DC
 prediction, dequantization in zigzag order, 8x8 IDCT via an orthonormal
-DCT matrix, block-padding crop, and JFIF YCbCr->RGB for 3-component
-images.  Restrictions (raise loudly): 8-bit precision, no progressive
-(SOF2), no subsampling (4:4:4 only — the chroma-upsample plug point),
-no restart intervals.
+DCT matrix, interleaved-MCU chroma subsampling (any integer factors,
+e.g. the dominant real-web 4:2:0, replicate-upsampled), restart-marker
+intervals (RSTn, DC reset + byte align), block-padding crop, and JFIF
+YCbCr->RGB for 3-component images.  Restrictions (raise loudly): 8-bit
+precision only, no progressive (SOF2).
 
 Encoder (`encode_jpeg`): the matching baseline encoder used to
 synthesize deterministic test fixtures — real 2-D DCT, quantization,
@@ -106,6 +107,16 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def expect_rst(self, n: int) -> None:
+        """Restart boundary: drop pad bits, consume the RSTn marker."""
+        self.n = 0
+        b0, b1 = self.d[self.pos], self.d[self.pos + 1]
+        if b0 != 0xFF or b1 != 0xD0 + (n % 8):
+            raise ValueError(
+                f"expected RST{n % 8} marker, found 0x{b0:02X}{b1:02X}"
+            )
+        self.pos += 2
+
 
 def _build_codes(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
     """Canonical Huffman (T.81 C.2): (length, code) -> symbol."""
@@ -159,32 +170,89 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
-def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+def _encode_block(bw, block, q, enc_dc, enc_dc_len, enc_ac, enc_ac_len, prev_dc, ci):
+    coef = _M @ (block - 128.0) @ _M.T
+    qc = np.round(coef / q).astype(np.int64).reshape(-1)[_ZIGZAG]
+    diff = int(qc[0]) - prev_dc[ci]
+    prev_dc[ci] = int(qc[0])
+    size = _category(diff)
+    bw.write(enc_dc[size], enc_dc_len[size])
+    if size:
+        amp = diff if diff > 0 else diff + (1 << size) - 1
+        bw.write(amp, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(qc)[0])) if np.any(qc[1:]) else 0
+    for i in range(1, 64):
+        v = int(qc[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(enc_ac[0xF0], enc_ac_len[0xF0])  # ZRL
+            run -= 16
+        size = _category(v)
+        sym = (run << 4) | size
+        bw.write(enc_ac[sym], enc_ac_len[sym])
+        amp = v if v > 0 else v + (1 << size) - 1
+        bw.write(amp, size)
+        run = 0
+    if last_nz < 63:
+        bw.write(enc_ac[0x00], enc_ac_len[0x00])  # EOB
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
     """Encode an HxW (grayscale) or HxWx3 (RGB) uint8 array as baseline
-    sequential JFIF, 4:4:4, one shared quant + Huffman table set."""
+    sequential JFIF with one shared quant + Huffman table set.
+    ``subsampling``: "4:4:4" or "4:2:0" (chroma box-averaged 2x2 — the
+    dominant real-web layout).  ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every that-many MCUs (DC predictors
+    reset, bitstream byte-aligned)."""
     img = np.asarray(img)
     if img.ndim == 2:
         comps = [img.astype(np.float64)]
+        samp = [(1, 1)]
     elif img.ndim == 3 and img.shape[2] == 3:
         r, g, b = (img[..., i].astype(np.float64) for i in range(3))
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        comps = [y, cb, cr]
+        if subsampling == "4:2:0":
+            def down2(p):
+                hh, ww = p.shape
+                p = np.pad(p, ((0, hh % 2), (0, ww % 2)), mode="edge")
+                return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+
+            comps = [y, down2(cb), down2(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "4:4:4":
+            comps = [y, cb, cr]
+            samp = [(1, 1)] * 3
+        else:
+            raise ValueError(f"unknown subsampling {subsampling!r}")
     else:
         raise ValueError("img must be HxW or HxWx3 uint8")
     h, w = img.shape[:2]
     if quant is None:
         quant = np.ones((8, 8), dtype=np.int64)
     q = np.asarray(quant, dtype=np.int64).reshape(8, 8)
+    H = max(s[0] for s in samp)
+    V = max(s[1] for s in samp)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
     out += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q.reshape(-1)[_ZIGZAG]))  # DQT
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))  # DRI
     ncomp = len(comps)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
-        sof += bytes([cid, 0x11, 0x00])  # 1x1 sampling, quant table 0
+        hs, vs = samp[cid - 1]
+        sof += bytes([cid, (hs << 4) | vs, 0x00])
     out += _seg(0xC0, sof)  # SOF0 baseline
     out += _seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMBOLS)  # DHT DC0
     out += _seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + _AC_SYMBOLS)  # DHT AC0
@@ -198,46 +266,32 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     enc_ac = {sym: code for (length, code), sym in ac_codes.items()}
     enc_ac_len = {sym: length for (length, code), sym in ac_codes.items()}
 
+    mcux, mcuy = -(-w // (8 * H)), -(-h // (8 * V))
+    # edge-replicate pad each component plane to its MCU multiple
+    padded = []
+    for (hs, vs), c in zip(samp, comps):
+        ph, pw = mcuy * 8 * vs, mcux * 8 * hs
+        padded.append(np.pad(c, ((0, ph - c.shape[0]), (0, pw - c.shape[1])), mode="edge"))
+
     bw = _BitWriter()
-    bh, bwid = -(-h // 8), -(-w // 8)
-    # edge-replicate pad each component to block multiples
-    padded = [
-        np.pad(c, ((0, bh * 8 - h), (0, bwid * 8 - w)), mode="edge") for c in comps
-    ]
     prev_dc = [0] * ncomp
-    for by in range(bh):
-        for bx in range(bwid):
-            for ci, comp in enumerate(padded):
-                block = comp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coef = _M @ block @ _M.T
-                qc = np.round(coef / q).astype(np.int64).reshape(-1)[_ZIGZAG]
-                # DC
-                diff = int(qc[0]) - prev_dc[ci]
-                prev_dc[ci] = int(qc[0])
-                size = _category(diff)
-                bw.write(enc_dc[size], enc_dc_len[size])
-                if size:
-                    amp = diff if diff > 0 else diff + (1 << size) - 1
-                    bw.write(amp, size)
-                # AC run-length
-                run = 0
-                last_nz = int(np.max(np.nonzero(qc)[0])) if np.any(qc[1:]) else 0
-                for i in range(1, 64):
-                    v = int(qc[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        bw.write(enc_ac[0xF0], enc_ac_len[0xF0])  # ZRL
-                        run -= 16
-                    size = _category(v)
-                    sym = (run << 4) | size
-                    bw.write(enc_ac[sym], enc_ac_len[sym])
-                    amp = v if v > 0 else v + (1 << size) - 1
-                    bw.write(amp, size)
-                    run = 0
-                if last_nz < 63:
-                    bw.write(enc_ac[0x00], enc_ac_len[0x00])  # EOB
+    rst = 0
+    for mcu in range(mcuy * mcux):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.flush()
+            bw.buf += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            prev_dc = [0] * ncomp
+        by, bx = divmod(mcu, mcux)
+        for ci, ((hs, vs), comp) in enumerate(zip(samp, padded)):
+            for v in range(vs):
+                for hh in range(hs):
+                    yy = (by * vs + v) * 8
+                    xx = (bx * hs + hh) * 8
+                    _encode_block(
+                        bw, comp[yy : yy + 8, xx : xx + 8], q,
+                        enc_dc, enc_dc_len, enc_ac, enc_ac_len, prev_dc, ci,
+                    )
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"  # EOI
@@ -256,6 +310,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     htables: dict[tuple[int, int], dict] = {}  # (class, id) -> codes
     frame = None  # (h, w, [(cid, hq, vq, tq)])
     scan = None
+    restart_interval = 0
 
     while pos < len(blob):
         if blob[pos] != 0xFF:
@@ -300,17 +355,14 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
                 hs, vs = samp >> 4, samp & 0x0F
-                if (hs, vs) != (1, 1):
-                    raise ValueError(
-                        "chroma subsampling unsupported (4:4:4 only) — "
-                        "the upsample plug point"
-                    )
-                comps.append((cid, tq))
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"invalid sampling factors {hs}x{vs}")
+                comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline SOF 0x{marker:02X} unsupported")
         elif marker == 0xDD:
-            raise ValueError("restart intervals (DRI) unsupported")
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = body[0]
             scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F) for i in range(ns)]
@@ -323,45 +375,76 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     ncomp = len(fcomps)
     if len(scan) != ncomp:
         raise ValueError("partial scans unsupported")
+    H = max(c[1] for c in fcomps)
+    V = max(c[2] for c in fcomps)
+    for _, hs, vs, _ in fcomps:
+        if H % hs or V % vs:
+            raise ValueError(f"non-integer sampling ratio {hs}x{vs} vs {H}x{V}")
 
     r = _BitReader(blob[pos:])
-    bh, bw = -(-h // 8), -(-w // 8)
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in range(ncomp)]
+    mcux, mcuy = -(-w // (8 * H)), -(-h // (8 * V))
+    planes = [
+        np.zeros((mcuy * 8 * vs, mcux * 8 * hs), dtype=np.float64)
+        for _, hs, vs, _ in fcomps
+    ]
     prev_dc = [0] * ncomp
     comp_info = []
-    for (cid, tq), (scid, td, ta) in zip(fcomps, scan):
+    for (cid, hs, vs, tq), (scid, td, ta) in zip(fcomps, scan):
         if cid != scid:
             raise ValueError("scan component order differs from frame")
-        comp_info.append((qtables[tq], htables[(0, td)], htables[(1, ta)]))
+        comp_info.append((qtables[tq], htables[(0, td)], htables[(1, ta)], hs, vs))
 
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, (q, dc_codes, ac_codes) in enumerate(comp_info):
-                zz = np.zeros(64, dtype=np.int64)
-                size = _read_code(r, dc_codes)
-                diff = _extend(r.bits(size), size)
-                prev_dc[ci] += diff
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = _read_code(r, ac_codes)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = _extend(r.bits(size), size)
-                    k += 1
-                coef = np.zeros(64, dtype=np.float64)
-                coef[_ZIGZAG] = zz * q.reshape(-1)[_ZIGZAG]
-                block = _M.T @ coef.reshape(8, 8) @ _M + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    def read_block(q, dc_codes, ac_codes, ci) -> np.ndarray:
+        zz = np.zeros(64, dtype=np.int64)
+        size = _read_code(r, dc_codes)
+        diff = _extend(r.bits(size), size)
+        prev_dc[ci] += diff
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            sym = _read_code(r, ac_codes)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            k += run
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[k] = _extend(r.bits(size), size)
+            k += 1
+        coef = np.zeros(64, dtype=np.float64)
+        coef[_ZIGZAG] = zz * q.reshape(-1)[_ZIGZAG]
+        return _M.T @ coef.reshape(8, 8) @ _M + 128.0
 
-    planes = [p[:h, :w] for p in planes]
+    rst = 0
+    for mcu in range(mcuy * mcux):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            r.expect_rst(rst)
+            rst += 1
+            prev_dc = [0] * ncomp
+        by, bx = divmod(mcu, mcux)
+        for ci, (q, dc_codes, ac_codes, hs, vs) in enumerate(comp_info):
+            for v in range(vs):
+                for hh in range(hs):
+                    yy = (by * vs + v) * 8
+                    xx = (bx * hs + hh) * 8
+                    planes[ci][yy : yy + 8, xx : xx + 8] = read_block(
+                        q, dc_codes, ac_codes, ci
+                    )
+
+    # crop each plane to its component resolution, then replicate-
+    # upsample to full frame (valid decoder choice; libjpeg's "fancy"
+    # interpolated upsampling is an optional refinement)
+    full = []
+    for (cid, hs, vs, tq), p in zip(fcomps, planes):
+        cw, ch = -(-w * hs // H), -(-h * vs // V)
+        p = p[:ch, :cw]
+        if hs != H or vs != V:
+            p = np.repeat(np.repeat(p, V // vs, axis=0), H // hs, axis=1)
+        full.append(p[:h, :w])
+    planes = full
     if ncomp == 1:
         px = planes[0][..., None]
     elif ncomp == 3:

@@ -292,3 +292,41 @@ def test_simhash_batch_bit_identical():
     batch = sh._batch_simhash(pd.Series(docs))
     for i, d in enumerate(docs):
         assert int(batch[i]) == sh.simhash(d or ""), (i, d)
+
+
+def test_jpeg_420_and_restart_markers():
+    """Round-4 breadth: 4:2:0 chroma subsampling (the dominant real-web
+    JPEG layout) and DRI/RSTn restart intervals round-trip through the
+    interleaved-MCU decoder."""
+    import numpy as np
+
+    from supersonic_ray.codecs.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(0)
+    # constant color: chroma is flat so 4:2:0 averaging is lossless
+    img3 = np.zeros((15, 22, 3), dtype=np.uint8)
+    img3[:] = [180, 60, 240]
+    w, h, c, px = decode_jpeg(encode_jpeg(img3, subsampling="4:2:0"))
+    assert (w, h, c) == (22, 15, 3)
+    assert np.abs(px * 255 - img3).max() <= 2  # YCbCr rounding only
+
+    # restart markers: grayscale stays near-exact; stream really holds RSTs
+    img = rng.randint(0, 256, (40, 40), dtype=np.uint8)
+    blob = encode_jpeg(img, restart_interval=3)
+    assert b"\xff\xdd" in blob and b"\xff\xd0" in blob
+    w, h, c, px = decode_jpeg(blob)
+    assert np.abs(px[:, :, 0] * 255 - img).max() <= 1
+
+    # combined: 4:2:0 + restarts on odd dims decode to the right shape
+    img3 = rng.randint(0, 256, (33, 17, 3), dtype=np.uint8)
+    w, h, c, px = decode_jpeg(encode_jpeg(img3, subsampling="4:2:0", restart_interval=2))
+    assert (w, h, c) == (17, 33, 3) and px.shape == (33, 17, 3)
+
+    # corrupted restart sequence must raise, not garble
+    import pytest
+
+    bad = bytearray(blob)
+    i = bad.find(b"\xff\xd0")
+    bad[i + 1] = 0xD5  # wrong RST index
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
