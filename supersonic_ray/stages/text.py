@@ -218,23 +218,52 @@ def rolling_fingerprint(ds, col: str, window: int = 16, alias: str = "rfp"):
     values to a sequential Horner roll), never per-position Python."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
+        """Whole-batch kernel (round-4; replaces a per-row map): one
+        byte-concat of the batch, ONE global rolling-hash pass with
+        cross-doc windows masked by the ragged gather, and per-doc
+        minima via np.minimum.reduceat.  Bit-identical to the previous
+        per-doc roll (same powers, same uint64 wraparound); docs
+        shorter than the window keep the md5 fallback."""
         B = np.uint64(257)
         # B^(window-1-j) for j = 0..window-1
         powers = B ** np.arange(window - 1, -1, -1, dtype=np.uint64)
 
-        def fp(t: str) -> int:
-            b = t.encode() if t else b""
-            if len(b) < window:
-                return int.from_bytes(hashlib.md5(b).digest()[:8], "little")
-            a = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
-            n = len(a) - window + 1
-            h = np.zeros(n, dtype=np.uint64)
-            for j in range(window):
-                h += a[j : j + n] * powers[j]
-            return int(h.min())
-
         df = df.copy()
-        df[alias] = df[col].map(lambda t: fp(t) if t is not None else None)
+        texts = df[col]
+        isna = texts.isna().to_numpy()
+        bs = [(t.encode() if t else b"") for t in texts.fillna("")]
+        n_docs = len(bs)
+        lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n_docs)
+        out_vals = np.zeros(n_docs, dtype=np.uint64)
+        long_mask = lens >= window
+        if long_mask.any():
+            a = np.frombuffer(b"".join(bs), dtype=np.uint8).astype(np.uint64)
+            offs = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            n_win = len(a) - window + 1
+            h_all = np.zeros(n_win, dtype=np.uint64)
+            for j in range(window):
+                h_all += a[j : j + n_win] * powers[j]
+            s_counts = np.where(long_mask, lens - window + 1, 0)
+            tot = int(s_counts.sum())
+            seg_starts = np.cumsum(s_counts) - s_counts
+            doc_of = np.repeat(np.arange(n_docs), s_counts)
+            pos = np.arange(tot, dtype=np.int64) - np.repeat(seg_starts, s_counts)
+            hvals = h_all[offs[doc_of] + pos]
+            out_vals[long_mask] = np.minimum.reduceat(hvals, seg_starts[long_mask])
+        for i in np.flatnonzero(~long_mask):
+            out_vals[i] = np.uint64(
+                int.from_bytes(hashlib.md5(bs[i]).digest()[:8], "little")
+            )
+        # STABLE object dtype: values are uint64-range Python ints, so a
+        # numeric dtype would flip between int64/uint64 per batch (and
+        # Ray's block concat would coerce mixed batches to float64,
+        # silently losing low bits)
+        df[alias] = pd.Series(
+            [None if na else int(v) for na, v in zip(isna, out_vals)],
+            index=df.index,
+            dtype="object",
+        )
         return df
 
     return ds.map_batches(fn, batch_format="pandas")

@@ -330,3 +330,41 @@ def test_jpeg_420_and_restart_markers():
     bad[i + 1] = 0xD5  # wrong RST index
     with pytest.raises(ValueError):
         decode_jpeg(bytes(bad))
+
+
+def test_rolling_fingerprint_batch_bit_identical(ray_session):
+    """The whole-batch rolling-fingerprint kernel must match the scalar
+    per-doc roll exactly, keep a STABLE object dtype across mixed
+    batches (uint64-range values must never coerce to float64), and
+    map None -> None."""
+    import hashlib
+
+    import numpy as np
+    import ray.data as rd
+
+    from supersonic_ray.stages.text import rolling_fingerprint
+
+    window = 16
+    B = np.uint64(257)
+    powers = B ** np.arange(window - 1, -1, -1, dtype=np.uint64)
+
+    def fp_ref(t):
+        b = t.encode() if t else b""
+        if len(b) < window:
+            return int.from_bytes(hashlib.md5(b).digest()[:8], "little")
+        a = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+        n = len(a) - window + 1
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(window):
+            h += a[j : j + n] * powers[j]
+        return int(h.min())
+
+    rng = np.random.RandomState(9)
+    docs = ["".join(chr(rng.randint(32, 127)) for _ in range(rng.randint(0, 200))) for _ in range(40)]
+    docs += [None, "", "short", "x" * 15, "y" * 16]
+    ds = rd.from_pandas(pd.DataFrame({"text": docs})).repartition(3)
+    out = rolling_fingerprint(ds, "text", window=window).to_pandas()
+    assert out["rfp"].dtype == object
+    for t, got in zip(docs, out["rfp"]):
+        want = None if t is None else fp_ref(t)
+        assert (got is None and want is None) or int(got) == want
