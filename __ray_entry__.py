@@ -1570,6 +1570,27 @@ def agg_udaf_span(sf_dir: str):
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def agg_udaf_combinable(sf_dir: str):
+    """Round-4 COMBINABLE UDAF (beyond the reference's per-group
+    ColumnAggregator): the user supplies partial/merge/finalize and the
+    engine runs it distributed — per-batch state rows through the
+    exchange, never raw rows.  Sum-of-squares in exact Python-int
+    arithmetic so the oracle hash is exact."""
+    from supersonic_ray.stages.aggregates import AggSpec, CombinableUDAF, group_aggregate
+
+    ssq = CombinableUDAF(
+        partial=lambda s: int((s.dropna().astype("int64") ** 2).sum()),
+        merge=lambda states: int(sum(int(x) for x in states)),
+        finalize=int,
+    )
+    ds = _ld(sf_dir, "lineitem", ["l_returnflag", "l_suppkey"])
+    out = group_aggregate(
+        ds, ["l_returnflag"], [AggSpec("ssq", "l_suppkey", "ssq", udaf=ssq)]
+    ).to_pandas()
+    out["ssq"] = out["ssq"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
 PLAN_Q1_JSON = """
 {"steps": [
   {"op": "scan", "table": "lineitem",
@@ -1754,6 +1775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_clusters_sorted": agg_clusters_sorted,
         "group_with_limit": group_with_limit,
         "agg_udaf_span": agg_udaf_span,
+        "agg_udaf_combinable": agg_udaf_combinable,
         "skew_salted_agg": skew_salted_agg,
         # -- ordering / limits / set ops / sampling (sort_multikey +
         # -- merge_union moved below the boundary — green at r02,
@@ -1768,9 +1790,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- dedup + fingerprints (round-3 vectorized hash kernels)
         "dedup_exact_docs": dedup_exact_docs,
         "doc_fingerprints": doc_fingerprints,
-        # -- sources + sinks (json_source_roundtrip rotated down: green
-        # -- r03, sources/ untouched this round)
-        "csv_source_roundtrip": csv_source_roundtrip,
+        # -- sources + sinks (csv/json_source_roundtrip rotated down:
+        # -- green r03, sources/ untouched this round)
         "parquet_partitioned_sink": parquet_partitioned_sink,
         # -- round-3 flagship operators (no prior driver row)
         "exact_quantiles_orders": exact_quantiles_orders,
@@ -1797,6 +1818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expr_date_local": expr_date_local,
         "expr_cast_parse": expr_cast_parse,
         "expr_fingerprint": expr_fingerprint,
+        "csv_source_roundtrip": csv_source_roundtrip,
         "json_source_roundtrip": json_source_roundtrip,
         "sort_multikey": sort_multikey,
         "merge_union": merge_union,
@@ -2486,6 +2508,11 @@ def oracle_sql() -> dict[str, str]:
         "agg_udaf_span": """
             SELECT l_returnflag,
                    round(max(l_quantity) - min(l_quantity), 2) AS qty_span
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "agg_udaf_combinable": """
+            SELECT l_returnflag,
+                   CAST(sum(l_suppkey * l_suppkey) AS BIGINT) AS ssq
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "skew_salted_agg": """

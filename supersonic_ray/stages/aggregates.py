@@ -50,12 +50,41 @@ SCALAR_COLLECT_LIMIT = 2_000_000
 def register_udaf(name: str, fn) -> None:
     """Custom aggregator plug-in (reference's expression-level
     ColumnAggregator extension point, column_aggregator.h:43-75):
-    ``fn(pd.Series) -> scalar``.  UDAFs are holistic — they run per
-    group via groupby().map_groups, never through the distributive
-    partial path (no combinability contract is assumed).  The registry
-    is driver-side only; group_aggregate resolves the callable INTO the
-    spec so it travels to workers inside the task closure."""
+    ``fn(pd.Series) -> scalar``.  Plain-callable UDAFs are holistic —
+    they run per group via groupby().map_groups, never through the
+    distributive partial path (no combinability contract is assumed).
+    Register a ``CombinableUDAF`` instead to get the distributed
+    partial→merge→finalize plan.  The registry is driver-side only;
+    group_aggregate resolves the callable INTO the spec so it travels
+    to workers inside the task closure."""
     _UDAFS[name] = fn
+
+
+@dataclass(frozen=True)
+class CombinableUDAF:
+    """Distributed user aggregate (beyond the reference's per-group
+    ColumnAggregator): the user declares the combinability contract the
+    built-ins get for free, and the engine runs it as per-batch partial
+    states → tiny state shuffle → per-key merge → finalize.  Raw rows
+    never cross the exchange; the merge step sees O(#batches) state
+    rows per key, not the group.
+
+    - ``partial(pd.Series) -> state``: batch-local state for one group's
+      rows (NULL handling is the UDAF's own business).
+    - ``merge(pd.Series[state]) -> state``: associative combine of
+      partial states.
+    - ``finalize(state) -> value``: final projection (default identity).
+
+    States must survive a pandas object column (numbers, tuples,
+    strings).  Instances are also plain callables (whole-column
+    evaluation) so the holistic/scalar fallbacks accept them."""
+
+    partial: object
+    merge: object
+    finalize: object = staticmethod(lambda s: s)
+
+    def __call__(self, col: pd.Series):
+        return self.finalize(self.merge(pd.Series([self.partial(col)])))
 
 
 def _resolve_udafs(specs: list[AggSpec]) -> list[AggSpec]:
@@ -136,7 +165,9 @@ def group_aggregate(ds, keys: list[str], specs: list[AggSpec]):
     # driver-side schema probe either way
     if all(_is_distributive(s) for s in specs):
         return _group_aggregate_partial(ds, keys, specs)
-    if any(s.udaf is not None or s.fn in _UDAFS for s in specs):
+    # only UDAFs WITHOUT a combinability contract force the holistic
+    # per-group path; CombinableUDAFs run as mixed-plan components
+    if any(s.udaf is not None and not isinstance(s.udaf, CombinableUDAF) for s in specs):
         from .ops import decode_dictionary_columns
 
         return _group_aggregate_holistic(decode_dictionary_columns(ds), keys, specs)
@@ -398,6 +429,38 @@ def _first_last_components(ds, keys: list[str], group: list[AggSpec]):
     return outs
 
 
+def _combinable_component(ds, keys: list[str], spec: AggSpec):
+    """CombinableUDAF as a mixed-plan component: per-batch partial state
+    per key (ONE state row per key per batch crosses the exchange),
+    then a per-key merge+finalize over those tiny state rows."""
+    u = spec.udaf
+    col = spec.column
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            out = pd.DataFrame({k: df[k] for k in keys})
+            out["__st"] = pd.Series([], dtype="object")
+            return out
+        g = (
+            df[keys + [col]]
+            .groupby(keys, dropna=False, sort=False)[col]
+            .agg(u.partial)
+            .reset_index()
+            .rename(columns={col: "__st"})
+        )
+        g["__st"] = g["__st"].astype("object")
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        row = {k: [g[k].iloc[0]] for k in keys}
+        row[spec.alias] = [u.finalize(u.merge(g["__st"]))]
+        return pd.DataFrame(row)
+
+    return partials.groupby(keys).map_groups(merge, batch_format="pandas")
+
+
 def _concat_component(ds, keys: list[str], spec: AggSpec):
     """CONCAT as distributed run-partials: sort by (keys, order) so key
     runs are contiguous and ordered across blocks, pre-concat each
@@ -559,6 +622,8 @@ def _group_aggregate_mixed(ds, keys: list[str], specs: list[AggSpec]):
             components.append((fl_results[s.alias], s.alias, None))
         elif s.fn == "concat":
             components.append((_concat_component(src, keys, s), s.alias, ""))
+        elif isinstance(s.udaf, CombinableUDAF):
+            components.append((_combinable_component(src, keys, s), s.alias, None))
         else:
             raise ValueError(f"no distributed plan for aggregate {s.fn!r}")
 

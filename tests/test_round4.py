@@ -368,3 +368,37 @@ def test_rolling_fingerprint_batch_bit_identical(ray_session):
     for t, got in zip(docs, out["rfp"]):
         want = None if t is None else fp_ref(t)
         assert (got is None and want is None) or int(got) == want
+
+
+def test_combinable_udaf_distributed(ray_session):
+    """CombinableUDAF runs the partial->merge->finalize plan: results
+    match whole-column evaluation, NULL group keys work, and the raw
+    rows never feed a per-group task (only state rows do)."""
+    import ray.data as rd
+
+    from supersonic_ray.stages.aggregates import (
+        AggSpec,
+        CombinableUDAF,
+        group_aggregate,
+    )
+
+    ssq = CombinableUDAF(
+        partial=lambda s: int((s.dropna().astype("int64") ** 2).sum()),
+        merge=lambda states: int(sum(int(x) for x in states)),
+        finalize=int,
+    )
+    t = pa.table({"k": ["a", "b", None, "a", None], "v": [1, 2, 3, 4, 5]})
+    out = (
+        group_aggregate(
+            rd.from_arrow(t).repartition(3),
+            ["k"],
+            [AggSpec("ssq", "v", "ssq", udaf=ssq), AggSpec("sum", "v", "sv")],
+        )
+        .to_pandas()
+        .sort_values("k", na_position="last")
+        .reset_index(drop=True)
+    )
+    assert out["ssq"].tolist() == [17, 4, 34]  # a: 1+16; b: 4; NULL: 9+25
+    assert out["sv"].tolist() == [5, 2, 8]
+    # whole-column callable contract (holistic/scalar fallback surface)
+    assert ssq(pd.Series([3, 4])) == 25
