@@ -683,10 +683,15 @@ def scalar_aggregate(ds, specs: list[AggSpec]) -> pa.Table:
     distinct_counts = [s for s in specs if s.fn == "count" and s.distinct]
     distinct_sums = [s for s in specs if s.fn in ("sum", "mean") and s.distinct and s.udaf is None]
     ordered_fl = [s for s in specs if s.fn in ("first", "last") and s.order_by and not s.distinct]
+    combinables = [s for s in specs if isinstance(s.udaf, CombinableUDAF) and not s.distinct]
     holistic = [
         s
         for s in specs
-        if s not in dist and s not in distinct_counts and s not in distinct_sums and s not in ordered_fl
+        if s not in dist
+        and s not in distinct_counts
+        and s not in distinct_sums
+        and s not in ordered_fl
+        and s not in combinables
     ]
 
     if dist:
@@ -787,8 +792,19 @@ def scalar_aggregate(ds, specs: list[AggSpec]) -> pa.Table:
         else:
             row[s.alias] = [None]
 
+    for s in combinables:
+        # CombinableUDAF: one state per batch to the driver, then the
+        # user merge+finalize — no row ever leaves the workers
+        def part(b: pa.Table, col=s.column, u=s.udaf) -> pa.Table:
+            st = u.partial(b.column(col).to_pandas())
+            return pa.table({"__st": pa.array([st])})
+
+        states = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+        u = s.udaf
+        row[s.alias] = [u.finalize(u.merge(states["__st"])) if len(states) else None]
+
     if holistic:
-        # CONCAT / unordered FIRST-LAST / UDAF: output or state is
+        # CONCAT / unordered FIRST-LAST / plain UDAF: output or state is
         # O(input) — driver collect, GUARDED by a counted limit so an
         # unbounded input fails loudly instead of OOMing the driver.
         df = ds.limit(SCALAR_COLLECT_LIMIT + 1).to_pandas()

@@ -402,3 +402,25 @@ def test_combinable_udaf_distributed(ray_session):
     assert out["sv"].tolist() == [5, 2, 8]
     # whole-column callable contract (holistic/scalar fallback surface)
     assert ssq(pd.Series([3, 4])) == 25
+
+
+def test_combinable_udaf_scalar(ray_session):
+    import ray.data as rd
+
+    from supersonic_ray.stages.aggregates import (
+        AggSpec,
+        CombinableUDAF,
+        scalar_aggregate,
+    )
+
+    ssq = CombinableUDAF(
+        partial=lambda s: int((s.dropna().astype("int64") ** 2).sum()),
+        merge=lambda states: int(sum(int(x) for x in states)),
+        finalize=int,
+    )
+    t = pa.table({"v": [1, 2, 3, 4]})
+    out = scalar_aggregate(
+        rd.from_arrow(t).repartition(2),
+        [AggSpec("ssq", "v", "ssq", udaf=ssq), AggSpec("count", None, "n")],
+    )
+    assert out.column("ssq")[0].as_py() == 30 and out.column("n")[0].as_py() == 4
