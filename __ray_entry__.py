@@ -1044,6 +1044,30 @@ def rsb_zonemap_scan(sf_dir: str):
     return out
 
 
+def rsb_bloom_scan(sf_dir: str):
+    """Bloom-filter partition pruning (round-4): documents encoded
+    CLUSTERED by lang, then an equality scan (lang = 'de') prunes whole
+    partitions from the MANIFESTS' per-column Bloom filters before any
+    file is read; the exact row filter + aggregate run on survivors.
+    Oracle = the same point-lookup aggregate on the raw table."""
+    import tempfile
+
+    from supersonic_ray.pipelines import decode_partitions, encode_dataset
+    from supersonic_ray.stages.aggregates import AggSpec, scalar_aggregate
+    from supersonic_ray.stages.ops import filter_expr, sort
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ds = sort(_ld(sf_dir, "documents", ["doc_id", "lang", "n_chars"]), ["lang", "doc_id"])
+        encode_dataset(ds, tmp, batch_size=128, concurrency=2).materialize()
+        scan = decode_partitions(tmp, concurrency=2, equals={"lang": "de"})
+        scan = filter_expr(scan, lambda t: pc.equal(t.column("lang"), "de"))
+        out = scalar_aggregate(
+            scan, [AggSpec("count", None, "n"), AggSpec("sum", "n_chars", "total_chars")]
+        ).to_pandas()
+    out["total_chars"] = out["total_chars"].astype("int64")
+    return out
+
+
 def encode_roundtrip_docs(sf_dir: str):
     """The flagship invariant as a query: documents → RSB encode →
     decode → identical table (oracle: SELECT * FROM documents)."""
@@ -1748,6 +1772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_roundtrip_lineitem": encode_roundtrip_lineitem,
         "rsb_scan_aggregate": rsb_scan_aggregate,
         "rsb_zonemap_scan": rsb_zonemap_scan,
+        "rsb_bloom_scan": rsb_bloom_scan,
         "training_pipeline_docs": training_pipeline_docs,
         "dict_enum_lang": dict_enum_lang,
         # -- TPC-H core + plan documents
@@ -1801,7 +1826,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode_jpeg": image_decode_jpeg,
         "image_decode_png": image_decode_png,
         "group_with_limit_arrival": group_with_limit_arrival,
-        "pii_redact_docs": pii_redact_docs,
         "line_dedup_docs": line_dedup_docs,
         # -- round-3 flagships that had no hard driver row yet (rotated
         # -- into the window this round per the r03 verdict)
@@ -1820,6 +1844,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expr_fingerprint": expr_fingerprint,
         "csv_source_roundtrip": csv_source_roundtrip,
         "json_source_roundtrip": json_source_roundtrip,
+        # ---- pii_redact_docs rotated down (green r03; pure Arrow RE2
+        # ---- kernel path in functions/, untouched this round)
+        "pii_redact_docs": pii_redact_docs,
         "sort_multikey": sort_multikey,
         "merge_union": merge_union,
         "expr_arithmetic": expr_arithmetic,
@@ -2569,6 +2596,10 @@ def oracle_sql() -> dict[str, str]:
         "rsb_zonemap_scan": """
             SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
             FROM orders WHERE o_orderkey BETWEEN 3000 AND 4500
+        """,
+        "rsb_bloom_scan": """
+            SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents WHERE lang = 'de'
         """,
         "training_pipeline_docs": """
             WITH t AS (

@@ -130,7 +130,23 @@ def _zone_stats(col: pa.ChunkedArray | pa.Array) -> dict[str, Any]:
             mm = pc.min_max(col).as_py()
             if mm["min"] is None:
                 return {}
-            return {"vmin": str(mm["min"])[:64], "vmax": str(mm["max"])[:64], "truncated": True}
+            stats = {"vmin": str(mm["min"])[:64], "vmax": str(mm["max"])[:64], "truncated": True}
+            # equality-pruning bloom over the distinct values (zone maps
+            # cover ranges; the bloom covers point lookups like
+            # url/lang =).  Skipped for very-high-cardinality columns
+            # and for long-payload columns (html/text bodies — nobody
+            # equality-scans a full document, and hashing them would
+            # tax encode wall for nothing)
+            nn = pc.drop_null(col)
+            avg_len = (nn.nbytes / len(nn)) if len(nn) else 0.0
+            if avg_len <= 128:
+                from supersonic_ray.state.bloom import build_bloom
+
+                distinct = pc.unique(nn).to_numpy(zero_copy_only=False)
+                bloom = build_bloom(distinct)
+                if bloom is not None:
+                    stats["bloom"] = bloom
+            return stats
     except pa.ArrowInvalid:
         pass
     return {}
@@ -560,10 +576,14 @@ class PartitionDecoder:
                 yield decode_blob(f.read(), columns=self.columns)
 
 
-def _partition_overlaps(m, ranges: dict[str, tuple]) -> bool:
-    """Zone-map check: False ⇔ the manifest PROVES the partition holds
-    no rows in the requested ranges.  Conservative: columns without
-    stats (or with truncated string stats) never prune."""
+def _partition_overlaps(
+    m, ranges: dict[str, tuple], equals: dict[str, str] | None = None
+) -> bool:
+    """Manifest-only check: False ⇔ the manifest PROVES the partition
+    holds no matching row.  Conservative: columns without stats (or
+    with truncated string stats for range checks) never prune.
+    ``ranges`` uses the zone maps; ``equals`` uses the zone maps when
+    exact plus the per-column Bloom filter for string point lookups."""
     for col, (lo, hi) in ranges.items():
         st = m.columns.get(col, {}) if isinstance(m.columns, dict) else {}
         if "vmin" not in st or st.get("truncated"):
@@ -572,15 +592,33 @@ def _partition_overlaps(m, ranges: dict[str, tuple]) -> bool:
             return False
         if lo is not None and st["vmax"] < lo:
             return False
+    for col, val in (equals or {}).items():
+        st = m.columns.get(col, {}) if isinstance(m.columns, dict) else {}
+        if "vmin" in st and not st.get("truncated") and not (st["vmin"] <= val <= st["vmax"]):
+            return False
+        bloom = st.get("bloom")
+        if bloom is not None:
+            from supersonic_ray.state.bloom import bloom_might_contain
+
+            if not bloom_might_contain(bloom, val):
+                return False
     return True
 
 
-def pruned_partition_paths(out_dir: str, ranges: dict[str, tuple]) -> list[str]:
-    """Paths of partitions whose zone maps overlap the ranges — the
+def pruned_partition_paths(
+    out_dir: str,
+    ranges: dict[str, tuple] | None = None,
+    equals: dict[str, str] | None = None,
+) -> list[str]:
+    """Paths of partitions the manifests cannot rule out — the
     manifest-only planning step (no data file is opened)."""
     from supersonic_ray.state import load_all_manifests
 
-    keep = {m.part_id for m in load_all_manifests(out_dir) if _partition_overlaps(m, ranges)}
+    keep = {
+        m.part_id
+        for m in load_all_manifests(out_dir)
+        if _partition_overlaps(m, ranges or {}, equals)
+    }
     return sorted(
         os.path.join(out_dir, f)
         for f in os.listdir(out_dir)
@@ -593,18 +631,20 @@ def decode_partitions(
     concurrency: int | None = None,
     columns: list[str] | None = None,
     ranges: dict[str, tuple] | None = None,
+    equals: dict[str, str] | None = None,
 ):
     """Streaming decode: Dataset over all .rsb partition files.
     ``columns`` prunes at the DECODE level — unrequested columns are
     never decompressed.  ``ranges`` ({col: (lo, hi)}, either bound
-    None) prunes whole PARTITIONS via the manifests' zone maps before
-    any file is read; rows inside surviving partitions still need the
-    exact filter downstream."""
+    None) prunes whole PARTITIONS via the manifests' zone maps, and
+    ``equals`` ({col: value}) via zone maps + per-column Bloom filters,
+    before any file is read; rows inside surviving partitions still
+    need the exact filter downstream."""
     import ray
     import ray.data as rd
 
-    if ranges:
-        paths = pruned_partition_paths(out_dir, ranges)
+    if ranges or equals:
+        paths = pruned_partition_paths(out_dir, ranges, equals)
     else:
         paths = sorted(
             os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".rsb")

@@ -424,3 +424,35 @@ def test_combinable_udaf_scalar(ray_session):
         [AggSpec("ssq", "v", "ssq", udaf=ssq), AggSpec("count", None, "n")],
     )
     assert out.column("ssq")[0].as_py() == 30 and out.column("n")[0].as_py() == 4
+
+
+def test_bloom_partition_pruning(ray_session, tmp_path):
+    """Equality pruning via per-partition Bloom filters: a point lookup
+    on a lang-clustered encode must plan FEWER partitions from the
+    manifests alone, and the decoded result must be exact."""
+    import numpy as np
+    import ray.data as rd
+
+    from supersonic_ray.pipelines import decode_partitions, encode_dataset
+    from supersonic_ray.pipelines.encode import pruned_partition_paths
+    from supersonic_ray.state.bloom import bloom_might_contain, build_bloom
+
+    # unit: no false negatives; most absent values excluded
+    vals = np.array([f"v{i}" for i in range(500)], dtype=object)
+    b = build_bloom(vals)
+    assert all(bloom_might_contain(b, f"v{i}") for i in range(500))
+    absent_hits = sum(bloom_might_contain(b, f"x{i}") for i in range(1000))
+    assert absent_hits < 100  # fp well under 10%
+
+    langs = ["de"] * 300 + ["en"] * 300 + ["fr"] * 300
+    t = pa.table({"doc_id": list(range(900)), "lang": langs})
+    ds = rd.from_arrow(t).sort("lang")
+    out_dir = str(tmp_path / "enc")
+    encode_dataset(ds, out_dir, batch_size=128, concurrency=2).materialize()
+    all_paths = pruned_partition_paths(out_dir)
+    fr_paths = pruned_partition_paths(out_dir, equals={"lang": "fr"})
+    assert len(fr_paths) < len(all_paths), "bloom pruned nothing"
+    dec = decode_partitions(out_dir, concurrency=2, equals={"lang": "fr"})
+    got = dec.to_pandas()
+    got = got[got["lang"] == "fr"]
+    assert len(got) == 300 and set(got["doc_id"]) == set(range(600, 900))
