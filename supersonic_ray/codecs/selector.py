@@ -26,12 +26,26 @@ from .base import BACKEND_IDS, encode_array, is_var_len
 from .rle import run_boundaries
 
 SAMPLE_ROWS = 1024
-# speed penalty multipliers per backend: prefer cheap stacks unless the
-# heavyweight one genuinely wins on size.  Measured on webpage corpora:
-# brotli-9 compresses ~5x faster than bz2-9 AND smaller on fsst bodies;
-# zstd-19 is smallest but bz2-slow, so it must win by >15% to be picked.
-_BACKEND_PENALTY = {"": 1.0, "zlib": 1.02, "brotli": 1.03, "bz2": 1.08, "zstd": 1.15, "lzma": 1.12}
-_CODEC_PENALTY = {"fsst": 1.0}
+# Within-slack speed displacement (round-4; replaced the static
+# per-backend penalty multipliers): the smallest trial output wins
+# UNLESS another candidate is within _SIZE_SLACK of it AND its measured
+# trial wall (compress + decompress of the same body) is at least
+# _SPEED_FACTOR shorter — trading a bounded few % of ratio for
+# multiples of pipeline speed.  Measured on the webpages corpus: html
+# moves from fsst+bz2 to fsst+zstd (+6 % column size, 1.8x faster
+# encode, 33x faster decode, total output still well under the
+# reference baseline), while text KEEPS fsst+bz2 (bz2 is genuinely the
+# fastest within-slack backend there).  Backend-less candidates have
+# zero trial wall, so the 'plain' never-inflate guard can't be
+# displaced.  Timings make the choice measurement-driven rather than
+# bit-deterministic across hosts; plan_scope="global" still resolves
+# ONCE per job, and `overrides` pins a choice exactly.
+_SIZE_SLACK = 1.10
+_SPEED_FACTOR = 1.2
+# speed displacement needs MEASURABLE walls: below this, trial timings
+# are scheduler noise (µs-scale on small columns, where backend speed
+# is irrelevant anyway) and the choice stays pure size order
+_MIN_MEASURABLE_WALL = 0.005
 
 
 @dataclass
@@ -154,7 +168,12 @@ def choose_codec(
     """Pick (codec_name, backend_name) for this column chunk by trial-
     encoding a sample.  Each candidate codec encodes the sample ONCE;
     backend variants just compress that body — so e.g. fsst trains a
-    single trial symbol table regardless of how many backends compete."""
+    single trial symbol table regardless of how many backends compete.
+    Winner = smallest trial output, displaced by any within-slack
+    candidate whose measured trial wall is ≥_SPEED_FACTOR shorter (see
+    the module constants)."""
+    import time as _time
+
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_dictionary(arr.type):
@@ -166,7 +185,7 @@ def choose_codec(
     by_codec: dict[str, list[str]] = {}
     for codec, backend in _candidates(arr.type, st):
         by_codec.setdefault(codec, []).append(backend)
-    best: tuple[float, tuple[str, str]] = (float("inf"), ("plain", ""))
+    cands: list[tuple[int, float, str, str]] = []  # (size, wall, codec, backend)
     for codec, backends in by_codec.items():
         try:
             body = encode_array(sample, codec, 0)
@@ -174,13 +193,29 @@ def choose_codec(
             continue
         for backend in backends:
             if backend:
-                size = len(base._BACKEND_COMPRESS[BACKEND_IDS[backend]](body))
+                bid = BACKEND_IDS[backend]
+                t0 = _time.monotonic()
+                comp = base._BACKEND_COMPRESS[bid](body)
+                t1 = _time.monotonic()
+                base._BACKEND_DECOMPRESS[bid](comp)
+                t2 = _time.monotonic()
+                cands.append((len(comp), (t2 - t0), codec, backend))
             else:
-                size = len(body)
-            score = size * _BACKEND_PENALTY[backend] * _CODEC_PENALTY.get(codec, 1.0)
-            if score < best[0]:
-                best = (score, (codec, backend))
-    return best[1]
+                cands.append((len(body), 0.0, codec, backend))
+    if not cands:
+        return ("plain", "")
+    smallest = min(c[0] for c in cands)
+    eligible = sorted(
+        (c for c in cands if c[0] <= smallest * _SIZE_SLACK),
+        key=lambda c: (c[0], c[1]),
+    )
+    winner = eligible[0]
+    for c in eligible[1:]:
+        # displace the current winner only on a decisive, MEASURABLE
+        # speed win
+        if winner[1] >= _MIN_MEASURABLE_WALL and c[1] <= winner[1] / _SPEED_FACTOR:
+            winner = c
+    return (winner[2], winner[3])
 
 
 def encode_auto(arr: pa.Array) -> tuple[bytes, str, str]:
