@@ -108,8 +108,11 @@ class _BitReader:
         return v
 
     def expect_rst(self, n: int) -> None:
-        """Restart boundary: drop pad bits, consume the RSTn marker."""
+        """Restart boundary: drop pad bits, consume the RSTn marker
+        (tolerating 0xFF fill bytes before it, T.81 B.1.1.2)."""
         self.n = 0
+        while self.d[self.pos] == 0xFF and self.d[self.pos + 1] == 0xFF:
+            self.pos += 1
         b0, b1 = self.d[self.pos], self.d[self.pos + 1]
         if b0 != 0xFF or b1 != 0xD0 + (n % 8):
             raise ValueError(
@@ -315,6 +318,11 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     while pos < len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip them or 'FF FF DB' would misparse as
+        # marker=0xFF + a bogus 0xFFDB segment length
+        while blob[pos + 1] == 0xFF:
+            pos += 1
         marker = blob[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

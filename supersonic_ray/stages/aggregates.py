@@ -166,8 +166,15 @@ def group_aggregate(ds, keys: list[str], specs: list[AggSpec]):
     if all(_is_distributive(s) for s in specs):
         return _group_aggregate_partial(ds, keys, specs)
     # only UDAFs WITHOUT a combinability contract force the holistic
-    # per-group path; CombinableUDAFs run as mixed-plan components
-    if any(s.udaf is not None and not isinstance(s.udaf, CombinableUDAF) for s in specs):
+    # per-group path; CombinableUDAFs run as mixed-plan components.
+    # DISTINCT on a CombinableUDAF has no combinable plan (the partial
+    # would aggregate duplicate values) — it takes the holistic path,
+    # whose _apply_one dedupes before calling the UDAF.
+    if any(
+        s.udaf is not None
+        and (not isinstance(s.udaf, CombinableUDAF) or s.distinct)
+        for s in specs
+    ):
         from .ops import decode_dictionary_columns
 
         return _group_aggregate_holistic(decode_dictionary_columns(ds), keys, specs)
@@ -198,15 +205,11 @@ def _group_aggregate_holistic(ds, keys: list[str], specs: list[AggSpec]):
 
 
 def _null_fill_scalar(tp: pa.DataType) -> pa.Scalar:
-    """Typed placeholder for NULL group keys travelling a shuffle next
-    to an is-null indicator column (the NULL-safe grouping trick)."""
-    if pa.types.is_string(tp) or pa.types.is_large_string(tp):
-        return pa.scalar("", tp)
-    if pa.types.is_binary(tp) or pa.types.is_large_binary(tp):
-        return pa.scalar(b"", tp)
-    if pa.types.is_boolean(tp):
-        return pa.scalar(False)
-    return pa.scalar(0).cast(tp)
+    """Shared with ops.sort's nulls_first machinery — one switch, no
+    drift between ordering and grouping NULL semantics."""
+    from .ops import null_fill_scalar
+
+    return null_fill_scalar(tp)
 
 
 def _group_aggregate_partial(ds, keys: list[str], specs: list[AggSpec]):
@@ -794,12 +797,14 @@ def scalar_aggregate(ds, specs: list[AggSpec]) -> pa.Table:
 
     for s in combinables:
         # CombinableUDAF: one state per batch to the driver, then the
-        # user merge+finalize — no row ever leaves the workers
-        def part(b: pa.Table, col=s.column, u=s.udaf) -> pa.Table:
-            st = u.partial(b.column(col).to_pandas())
-            return pa.table({"__st": pa.array([st])})
+        # user merge+finalize — no row ever leaves the workers.  States
+        # ride a pandas OBJECT column (the contract the grouped
+        # component honors): Arrow inference would crash on mixed-type
+        # tuple states and silently list-ify homogeneous tuples.
+        def part(df: pd.DataFrame, col=s.column, u=s.udaf) -> pd.DataFrame:
+            return pd.DataFrame({"__st": pd.Series([u.partial(df[col])], dtype="object")})
 
-        states = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+        states = ds.map_batches(part, batch_format="pandas").to_pandas()
         u = s.udaf
         row[s.alias] = [u.finalize(u.merge(states["__st"])) if len(states) else None]
 

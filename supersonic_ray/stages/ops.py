@@ -55,6 +55,21 @@ def dictionary_encode_columns(ds, cols: list[str]):
     return ds.map_batches(enc, batch_format="pyarrow")
 
 
+def null_fill_scalar(tp: pa.DataType) -> pa.Scalar:
+    """Typed placeholder for NULL values travelling a shuffle next to an
+    is-null indicator (the NULL-safe ordering/grouping trick shared by
+    sort(nulls_first=...) and the aggregation plans — placement/identity
+    is decided entirely by the indicator, so the fill never affects
+    results)."""
+    if pa.types.is_string(tp) or pa.types.is_large_string(tp):
+        return pa.scalar("", tp)
+    if pa.types.is_binary(tp) or pa.types.is_large_binary(tp):
+        return pa.scalar(b"", tp)
+    if pa.types.is_boolean(tp):
+        return pa.scalar(False)
+    return pa.scalar(0).cast(tp)
+
+
 def decode_dict_batch(t: pa.Table) -> pa.Table:
     """Per-batch ENUM decode: dictionary columns → their value type.
     A no-op pointer walk (a few µs) when the batch has none."""
@@ -164,16 +179,7 @@ def sort(ds, keys: list[str], descending: list[bool] | bool = False, nulls_first
             col = t.column(k)
             if col.null_count == 0:
                 return col
-            tp = col.type
-            if pa.types.is_string(tp) or pa.types.is_large_string(tp):
-                fill = ""
-            elif pa.types.is_binary(tp) or pa.types.is_large_binary(tp):
-                fill = b""
-            elif pa.types.is_boolean(tp):
-                fill = False
-            else:
-                fill = pa.scalar(0).cast(tp)
-            return pc.fill_null(col, fill)
+            return pc.fill_null(col, null_fill_scalar(col.type))
 
         return fn
 

@@ -165,6 +165,11 @@ def stream_sessionize_distributed(
 
     if num_shards is None:
         cpus = int(ray.cluster_resources().get("CPU", 4))
+        # materialize BEFORE counting: on a derived pipeline a bare
+        # count() would execute the upstream once and throw the blocks
+        # away; pinning them makes the count metadata-only and the
+        # shuffle below reuses the same blocks — one execution total
+        ds = ds.materialize()
         n_rows = ds.count()
         num_shards = max(4, cpus, math.ceil(n_rows / max(1, target_shard_rows)))
 

@@ -456,3 +456,76 @@ def test_bloom_partition_pruning(ray_session, tmp_path):
     got = dec.to_pandas()
     got = got[got["lang"] == "fr"]
     assert len(got) == 300 and set(got["doc_id"]) == set(range(600, 900))
+
+
+def test_combinable_udaf_distinct_routes_holistic(ray_session):
+    """distinct=True on a CombinableUDAF has no combinable plan — it
+    must dedupe before aggregating (holistic route), never feed raw
+    duplicates to partial()."""
+    import ray.data as rd
+
+    from supersonic_ray.stages.aggregates import (
+        AggSpec,
+        CombinableUDAF,
+        group_aggregate,
+    )
+
+    ssq = CombinableUDAF(
+        partial=lambda s: int((s.dropna().astype("int64") ** 2).sum()),
+        merge=lambda states: int(sum(int(x) for x in states)),
+        finalize=int,
+    )
+    t = pa.table({"k": ["a"] * 4, "v": [3, 3, 3, 4]})
+    out = group_aggregate(
+        rd.from_arrow(t).repartition(2),
+        ["k"],
+        [AggSpec("ssq", "v", "ssq", udaf=ssq, distinct=True)],
+    ).to_pandas()
+    assert out["ssq"].tolist() == [25]  # 9 + 16, duplicates dropped
+
+
+def test_combinable_udaf_tuple_states(ray_session):
+    """Tuple states (the documented contract) must survive both the
+    grouped and the scalar paths."""
+    import ray.data as rd
+
+    from supersonic_ray.stages.aggregates import (
+        AggSpec,
+        CombinableUDAF,
+        group_aggregate,
+        scalar_aggregate,
+    )
+
+    mean2 = CombinableUDAF(
+        partial=lambda s: (float(s.dropna().sum()), int(s.notna().sum())),
+        merge=lambda states: (
+            sum(a for a, _ in states),
+            sum(b for _, b in states),
+        ),
+        finalize=lambda t: round(t[0] / t[1], 6) if t[1] else None,
+    )
+    t = pa.table({"k": ["a", "a", "b"], "v": [1.0, 2.0, 5.0]})
+    g = group_aggregate(
+        rd.from_arrow(t).repartition(2), ["k"], [AggSpec("m2", "v", "m2", udaf=mean2)]
+    ).to_pandas().sort_values("k")
+    assert g["m2"].tolist() == [1.5, 5.0]
+    s = scalar_aggregate(
+        rd.from_arrow(t).repartition(2), [AggSpec("m2", "v", "m2", udaf=mean2)]
+    )
+    assert abs(s.column("m2")[0].as_py() - 8.0 / 3) < 1e-6
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: markers may be preceded by 0xFF fill bytes — a
+    conformant stream with padding must still decode."""
+    import numpy as np
+
+    from supersonic_ray.codecs.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((9, 11), 77, dtype=np.uint8)
+    blob = encode_jpeg(img)
+    # inject a fill byte before the DQT marker
+    i = blob.find(b"\xff\xdb")
+    padded = blob[:i] + b"\xff" + blob[i:]
+    w, h, c, px = decode_jpeg(padded)
+    assert (w, h, c) == (11, 9, 1) and (np.round(px * 255) == 77).all()
