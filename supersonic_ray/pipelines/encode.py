@@ -157,6 +157,8 @@ def encode_table_to_blob(
     chunk_rows: int = CHUNK_ROWS,
     plans: dict[str, tuple[Any, int]] | None = None,
 ) -> tuple[bytes, dict[str, dict[str, Any]]]:
+    import pyarrow.compute as pc
+
     if plans is None:
         plans = resolve_column_plans(table)
     schema_bytes = table.schema.serialize().to_pybytes()
@@ -176,6 +178,19 @@ def encode_table_to_blob(
         }
         for name in table.column_names
     }
+    # per-CHUNK zone maps (numeric/temporal columns): the intra-partition
+    # analog of parquet row-group stats — decode skips non-overlapping
+    # chunks without decompressing them (PartitionDecoder chunk mask)
+    chunkable = {
+        name
+        for name in table.column_names
+        if pa.types.is_integer(table.schema.field(name).type)
+        or pa.types.is_floating(table.schema.field(name).type)
+        or pa.types.is_timestamp(table.schema.field(name).type)
+        or pa.types.is_date(table.schema.field(name).type)
+    }
+    for name in chunkable:
+        col_metrics[name]["chunk_zones"] = []
     for start in range(0, table.num_rows, chunk_rows):
         chunk = table.slice(start, chunk_rows)
         out.write(struct.pack("<I", chunk.num_rows))
@@ -187,14 +202,27 @@ def encode_table_to_blob(
             out.write(blob)
             col_metrics[name]["bytes_in"] += col.nbytes
             col_metrics[name]["bytes_out"] += len(blob)
+            if name in chunkable:
+                zc = col if not (pa.types.is_timestamp(col.type) or pa.types.is_date(col.type)) else col.cast(pa.int64())
+                mm = pc.min_max(zc).as_py()
+                col_metrics[name]["chunk_zones"].append(
+                    None if mm["min"] is None else [mm["min"], mm["max"]]
+                )
     return out.getvalue(), col_metrics
 
 
-def decode_blob(data: bytes, columns: list[str] | None = None) -> pa.Table:
+def decode_blob(
+    data: bytes,
+    columns: list[str] | None = None,
+    chunk_mask: list[bool] | None = None,
+) -> pa.Table:
     """Decode an RSB partition; with ``columns``, only those columns are
     DECODED — unrequested column blobs are skipped via their length
     prefixes (no decompression, no kernel work), the storage-side
-    equivalent of parquet column pruning."""
+    equivalent of parquet column pruning.  ``chunk_mask`` (one bool per
+    chunk) skips whole CHUNKS the same zero-decompression way — the
+    intra-partition analog of parquet row-group pruning, driven by the
+    manifests' per-chunk zone maps."""
     from supersonic_ray.codecs import decode_array
 
     assert data[:4] == MAGIC, "not an RSB file"
@@ -213,17 +241,19 @@ def decode_blob(data: bytes, columns: list[str] | None = None) -> pa.Table:
     (n_chunks,) = struct.unpack_from("<I", data, pos)
     pos += 4
     tables = []
-    for _ in range(n_chunks):
+    for ci in range(n_chunks):
         (n_rows,) = struct.unpack_from("<I", data, pos)
         pos += 4
+        want_chunk = chunk_mask is None or (ci < len(chunk_mask) and chunk_mask[ci])
         cols = {}
         for field in schema:
             (blen,) = struct.unpack_from("<I", data, pos)
             pos += 4
-            if columns is None or field.name in columns:
+            if want_chunk and (columns is None or field.name in columns):
                 cols[field.name] = decode_array(data[pos : pos + blen], field.type)
             pos += blen
-        tables.append(pa.table({c: cols[c] for c in out_schema.names}, schema=out_schema))
+        if want_chunk:
+            tables.append(pa.table({c: cols[c] for c in out_schema.names}, schema=out_schema))
     return pa.concat_tables(tables) if tables else out_schema.empty_table()
 
 
@@ -567,13 +597,49 @@ class PartitionDecoder:
     (~1-2 s at 32 actors).  Kept as a callable class so callers can
     still bind column pruning once."""
 
-    def __init__(self, columns: list[str] | None = None):
+    def __init__(
+        self,
+        columns: list[str] | None = None,
+        ranges: dict[str, tuple] | None = None,
+    ):
         self.columns = columns
+        self.ranges = ranges
+
+    def _chunk_mask(self, path: str) -> list[bool] | None:
+        """Per-chunk zone-map mask from the partition's manifest — the
+        intra-partition prune (partition-level pruning already ran on
+        the driver; this skips CHUNKS inside survivors)."""
+        if not self.ranges:
+            return None
+        import json
+
+        mpath = path[: -len(".rsb")] + ".manifest.json"
+        try:
+            with open(mpath) as f:
+                cols = json.load(f).get("columns", {})
+        except OSError:
+            return None
+        mask: list[bool] | None = None
+        for col, (lo, hi) in self.ranges.items():
+            zones = cols.get(col, {}).get("chunk_zones")
+            if not zones:
+                continue
+            if mask is None:
+                mask = [True] * len(zones)
+            for i, z in enumerate(zones):
+                if z is None:
+                    continue  # no stats (all-NULL/empty chunk): keep —
+                    # same conservative contract as partition pruning
+                vmin, vmax = z
+                if (hi is not None and vmin > hi) or (lo is not None and vmax < lo):
+                    mask[i] = False
+        return mask
 
     def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
         for path in batch.column("path").to_pylist():
+            mask = self._chunk_mask(path)
             with open(path, "rb") as f:
-                yield decode_blob(f.read(), columns=self.columns)
+                yield decode_blob(f.read(), columns=self.columns, chunk_mask=mask)
 
 
 def _partition_overlaps(
@@ -653,7 +719,7 @@ def decode_partitions(
     # map_batches then schedules one decode task per file across all
     # CPUs (from_items packs items into few blocks otherwise)
     ds = rd.from_items([{"path": p} for p in paths]).repartition(max(1, len(paths)))
-    decoder = PartitionDecoder(columns=columns)
+    decoder = PartitionDecoder(columns=columns, ranges=ranges)
     kwargs = {} if concurrency is None else {"concurrency": concurrency}
     return ds.map_batches(
         decoder,

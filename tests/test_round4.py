@@ -529,3 +529,39 @@ def test_jpeg_fill_bytes_before_markers():
     padded = blob[:i] + b"\xff" + blob[i:]
     w, h, c, px = decode_jpeg(padded)
     assert (w, h, c) == (11, 9, 1) and (np.round(px * 255) == 77).all()
+
+
+def test_chunk_level_zone_pruning(ray_session, tmp_path):
+    """Per-chunk zone maps: a range scan inside one partition must skip
+    non-overlapping CHUNKS (decoded rows < partition rows) while
+    returning a superset of the exact matches."""
+    import ray.data as rd
+
+    from supersonic_ray.pipelines import decode_partitions, encode_dataset
+    from supersonic_ray.pipelines.encode import decode_blob
+
+    # one partition of 4096 sorted rows -> 4 chunks of 1024
+    t = pa.table({"k": list(range(4096)), "v": [float(i) for i in range(4096)]})
+    out_dir = str(tmp_path / "enc")
+    encode_dataset(
+        rd.from_arrow(t).repartition(1), out_dir, batch_size=4096, chunk_rows=1024,
+        concurrency=2,
+    ).materialize()
+
+    # range hits only chunk 2 (rows 2048..3071)
+    dec = decode_partitions(out_dir, concurrency=2, ranges={"k": (2100, 2200)})
+    got = dec.to_pandas()
+    assert len(got) == 1024, f"expected 1 chunk decoded, got {len(got)} rows"
+    assert set(range(2100, 2201)) <= set(got["k"])
+
+    # unmasked decode still returns everything (superset contract)
+    full = decode_partitions(out_dir, concurrency=2).to_pandas()
+    assert len(full) == 4096
+
+    # direct decode_blob mask semantics
+    import glob
+
+    path = glob.glob(f"{out_dir}/*.rsb")[0]
+    blob = open(path, "rb").read()
+    assert decode_blob(blob, chunk_mask=[True, False, False, False]).num_rows == 1024
+    assert decode_blob(blob, chunk_mask=[False] * 4).num_rows == 0
