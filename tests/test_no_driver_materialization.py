@@ -17,7 +17,7 @@ LIB = Path(__file__).resolve().parent.parent / "supersonic_ray"
 
 # file → audited number of driver/worker collect call sites
 AUDITED = {
-    "stages/aggregates.py": 12,  # per-batch worker conversions (2: clusters run-partial, mixed null-key probe take_all; group partial + distinct-pair dedup are pure Arrow now), 1-row/batch partial collect, distinct-sum 1-row/block combine, scalar arg-extreme 1-row/batch partials (round-4, replaced the limit(1) take_all sort), scalar CombinableUDAF 1-state/batch collect (round-4), GUARDED limit(SCALAR_COLLECT_LIMIT) holistic fallback, limit(K) heads x2 (sort-order + arrival-order), 1-row overflow, combinable partial per-batch pandas groupby (worker-side)
+    "stages/aggregates.py": 11,  # per-batch worker conversions (2: clusters run-partial, mixed null-key probe take_all; group partial + distinct-pair dedup are pure Arrow now), 1-row/batch partial collect, distinct-sum 1-row/block combine, scalar arg-extreme 1-row/batch partials (round-4, replaced the limit(1) take_all sort), scalar CombinableUDAF 1-state/batch collect (round-4), GUARDED limit(SCALAR_COLLECT_LIMIT) holistic fallback, limit(K) heads x2 (sort-order + arrival-order), 1-row overflow, combinable partial per-batch pandas groupby (worker-side; the inner per-column to_pandas was folded into batch_format="pandas" in the round-4 review fixes)
     "stages/joins.py": 7,  # asof broadcast RHS build (once/actor), asof per-batch Arrow take, rowid gather, indexed-broadcast gather x2, range-join per-batch take + band-boundary take (all worker-side Arrow takes; hash-join + asof probes are Arrow-native)
     "stages/skew.py": 1,  # sampled hot-key histogram (bounded by sample)
     "stages/vectors.py": 2,  # IVF training sample (limit N), dim probe take(1)
