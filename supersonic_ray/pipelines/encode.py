@@ -260,10 +260,33 @@ def decode_blob(
 # ------------------------------------------------- shard-planned encode
 
 
-def plan_shards(parquet_path: str, target_rows: int = 4 * CHUNK_ROWS) -> list[dict[str, Any]]:
+# byte budget per encode shard, measured on UNCOMPRESSED row-group
+# metadata (RowGroupMetaData.total_byte_size) — this is what actually
+# bounds the encoder actor's heap, not the row count.  A row group
+# whose own size exceeds 2x the budget is skew (the north-star "giant
+# html blobs" case) and is split into row slices rather than handed to
+# one actor whole.
+SHARD_TARGET_BYTES = 512 << 20
+
+
+def plan_shards(
+    parquet_path: str,
+    target_rows: int = 4 * CHUNK_ROWS,
+    target_bytes: int = SHARD_TARGET_BYTES,
+) -> list[dict[str, Any]]:
     """Shard plan from parquet METADATA only (never reads data on the
     driver).  Shards align to row-group boundaries; part ids are the
-    shard ordinal, stable across runs of the same input."""
+    shard ordinal, stable across runs of the same input.
+
+    Skew handling (north star: "skewed partitions (giant html blobs)
+    ... detected and split before encode"): a shard closes when EITHER
+    its row count reaches ``target_rows`` or its metadata byte estimate
+    reaches ``target_bytes``, so byte-heavy row groups are never merged
+    with neighbours; a single row group heavier than ``2 * target_bytes``
+    becomes ceil(bytes/target_bytes) row-slice shards of its own, each
+    carrying ``row_slice=[offset, n]`` within that group.  Reference
+    analog: BufferAllocator's bounded-block contract (memory.h:100-465)
+    applied at plan time instead of failing at run time."""
     paths: list[str]
     if os.path.isdir(parquet_path):
         paths = sorted(
@@ -275,34 +298,99 @@ def plan_shards(parquet_path: str, target_rows: int = 4 * CHUNK_ROWS) -> list[di
         paths = [parquet_path]
     shards: list[dict[str, Any]] = []
     ordinal = 0
+
+    def emit(path: str, group: list[int], rows: int, nbytes: int, row_slice=None) -> None:
+        nonlocal ordinal
+        shards.append(
+            {
+                "part_id": f"{ordinal:06d}",
+                "path": path,
+                "row_groups": list(group),
+                "n_rows": rows,
+                "n_bytes": nbytes,
+                "row_slice": row_slice,
+            }
+        )
+        ordinal += 1
+
     for path in paths:
         meta = pq.read_metadata(path)
         group: list[int] = []
         group_rows = 0
+        group_bytes = 0
         for rg in range(meta.num_row_groups):
+            rg_meta = meta.row_group(rg)
+            rg_rows = rg_meta.num_rows
+            rg_bytes = rg_meta.total_byte_size
+            if rg_bytes > 2 * target_bytes and rg_rows > 1:
+                # skewed row group: flush the running group, then slice
+                if group:
+                    emit(path, group, group_rows, group_bytes)
+                    group, group_rows, group_bytes = [], 0, 0
+                n_slices = min(rg_rows, -(-rg_bytes // target_bytes))
+                base_rows, extra = divmod(rg_rows, n_slices)
+                offset = 0
+                for s in range(n_slices):
+                    take = base_rows + (1 if s < extra else 0)
+                    emit(
+                        path,
+                        [rg],
+                        take,
+                        rg_bytes * take // rg_rows,
+                        row_slice=[offset, take],
+                    )
+                    offset += take
+                continue
             group.append(rg)
-            group_rows += meta.row_group(rg).num_rows
-            if group_rows >= target_rows:
-                shards.append(
-                    {
-                        "part_id": f"{ordinal:06d}",
-                        "path": path,
-                        "row_groups": list(group),
-                        "n_rows": group_rows,
-                    }
-                )
-                ordinal += 1
-                group, group_rows = [], 0
+            group_rows += rg_rows
+            group_bytes += rg_bytes
+            if group_rows >= target_rows or group_bytes >= target_bytes:
+                emit(path, group, group_rows, group_bytes)
+                group, group_rows, group_bytes = [], 0, 0
         if group:
-            shards.append(
-                {"part_id": f"{ordinal:06d}", "path": path, "row_groups": list(group), "n_rows": group_rows}
-            )
-            ordinal += 1
+            emit(path, group, group_rows, group_bytes)
     return shards
 
 
 def shard_content_hash(shard: dict[str, Any]) -> str:
+    # row_slice participates only when set, so shards the legacy
+    # row-count planner would also have produced keep their resume
+    # hashes across the planner upgrade
+    sl = shard.get("row_slice")
+    if sl is not None:
+        sl = list(sl)
+        return content_hash(
+            os.path.basename(str(shard["path"])), shard["row_groups"], shard["n_rows"], sl
+        )
     return content_hash(os.path.basename(str(shard["path"])), shard["row_groups"], shard["n_rows"])
+
+
+def read_shard_table(pf: pq.ParquetFile, shard: dict[str, Any]) -> pa.Table:
+    """Read a shard's rows.  Whole-row-group shards use the direct read;
+    row-slice shards stream ``iter_batches`` over the single group and
+    keep only their [offset, offset+n) window, so the materialized table
+    is slice-sized (parquet's decode floor remains one column CHUNK —
+    documented, unavoidable without rewriting the input)."""
+    rgs = [int(r) for r in shard["row_groups"]]
+    sl = shard.get("row_slice")
+    if sl is None:
+        return pf.read_row_groups(rgs)
+    start, n = int(sl[0]), int(sl[1])
+    got = 0
+    seen = 0
+    batches: list[pa.RecordBatch] = []
+    for b in pf.iter_batches(batch_size=CHUNK_ROWS, row_groups=rgs):
+        if got >= n:
+            break
+        lo = start - seen
+        seen += b.num_rows
+        if lo >= b.num_rows:
+            continue
+        lo = max(lo, 0)
+        take = min(b.num_rows - lo, n - got)
+        batches.append(b.slice(lo, take))
+        got += take
+    return pa.Table.from_batches(batches, schema=pf.schema_arrow)
 
 
 class ShardEncoder:
@@ -364,7 +452,7 @@ class ShardEncoder:
                 "codecs": ",".join(f"{k}={v['codec']}" for k, v in m.columns.items()),
             }
         pf = pq.ParquetFile(shard["path"])
-        table = pf.read_row_groups(shard["row_groups"])
+        table = read_shard_table(pf, shard)
         self._quota.reset()  # quota is per shard, not per actor lifetime
         self._quota.charge_table(table)
         # per-shard resolution when no global plans were shipped — never
@@ -385,6 +473,7 @@ class ShardEncoder:
             lineage={
                 "input_path": shard["path"],
                 "row_groups": shard["row_groups"],
+                "row_slice": shard.get("row_slice"),
                 "engine": "ray-sonic-0.1",
             },
         )
@@ -409,6 +498,7 @@ def encode_parquet(
     overrides: dict | None = None,
     plan_scope: str = "global",
     quota_bytes: int | None = 4 << 30,
+    target_bytes: int = SHARD_TARGET_BYTES,
 ):
     """Shard-planned encode: returns the (lazy) Dataset of per-partition
     metrics rows; consume it (e.g. ``.to_pandas()``) to run the job.
@@ -424,7 +514,7 @@ def encode_parquet(
     """
     import ray.data as rd
 
-    shards = plan_shards(input_path, target_rows)
+    shards = plan_shards(input_path, target_rows, target_bytes)
     ds = rd.from_items(shards)
     if concurrency is None:
         import ray
@@ -432,9 +522,11 @@ def encode_parquet(
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
     plans = None
     if plan_scope == "global" and shards:
-        sample = pq.ParquetFile(shards[0]["path"]).read_row_groups(
-            shards[0]["row_groups"][:1]
-        )
+        s0 = dict(shards[0])
+        s0["row_groups"] = s0["row_groups"][:1]
+        if s0.get("row_slice") is not None:
+            s0["row_slice"] = [s0["row_slice"][0], min(s0["row_slice"][1], 4 * CHUNK_ROWS)]
+        sample = read_shard_table(pq.ParquetFile(s0["path"]), s0)
         plans = resolve_column_plans(sample, overrides)
     return ds.map_batches(
         ShardEncoder,

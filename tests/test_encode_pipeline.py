@@ -223,3 +223,110 @@ def test_zonemap_pruning_skips_partitions(ray_session, tmp_path):
     assert len(rows) == 1000 and rows.v.sum() == sum(range(2500, 3500))
     # disjoint range → zero partitions, empty scan
     assert pruned_partition_paths(out, {"k": (50000, 60000)}) == []
+
+
+# ------------------------- byte-aware / skew-splitting shard planning
+
+
+@pytest.fixture(scope="module")
+def skewed_parquet(tmp_path_factory):
+    """5 row groups; the middle one carries giant html blobs (~26 MB
+    uncompressed) — the north-star "giant html blobs" skew case."""
+    path = str(tmp_path_factory.mktemp("skewinput") / "skewed.parquet")
+    small = generate_webpages(1200)
+    giant = generate_webpages(400, start_row=5000)
+    n = giant.num_rows
+    html_i = giant.schema.get_field_index("html")
+    url_i = giant.schema.get_field_index("url")
+    big_html = pa.array(
+        [b"<giant>" + bytes([i % 251]) * (64 * 1024) for i in range(n)],
+        type=giant.schema.field("html").type,
+    )
+    giant = giant.set_column(html_i, giant.schema.field("html"), big_html)
+    giant = giant.set_column(
+        url_i,
+        giant.schema.field("url"),
+        pa.array([f"https://giant.example/{i}" for i in range(n)], type=pa.string()),
+    )
+    with pq.ParquetWriter(path, small.schema) as w:
+        w.write_table(small.slice(0, 600), row_group_size=300)
+        w.write_table(giant, row_group_size=400)
+        w.write_table(small.slice(600, 600), row_group_size=300)
+    full = pa.concat_tables([small.slice(0, 600), giant, small.slice(600, 600)])
+    return path, full
+
+
+def test_plan_shards_splits_giant_row_group(skewed_parquet):
+    from supersonic_ray.pipelines.encode import plan_shards
+
+    path, t = skewed_parquet
+    target_bytes = 4 << 20
+    shards = plan_shards(path, target_rows=1000, target_bytes=target_bytes)
+    assert sum(s["n_rows"] for s in shards) == t.num_rows
+    slices = [s for s in shards if s.get("row_slice") is not None]
+    whole = [s for s in shards if s.get("row_slice") is None]
+    # the giant group (rg index 2) was split into multiple slice shards
+    assert len(slices) >= 2
+    assert all(s["row_groups"] == [2] for s in slices)
+    # slices tile the group exactly: offsets are contiguous from 0
+    slices.sort(key=lambda s: s["row_slice"][0])
+    off = 0
+    for s in slices:
+        assert s["row_slice"][0] == off
+        off += s["row_slice"][1]
+    assert off == 400
+    # no whole-group shard contains the giant group, and each slice
+    # shard's byte estimate respects the budget (within one row)
+    assert all(2 not in s["row_groups"] for s in whole)
+    assert all(s["n_bytes"] <= target_bytes + 70 * 1024 for s in slices)
+    # part ids remain the stable ordinal sequence
+    assert [s["part_id"] for s in shards] == [f"{i:06d}" for i in range(len(shards))]
+
+
+def test_plan_shards_legacy_geometry_unchanged(webpages_parquet):
+    """With the default (large) byte budget, small inputs plan exactly as
+    the row-count-only planner did — same groups, same resume hashes."""
+    from supersonic_ray.pipelines.encode import plan_shards
+
+    path, _ = webpages_parquet
+    shards = plan_shards(path, target_rows=1000)
+    assert len(shards) == 4
+    assert all(s.get("row_slice") is None for s in shards)
+    from supersonic_ray.state import content_hash
+
+    for s in shards:
+        legacy = content_hash(os.path.basename(path), s["row_groups"], s["n_rows"])
+        assert shard_content_hash(s) == legacy
+
+
+def test_read_shard_table_slices_match_direct_read(skewed_parquet):
+    from supersonic_ray.pipelines.encode import plan_shards, read_shard_table
+
+    path, _ = skewed_parquet
+    shards = plan_shards(path, target_rows=1000, target_bytes=4 << 20)
+    pf = pq.ParquetFile(path)
+    whole_group = pf.read_row_groups([2])
+    for s in shards:
+        if s.get("row_slice") is None:
+            continue
+        start, n = s["row_slice"]
+        got = read_shard_table(pf, s)
+        assert got.equals(whole_group.slice(start, n))
+
+
+def test_skewed_encode_decode_bit_identical(ray_session, skewed_parquet, tmp_path):
+    path, t = skewed_parquet
+    out_dir = str(tmp_path / "enc")
+    metrics = encode_parquet(
+        path, out_dir, target_rows=1000, target_bytes=4 << 20, concurrency=2
+    ).to_pandas()
+    assert metrics["n_rows"].sum() == t.num_rows
+    decoded = decode_partitions(out_dir).take_all()
+    dt = pa.Table.from_pylist(decoded, schema=t.schema)
+    assert _sorted_by_url(dt).equals(_sorted_by_url(t))
+    # slice shards resume independently: distinct content hashes per slice
+    from supersonic_ray.pipelines.encode import plan_shards
+
+    shards = plan_shards(path, target_rows=1000, target_bytes=4 << 20)
+    hashes = {shard_content_hash(s) for s in shards}
+    assert len(hashes) == len(shards)
