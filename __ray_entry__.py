@@ -799,6 +799,47 @@ def image_decode_png(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def video_frame_sample(sf_dir: str):
+    """REAL video frame sampling end-to-end (round-4): per document an
+    MJPEG stream (back-to-back baseline JPEGs — the payload of webcam
+    streams / AVI 'MJPG' tracks) is synthesized from table formulas,
+    shipped as one binary column, and the actor-pool FrameSampler
+    demuxes it structure-aware (codecs/jpeg.split_mjpeg), keeps every
+    2nd frame, and fully decodes ONLY the kept frames.  The oracle
+    recomputes the sampled frame set and each kept frame's exact gray
+    level (constant blocks decode exactly under the unit quant table)
+    via UNNEST(range(...)).  Demux-cheap / decode-what-you-keep is the
+    production sampler pattern; H.264 stays a documented plug point."""
+    import numpy as np
+
+    from supersonic_ray.codecs.jpeg import encode_jpeg
+    from supersonic_ray.stages.multimodal import sample_frames
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def to_mjpeg(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        ncs = batch.column("n_chars").to_pylist()
+        blobs = []
+        for i, nc in zip(ids, ncs):
+            i, nc = int(i), int(nc or 0)
+            w, h = 5 + i % 27, 3 + i % 14
+            blobs.append(
+                b"".join(
+                    encode_jpeg(np.full((h, w), (nc + 7 * f) % 256, dtype=np.uint8))
+                    for f in range(2 + i % 5)
+                )
+            )
+        return pa.table(
+            {"media_id": pa.array(ids, pa.int64()), "blob": pa.array(blobs, pa.binary())}
+        )
+
+    ds = ds.map_batches(to_mjpeg, batch_format="pyarrow")
+    out = sample_frames(ds, every_n=2, batch_size=64, demuxer="mjpeg").to_pandas()
+    out = out[["media_id", "frame_id", "n_frames", "width", "height", "gray"]]
+    return out.sort_values(["media_id", "frame_id"]).reset_index(drop=True)
+
+
 def range_join_parts(sf_dir: str):
     """Range (interval) join: parts banded by retail price through the
     ADAPTIVE planner (range_join_auto) — broadcasts the counted-small
@@ -1805,9 +1846,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- ordering / limits / set ops / sampling (sort_multikey +
         # -- merge_union moved below the boundary — green at r02,
         # -- untouched — to make window room for the two new flagships)
+        # -- limit_offset_orders rotated down (green r02+r03; ops.py
+        # -- limit path untouched this round) to make window room for
+        # -- the new video_frame_sample flagship
         "sort_nulls_first": sort_nulls_first,
         "topk_orders": topk_orders,
-        "limit_offset_orders": limit_offset_orders,
         "sample_by_hash": sample_by_hash,
         # -- training-data assembly (round-3 flagships)
         "pack_sequences_docs": pack_sequences_docs,
@@ -1825,6 +1868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode_bmp": image_decode_bmp,
         "image_decode_jpeg": image_decode_jpeg,
         "image_decode_png": image_decode_png,
+        "video_frame_sample": video_frame_sample,
         "group_with_limit_arrival": group_with_limit_arrival,
         "line_dedup_docs": line_dedup_docs,
         # -- round-3 flagships that had no hard driver row yet (rotated
@@ -1837,6 +1881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- expr_is_normal / expr_date_local / expr_cast_parse /
         # ---- expr_fingerprint rotated down (green r03, pure expression
         # ---- paths, frozen this round)
+        "limit_offset_orders": limit_offset_orders,
         "expr_hyperbolic": expr_hyperbolic,
         "expr_is_normal": expr_is_normal,
         "expr_date_local": expr_date_local,
@@ -2468,6 +2513,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS INT) AS channels,
                    CAST(n_chars % 256 AS BIGINT) AS gray
             FROM documents ORDER BY media_id
+        """,
+        "video_frame_sample": """
+            SELECT d.doc_id AS media_id,
+                   CAST(f AS INT) AS frame_id,
+                   CAST(2 + d.doc_id % 5 AS INT) AS n_frames,
+                   CAST(5 + d.doc_id % 27 AS INT) AS width,
+                   CAST(3 + d.doc_id % 14 AS INT) AS height,
+                   CAST((d.n_chars + 7 * f) % 256 AS INT) AS gray
+            FROM documents d, UNNEST(range(0, 2 + d.doc_id % 5, 2)) AS t(f)
+            ORDER BY media_id, frame_id
         """,
         "image_decode_png": """
             SELECT doc_id AS media_id,

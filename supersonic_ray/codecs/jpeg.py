@@ -465,3 +465,88 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError(f"{ncomp}-component JPEG unsupported")
     px = np.clip(np.round(px), 0, 255)
     return w, h, ncomp, (px / 255.0).astype(np.float32)
+
+
+# ------------------------------------------------------- MJPEG demux
+
+def _entropy_end(blob: bytes, pos: int) -> int:
+    """Scan entropy-coded data starting at ``pos``; return the index of
+    the 0xFF that begins the next REAL marker.  Structure-aware (T.81
+    B.1.1.5): 0xFF00 is a stuffed literal, 0xFFD0-D7 are restart
+    markers, 0xFFFF is a fill byte — none of them end the scan, so a
+    byte-blind ``find(b'\\xff\\xd9')`` false-positive is impossible."""
+    n = len(blob)
+    while True:
+        i = blob.find(b"\xff", pos)
+        if i < 0 or i + 1 >= n:
+            return n
+        m = blob[i + 1]
+        if m == 0x00 or 0xD0 <= m <= 0xD7:
+            pos = i + 2
+        elif m == 0xFF:  # fill byte; the next byte may be the marker
+            pos = i + 1
+        else:
+            return i
+
+
+def jpeg_dimensions(blob: bytes) -> tuple[int, int, int]:
+    """Cheap metadata path: parse headers only (no entropy decode) →
+    (width, height, channels) from the SOF segment.  This is what a
+    frame sampler uses for the frames it SKIPS."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    n = len(blob)
+    while pos + 1 < n:
+        if blob[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        while blob[pos + 1] == 0xFF:
+            pos += 1
+        marker = blob[pos + 1]
+        pos += 2
+        if marker == 0xD9 or marker == 0xDA:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack_from(">H", blob, pos)
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            h, w = struct.unpack_from(">HH", blob, pos + 3)
+            return w, h, blob[pos + 7]
+        pos += seglen
+    raise ValueError("no SOF segment before scan data")
+
+
+def split_mjpeg(blob: bytes) -> list[bytes]:
+    """Demux an MJPEG stream (back-to-back JFIF images — the actual
+    payload of webcam streams and AVI/MOV 'mjpa' tracks) into one
+    bytes object per frame.  Marker-walk per frame: length-delimited
+    segments are skipped by their length field and entropy data is
+    skipped structure-aware (_entropy_end), so frame boundaries are
+    exact even when pixel data happens to contain FFD8/FFD9."""
+    frames: list[bytes] = []
+    pos, n = 0, len(blob)
+    while pos < n:
+        if blob[pos : pos + 2] != b"\xff\xd8":
+            raise ValueError(f"MJPEG: expected SOI at byte {pos}")
+        start = pos
+        p = pos + 2
+        while True:
+            if p + 1 >= n:
+                raise ValueError("MJPEG: truncated frame (no EOI)")
+            if blob[p] != 0xFF:
+                raise ValueError(f"MJPEG: expected marker at byte {p}")
+            while blob[p + 1] == 0xFF:  # fill bytes
+                p += 1
+            marker = blob[p + 1]
+            p += 2
+            if marker == 0xD9:  # EOI — frame complete
+                frames.append(blob[start:p])
+                pos = p
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                continue
+            (seglen,) = struct.unpack_from(">H", blob, p)
+            p += seglen
+            if marker == 0xDA:  # SOS: entropy data follows the header
+                p = _entropy_end(blob, p)
+    return frames

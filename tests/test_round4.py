@@ -565,3 +565,87 @@ def test_chunk_level_zone_pruning(ray_session, tmp_path):
     blob = open(path, "rb").read()
     assert decode_blob(blob, chunk_mask=[True, False, False, False]).num_rows == 1024
     assert decode_blob(blob, chunk_mask=[False] * 4).num_rows == 0
+
+
+# ----------------------------------------------------- MJPEG demux + sampler
+
+
+def test_split_mjpeg_exact_boundaries():
+    import numpy as np
+
+    from supersonic_ray.codecs.jpeg import encode_jpeg, jpeg_dimensions, split_mjpeg
+
+    frames = [
+        encode_jpeg(np.full((3 + i % 4, 6 + i % 5), (i * 41) % 256, dtype=np.uint8))
+        for i in range(7)
+    ]
+    out = split_mjpeg(b"".join(frames))
+    assert [bytes(f) for f in out] == frames
+    w, h, c = jpeg_dimensions(out[2])
+    assert (w, h, c) == (8, 5, 1)
+
+
+def test_split_mjpeg_restart_markers_in_entropy():
+    """Entropy data containing RSTn (0xFFD0-D7) markers must not be
+    mistaken for frame boundaries — the demuxer walks structure, it
+    does not grep for FFD9."""
+    import numpy as np
+
+    from supersonic_ray.codecs.jpeg import decode_jpeg, encode_jpeg, split_mjpeg
+
+    rng = np.random.default_rng(7)
+    noisy = (rng.integers(0, 256, size=(24, 32))).astype(np.uint8)
+    a = encode_jpeg(noisy, restart_interval=1)
+    assert any(a[i] == 0xFF and 0xD0 <= a[i + 1] <= 0xD7 for i in range(2, len(a) - 3))
+    b = encode_jpeg(np.full((8, 8), 77, dtype=np.uint8))
+    out = split_mjpeg(a + b + a)
+    assert [len(f) for f in out] == [len(a), len(b), len(a)]
+    for f, ref in zip(out, [a, b, a]):
+        assert decode_jpeg(f)[:3] == decode_jpeg(ref)[:3]
+
+
+def test_split_mjpeg_truncated_raises():
+    import numpy as np
+    import pytest
+
+    from supersonic_ray.codecs.jpeg import encode_jpeg, split_mjpeg
+
+    blob = encode_jpeg(np.full((8, 8), 10, dtype=np.uint8))
+    with pytest.raises(ValueError):
+        split_mjpeg(blob[:-2])  # EOI chopped off
+    with pytest.raises(ValueError):
+        split_mjpeg(b"\x00\x01" + blob)  # garbage before SOI
+
+
+def test_frame_sampler_mjpeg(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from supersonic_ray.codecs.jpeg import encode_jpeg
+    from supersonic_ray.stages.multimodal import sample_frames
+
+    def mjpeg(n, w, h, base):
+        return b"".join(
+            encode_jpeg(np.full((h, w), (base + 7 * f) % 256, dtype=np.uint8))
+            for f in range(n)
+        )
+
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3], pa.int64()),
+            "blob": pa.array([mjpeg(5, 9, 6, 40), mjpeg(1, 4, 3, 200), None], pa.binary()),
+        }
+    )
+    out = (
+        sample_frames(rd.from_arrow(t), every_n=2, demuxer="mjpeg", concurrency=2)
+        .to_pandas()
+        .sort_values(["media_id", "frame_id"])
+        .reset_index(drop=True)
+    )
+    # media 1: frames 0,2,4 of 5; media 2: frame 0 of 1; media 3 (null) dropped
+    assert out["media_id"].tolist() == [1, 1, 1, 2]
+    assert out["frame_id"].tolist() == [0, 2, 4, 0]
+    assert out["n_frames"].tolist() == [5, 5, 5, 1]
+    assert out["width"].tolist() == [9, 9, 9, 4]
+    assert out["height"].tolist() == [6, 6, 6, 3]
+    assert out["gray"].tolist() == [40, 54, 68, 200]
