@@ -840,6 +840,38 @@ def video_frame_sample(sf_dir: str):
     return out.sort_values(["media_id", "frame_id"]).reset_index(drop=True)
 
 
+def audio_decode_g711(sf_dir: str):
+    """REAL compressed-audio decode end-to-end (round-4): per document a
+    G.711 mu-law WAV (fmt tag 7 — telephony's standard codec) whose
+    ENCODED bytes come straight from table formulas, decoded by the
+    actor-pool AudioDecoder (vectorized ulaw_to_linear + own RIFF
+    parser; the stdlib wave module reads PCM only).  The oracle
+    replicates the published G.711 expansion — t = ((u%16)*8+132) <<
+    ((u//16)%8), sign via the top bit — in SQL over UNNEST(range(n)),
+    so first_sample and peak are verified bit-exactly."""
+    from supersonic_ray.stages.multimodal import decode_audio, make_wav
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def to_wav(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        ncs = batch.column("n_chars").to_pylist()
+        blobs = []
+        for i, nc in zip(ids, ncs):
+            i, nc = int(i), int(nc or 0)
+            n = 50 + i % 40
+            enc = bytes((nc + 13 * k) % 256 for k in range(n))
+            blobs.append(make_wav(7, 1, 8000, 8, 1, enc, n))
+        return pa.table(
+            {"media_id": pa.array(ids, pa.int64()), "blob": pa.array(blobs, pa.binary())}
+        )
+
+    ds = ds.map_batches(to_wav, batch_format="pyarrow")
+    out = decode_audio(ds, batch_size=64).to_pandas()
+    out = out[["media_id", "sample_rate", "n_frames", "codec", "first_sample", "peak"]]
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def range_join_parts(sf_dir: str):
     """Range (interval) join: parts banded by retail price through the
     ADAPTIVE planner (range_join_auto) — broadcasts the counted-small
@@ -1846,12 +1878,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- ordering / limits / set ops / sampling (sort_multikey +
         # -- merge_union moved below the boundary — green at r02,
         # -- untouched — to make window room for the two new flagships)
-        # -- limit_offset_orders rotated down (green r02+r03; ops.py
-        # -- limit path untouched this round) to make window room for
-        # -- the new video_frame_sample flagship
+        # -- limit_offset_orders + sample_by_hash rotated down (green
+        # -- r02+r03; ops.py limit/sampling paths untouched this round)
+        # -- to make window room for the new video_frame_sample +
+        # -- audio_decode_g711 flagships
         "sort_nulls_first": sort_nulls_first,
         "topk_orders": topk_orders,
-        "sample_by_hash": sample_by_hash,
         # -- training-data assembly (round-3 flagships)
         "pack_sequences_docs": pack_sequences_docs,
         "vocab_top_words_docs": vocab_top_words_docs,
@@ -1869,6 +1901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode_jpeg": image_decode_jpeg,
         "image_decode_png": image_decode_png,
         "video_frame_sample": video_frame_sample,
+        "audio_decode_g711": audio_decode_g711,
         "group_with_limit_arrival": group_with_limit_arrival,
         "line_dedup_docs": line_dedup_docs,
         # -- round-3 flagships that had no hard driver row yet (rotated
@@ -1882,6 +1915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- expr_fingerprint rotated down (green r03, pure expression
         # ---- paths, frozen this round)
         "limit_offset_orders": limit_offset_orders,
+        "sample_by_hash": sample_by_hash,
         "expr_hyperbolic": expr_hyperbolic,
         "expr_is_normal": expr_is_normal,
         "expr_date_local": expr_date_local,
@@ -2513,6 +2547,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS INT) AS channels,
                    CAST(n_chars % 256 AS BIGINT) AS gray
             FROM documents ORDER BY media_id
+        """,
+        "audio_decode_g711": """
+            WITH s AS (
+                SELECT d.doc_id,
+                       k,
+                       255 - ((d.n_chars + 13 * k) % 256) AS u
+                FROM documents d, UNNEST(range(0, 50 + d.doc_id % 40)) AS t(k)
+            ), dec AS (
+                SELECT doc_id, k,
+                       CASE WHEN u >= 128
+                            THEN 132 - (((u % 16) * 8 + 132) << ((u // 16) % 8))
+                            ELSE (((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132
+                       END AS sample
+                FROM s
+            )
+            SELECT doc_id AS media_id,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CAST(50 + doc_id % 40 AS BIGINT) AS n_frames,
+                   'ulaw' AS codec,
+                   CAST(MAX(CASE WHEN k = 0 THEN sample END) AS INT) AS first_sample,
+                   CAST(MAX(ABS(sample)) AS INT) AS peak
+            FROM dec GROUP BY doc_id ORDER BY media_id
         """,
         "video_frame_sample": """
             SELECT d.doc_id AS media_id,

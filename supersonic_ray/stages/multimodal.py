@@ -5,12 +5,16 @@ are actor-pool map_batches.  REAL decoders are built in for the formats
 parseable without external libraries — BMP (24/32-bit uncompressed) and
 PPM/P6 images via struct+numpy, baseline JPEG via the pure-numpy JFIF
 codec (codecs/jpeg.py: Huffman + dequant + IDCT; ``decoder="jpeg"``),
-WAV audio via the stdlib ``wave`` module — while remaining compressed
-formats document their plug point: ``decoder="pil"`` raises
+lossless PNG via codecs/png.py, WAV audio with REAL compressed-codec
+support (PCM 8/16-bit, G.711 mu-law/A-law, IMA ADPCM — own RIFF parser
++ vectorized expanders, ``decode_wav_any``), and MJPEG video demux +
+every-Nth frame decode (``FrameSampler(demuxer="mjpeg")``) — while the
+remaining formats document their plug points: ``decoder="pil"`` raises
 NotImplementedError where ``Image.open(io.BytesIO(blob))`` slots in
 (PIL is not in this container; it is also the production-throughput
-path for JPEG), and ``decoder="fake"`` produces deterministic
-synthetic features for plumbing tests and the SQL-oracle query.
+path for JPEG), mp3/ogg and H.264 name ``av.open`` the same way, and
+``decoder="fake"`` produces deterministic synthetic features for
+plumbing tests.
 
 Batch-size guidance for giant blobs (100 MB media rows): pass a small
 ``batch_size`` and keep ``batch_format="pyarrow"`` end to end — binary
@@ -98,6 +102,191 @@ def decode_wav(blob: bytes) -> dict:
         "n_frames": n,
         "duration_s": n / sr if sr else 0.0,
         "rms": rms,
+    }
+
+
+# --------------------------------------------- compressed audio (real)
+#
+# G.711 mu-law / A-law (fmt tags 7 / 6) decode vectorized in numpy, and
+# IMA ADPCM (fmt tag 0x11) decoded sequentially-in-sample but VECTORIZED
+# ACROSS BLOCKS (ADPCM blocks are independent by construction — the loop
+# length is samples-per-block, the numpy vector width is the number of
+# blocks).  MP3/OGG remain the documented libav plug point.
+
+_IMA_STEPS = np.array(
+    [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+     50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230,
+     253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963,
+     1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+     3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+     11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794,
+     32767],
+    dtype=np.int64,
+)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def ulaw_to_linear(u: np.ndarray) -> np.ndarray:
+    """G.711 mu-law byte → int16 PCM (Sun ulaw2linear, vectorized)."""
+    u = (~u.astype(np.int64)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def alaw_to_linear(a: np.ndarray) -> np.ndarray:
+    """G.711 A-law byte → int16 PCM (vectorized; sign bit SET = positive)."""
+    a = a.astype(np.int64) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = ((a & 0x0F) << 4) + 8
+    t = np.where(seg > 0, (t + 0x100) << np.maximum(seg - 1, 0), t)
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def linear_to_ulaw(x: np.ndarray) -> np.ndarray:
+    """int16 PCM → G.711 mu-law byte (synthesis/round-trip counterpart)."""
+    x = x.astype(np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int64)  # mag >= 0x84 -> exp >= 0
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def decode_ima_adpcm(data: bytes, n_channels: int, block_align: int) -> np.ndarray:
+    """IMA/DVI ADPCM 'data' chunk → int16 samples (frames x channels
+    flattened, interleaved).  Mono path is the numpy-across-blocks one;
+    multi-channel raises (rare in the wild for IMA-in-WAV corpora)."""
+    if n_channels != 1:
+        raise ValueError("IMA ADPCM decode: mono only")
+    ba = block_align
+    nb = len(data) // ba
+    if nb == 0:
+        return np.zeros(0, np.int16)
+    blocks = np.frombuffer(data[: nb * ba], dtype=np.uint8).reshape(nb, ba)
+    pred = blocks[:, :2].copy().view("<i2")[:, 0].astype(np.int64)
+    index = np.clip(blocks[:, 2].astype(np.int64), 0, 88)
+    payload = blocks[:, 4:]  # nibble stream: low nibble first
+    spb = (ba - 4) * 2  # samples after the header sample
+    out = np.empty((nb, spb + 1), dtype=np.int16)
+    out[:, 0] = pred.astype(np.int16)
+    for s in range(spb):
+        byte = payload[:, s >> 1]
+        n = np.where(s & 1, byte >> 4, byte & 0x0F).astype(np.int64)
+        step = _IMA_STEPS[index]
+        diff = step >> 3
+        diff += np.where(n & 1, step >> 2, 0)
+        diff += np.where(n & 2, step >> 1, 0)
+        diff += np.where(n & 4, step, 0)
+        pred = np.clip(pred + np.where(n & 8, -diff, diff), -32768, 32767)
+        index = np.clip(index + _IMA_INDEX[n & 7], 0, 88)
+        out[:, s + 1] = pred.astype(np.int16)
+    return out.reshape(-1)
+
+
+def encode_ima_adpcm(samples: np.ndarray, block_align: int = 256) -> bytes:
+    """Mono int16 → IMA ADPCM blocks (scalar reference encoder — used to
+    synthesize test/fixture audio, not a hot path)."""
+    samples = samples.astype(np.int64)
+    spb = (block_align - 4) * 2 + 1
+    out = bytearray()
+    pos = 0
+    while pos < len(samples):
+        chunk = samples[pos : pos + spb]
+        pos += spb
+        pred, index = int(chunk[0]), 0
+        out += int(pred).to_bytes(2, "little", signed=True) + bytes([index, 0])
+        nibbles = []
+        for x in chunk[1:]:
+            step = int(_IMA_STEPS[index])
+            delta = int(x) - pred
+            n = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                n |= 4
+                delta -= step
+            if delta >= step >> 1:
+                n |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                n |= 1
+            diff = step >> 3
+            if n & 1:
+                diff += step >> 2
+            if n & 2:
+                diff += step >> 1
+            if n & 4:
+                diff += step
+            pred = max(-32768, min(32767, pred - diff if n & 8 else pred + diff))
+            index = max(0, min(88, index + int(_IMA_INDEX[n & 7])))
+            nibbles.append(n)
+        # pad the final block's nibble stream to the full block size
+        # (standard: decoders size blocks by block_align; the fact
+        # chunk records the true frame count so padding is dropped)
+        nibbles += [0] * ((block_align - 4) * 2 - len(nibbles))
+        out += bytes((nibbles[i] | (nibbles[i + 1] << 4)) for i in range(0, len(nibbles), 2))
+    return bytes(out)
+
+
+def make_wav(fmt_tag: int, n_channels: int, sample_rate: int, bits: int, block_align: int, data: bytes, n_frames: int) -> bytes:
+    """Minimal RIFF writer for non-PCM formats (the stdlib wave module
+    writes PCM only): fmt (+cbSize) + fact + data chunks."""
+    fmt = struct.pack(
+        "<HHIIHHH", fmt_tag, n_channels, sample_rate,
+        sample_rate * block_align if fmt_tag == 0x11 else sample_rate * n_channels * (bits // 8),
+        block_align, bits, 0,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"fact" + struct.pack("<II", 4, n_frames)
+    chunks += b"data" + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) % 2 else b"")
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav_any(blob: bytes) -> dict:
+    """RIFF/WAVE decode with REAL compressed-codec support: PCM 8/16-bit
+    (tag 1), G.711 A-law (6) and mu-law (7), IMA ADPCM (0x11).  Returns
+    metadata + the decoded int16 sample array (interleaved)."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data, fact = 12, None, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", blob, pos + 4)
+        body = blob[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        elif cid == b"fact":
+            (fact,) = struct.unpack_from("<I", body, 0)
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    tag, ch, sr = struct.unpack_from("<HHI", fmt, 0)
+    block_align, bits = struct.unpack_from("<HH", fmt, 12)
+    if tag == 1 and bits == 16:
+        samples, codec = np.frombuffer(data, dtype="<i2"), "pcm16"
+    elif tag == 1 and bits == 8:
+        samples = ((np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128) << 8).astype(np.int16)
+        codec = "pcm8"
+    elif tag == 7:
+        samples, codec = ulaw_to_linear(np.frombuffer(data, dtype=np.uint8)), "ulaw"
+    elif tag == 6:
+        samples, codec = alaw_to_linear(np.frombuffer(data, dtype=np.uint8)), "alaw"
+    elif tag == 0x11:
+        samples, codec = decode_ima_adpcm(data, ch, block_align), "ima_adpcm"
+        if fact is not None:
+            samples = samples[: fact * ch]  # drop encoder padding
+    else:
+        raise NotImplementedError(
+            f"WAV format tag {tag:#x} unsupported; plug av.open(io.BytesIO(blob)) here for mp3/ogg"
+        )
+    n_frames = len(samples) // ch if ch else 0
+    return {
+        "sample_rate": int(sr),
+        "n_channels": int(ch),
+        "n_frames": int(n_frames),
+        "codec": codec,
+        "samples": samples,
     }
 
 
@@ -215,8 +404,11 @@ def decode_images(ds, blob_col: str = "blob", id_col: str = "media_id", decoder:
 
 class AudioDecoder:
     """Actor-pool stage: binary WAV → (sample_rate, channels, frames,
-    duration, RMS).  Real stdlib decode (decode_wav); compressed codecs
-    (mp3/ogg) would plug a libav call into ``_decode`` the same way."""
+    duration, RMS, codec, first_sample, peak).  REAL decode for PCM
+    8/16-bit, G.711 mu-law/A-law, and IMA ADPCM (decode_wav_any);
+    mp3/ogg plug a libav call into the same dispatch.  first_sample and
+    peak are exact int16 values — the integer features the SQL oracle
+    can recompute bit-for-bit."""
 
     def __init__(self, blob_col: str = "blob", id_col: str = "media_id"):
         self.blob_col = blob_col
@@ -229,7 +421,13 @@ class AudioDecoder:
         ):
             if blob is None:
                 continue
-            meta = decode_wav(blob)
+            meta = decode_wav_any(blob)
+            s = meta.pop("samples")
+            sr = meta["sample_rate"]
+            meta["duration_s"] = meta["n_frames"] / sr if sr else 0.0
+            meta["rms"] = float(np.sqrt(((s.astype(np.float64) / 32768.0) ** 2).mean())) if len(s) else 0.0
+            meta["first_sample"] = int(s[0]) if len(s) else 0
+            meta["peak"] = int(np.abs(s.astype(np.int64)).max()) if len(s) else 0
             meta["media_id"] = mid
             rows.append(meta)
         return pa.Table.from_pylist(
@@ -239,8 +437,11 @@ class AudioDecoder:
                     ("sample_rate", pa.int32()),
                     ("n_channels", pa.int32()),
                     ("n_frames", pa.int64()),
+                    ("codec", pa.string()),
                     ("duration_s", pa.float64()),
                     ("rms", pa.float64()),
+                    ("first_sample", pa.int32()),
+                    ("peak", pa.int32()),
                     ("media_id", pa.int64()),
                 ]
             ),

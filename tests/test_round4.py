@@ -649,3 +649,126 @@ def test_frame_sampler_mjpeg(ray_session):
     assert out["width"].tolist() == [9, 9, 9, 4]
     assert out["height"].tolist() == [6, 6, 6, 3]
     assert out["gray"].tolist() == [40, 54, 68, 200]
+
+
+# -------------------------------------------- G.711 + IMA ADPCM audio
+
+
+def test_g711_full_domain_vs_scalar_reference():
+    """Vectorized mu-law/A-law expanders vs independent scalar
+    implementations of the published G.711 tables, all 256 bytes."""
+    import numpy as np
+
+    from supersonic_ray.stages.multimodal import alaw_to_linear, ulaw_to_linear
+
+    def ulaw_ref(u):
+        u = ~u & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    def alaw_ref(a):
+        a ^= 0x55
+        seg = (a & 0x70) >> 4
+        t = ((a & 0x0F) << 4) + 8
+        if seg:
+            t = (t + 0x100) << (seg - 1)
+        return t if (a & 0x80) else -t
+
+    dom = np.arange(256, dtype=np.uint8)
+    assert ulaw_to_linear(dom).tolist() == [ulaw_ref(int(x)) for x in range(256)]
+    assert alaw_to_linear(dom).tolist() == [alaw_ref(int(x)) for x in range(256)]
+
+
+def test_ulaw_roundtrip_quantization_bound():
+    import numpy as np
+
+    from supersonic_ray.stages.multimodal import linear_to_ulaw, ulaw_to_linear
+
+    x = (np.sin(np.linspace(0, 20, 5000)) * 30000).astype(np.int16)
+    y = ulaw_to_linear(linear_to_ulaw(x))
+    rel = np.abs(x.astype(int) - y.astype(int)) / np.maximum(np.abs(x.astype(int)), 64)
+    assert rel.max() < 0.07  # mu-law segment quantization bound
+
+
+def test_ima_adpcm_vectorized_vs_scalar_and_roundtrip():
+    """The numpy across-blocks decoder must match a per-sample scalar
+    decode of the same spec, and round-trip a sine within ADPCM's
+    adaptive-step error envelope."""
+    import numpy as np
+
+    from supersonic_ray.stages.multimodal import (
+        _IMA_INDEX,
+        _IMA_STEPS,
+        decode_ima_adpcm,
+        encode_ima_adpcm,
+    )
+
+    def scalar_decode(data, ba):
+        out = []
+        for b0 in range(0, len(data) - ba + 1, ba):
+            block = data[b0 : b0 + ba]
+            pred = int.from_bytes(block[:2], "little", signed=True)
+            index = min(max(block[2], 0), 88)
+            out.append(pred)
+            nibs = []
+            for byte in block[4:]:
+                nibs += [byte & 0x0F, byte >> 4]
+            for n in nibs:
+                step = int(_IMA_STEPS[index])
+                diff = step >> 3
+                if n & 1:
+                    diff += step >> 2
+                if n & 2:
+                    diff += step >> 1
+                if n & 4:
+                    diff += step
+                pred = max(-32768, min(32767, pred - diff if n & 8 else pred + diff))
+                index = max(0, min(88, index + int(_IMA_INDEX[n & 7])))
+                out.append(pred)
+        return np.array(out, dtype=np.int16)
+
+    sig = (np.sin(np.linspace(0, 50, 2000)) * 12000).astype(np.int16)
+    enc = encode_ima_adpcm(sig, block_align=64)
+    vec = decode_ima_adpcm(enc, 1, 64)
+    assert (vec == scalar_decode(enc, 64)).all()
+    err = np.abs(sig.astype(int) - vec[: len(sig)].astype(int))
+    assert err.mean() < 200
+
+
+def test_decode_wav_any_compressed_containers(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from supersonic_ray.stages.multimodal import (
+        decode_audio,
+        decode_wav_any,
+        encode_ima_adpcm,
+        linear_to_ulaw,
+        make_wav,
+    )
+
+    x = (np.sin(np.linspace(0, 9, 300)) * 20000).astype(np.int16)
+    ulaw_wav = make_wav(7, 1, 8000, 8, 1, bytes(linear_to_ulaw(x)), len(x))
+    adpcm_wav = make_wav(0x11, 1, 16000, 4, 64, encode_ima_adpcm(x, 64), len(x))
+    m = decode_wav_any(ulaw_wav)
+    assert (m["codec"], m["n_frames"], m["sample_rate"]) == ("ulaw", 300, 8000)
+    m = decode_wav_any(adpcm_wav)
+    assert (m["codec"], m["n_frames"], m["sample_rate"]) == ("ima_adpcm", 300, 16000)
+
+    # unknown tags name the libav plug point
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_wav_any(make_wav(0x55, 1, 8000, 16, 2, b"\x00\x00", 1))
+
+    # actor-pool stage decodes a mixed-codec binary column
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "blob": pa.array([ulaw_wav, adpcm_wav], pa.binary()),
+        }
+    )
+    out = decode_audio(rd.from_arrow(t), concurrency=2).to_pandas().sort_values("media_id")
+    assert out["codec"].tolist() == ["ulaw", "ima_adpcm"]
+    assert out["n_frames"].tolist() == [300, 300]
+    assert (out["peak"] > 15000).all()
