@@ -25,4 +25,5 @@ from .for_bitpack import FOR_BITPACK  # noqa: F401
 from .dictionary import DICT  # noqa: F401
 from .rle import RLE  # noqa: F401
 from .fsst import FSST, FsstCodec  # noqa: F401
+from .alp import ALP  # noqa: F401
 from .selector import ColumnStats, choose_codec, column_stats  # noqa: F401

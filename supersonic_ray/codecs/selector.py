@@ -119,6 +119,10 @@ def _candidates(dtype: pa.DataType, st: ColumnStats) -> list[tuple[str, str]]:
         else:
             cands += [("plain", "zlib"), ("plain", "brotli")]
     elif pa.types.is_floating(dtype):
+        # ALP (SIGMOD 2023): decimal-ish doubles collapse to bit-packed
+        # ints; its own trial encode decides (exceptions make it cheap
+        # to reject on true-real columns)
+        cands += [("alp", ""), ("alp", "zlib")]
         if st.run_ratio < 0.2:
             cands.append(("rle", ""))
         if st.distinct_ratio < 0.3:

@@ -74,7 +74,7 @@ def test_binary_round_trip(arr, codec):
 @settings(max_examples=25, deadline=None)
 @given(
     vals=st.lists(st.one_of(st.none(), st.floats(allow_nan=False, width=64)), max_size=120),
-    codec=st.sampled_from(["plain", "dict", "rle"]),
+    codec=st.sampled_from(["plain", "dict", "rle", "alp"]),
 )
 def test_float_round_trip(vals, codec):
     arr = pa.array(vals, type=pa.float64())
@@ -90,4 +90,43 @@ def test_float_round_trip(vals, codec):
 def test_timestamp_round_trip(vals, codec):
     arr = pa.array(vals, type=pa.timestamp("us"))
     out = decode_array(encode_array(arr, codec), arr.type)
+    assert out.equals(arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(width=64, allow_nan=True, allow_infinity=True),
+            # the sweet spot ALP exists for: decimal-ish values
+            st.integers(-10**8, 10**8).map(lambda i: i / 100.0),
+        ),
+        max_size=150,
+    ),
+    backend=st.sampled_from([0, 1]),
+)
+def test_alp_round_trip_bit_identical(vals, backend):
+    """ALP must be BIT-identical on every float64 input — NaN, ±inf,
+    -0.0, subnormals, full-mantissa reals — via its exception patches."""
+    arr = pa.array(vals, type=pa.float64())
+    out = decode_array(encode_array(arr, "alp", backend), arr.type)
+    assert len(out) == len(arr)
+    for a, b in zip(arr.to_pylist(), out.to_pylist()):
+        if a is None or b is None:
+            assert a is b
+        else:
+            assert np.float64(a).tobytes() == np.float64(b).tobytes()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(-10**6, 10**6).map(lambda i: np.float32(i / 10.0))),
+        max_size=120,
+    )
+)
+def test_alp_float32_round_trip(vals):
+    arr = pa.array(vals, type=pa.float32())
+    out = decode_array(encode_array(arr, "alp"), arr.type)
     assert out.equals(arr)

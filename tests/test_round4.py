@@ -772,3 +772,46 @@ def test_decode_wav_any_compressed_containers(ray_session):
     assert out["codec"].tolist() == ["ulaw", "ima_adpcm"]
     assert out["n_frames"].tolist() == [300, 300]
     assert (out["peak"] > 15000).all()
+
+
+# ---------------------------------------------------------------- ALP
+
+
+def test_alp_compresses_decimal_floats_and_selector_picks_it():
+    import numpy as np
+
+    from supersonic_ray.codecs import decode_array, encode_array
+    from supersonic_ray.codecs.selector import choose_codec
+
+    rng = np.random.default_rng(11)
+    money = pa.array(np.round(rng.uniform(0, 1e5, 40000), 2))
+    blob = encode_array(money, "alp")
+    assert decode_array(blob, money.type).equals(money)
+    plain = encode_array(money, "plain")
+    assert len(blob) * 2 < len(plain)  # >= 2x on 2-decimal money
+    codec, _backend = choose_codec(money)
+    assert codec == "alp"
+
+    # true reals: passthrough scheme, never more than ~header over plain
+    reals = pa.array(rng.standard_normal(40000))
+    rblob = encode_array(reals, "alp")
+    assert decode_array(rblob, reals.type).equals(reals)
+    assert len(rblob) <= len(encode_array(reals, "plain")) + 16
+
+
+def test_alp_specials_bit_identical():
+    import numpy as np
+
+    from supersonic_ray.codecs import decode_array, encode_array
+
+    vals = [1.25, float("nan"), float("inf"), -float("inf"), -0.0, 0.0,
+            1e300, -1e-300, 5e-324, 123.456, None]
+    arr = pa.array(vals, type=pa.float64())
+    out = decode_array(encode_array(arr, "alp"), arr.type)
+    for a, b in zip(arr.to_pylist(), out.to_pylist()):
+        if a is None:
+            assert b is None
+        else:
+            assert np.float64(a).tobytes() == np.float64(b).tobytes()
+    # -0.0 sign preserved (would be lost without the bit-level check)
+    assert np.signbit(out.to_pylist()[4])
