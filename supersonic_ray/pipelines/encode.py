@@ -36,6 +36,7 @@ read+decode → Arrow tables stream out.
 
 from __future__ import annotations
 
+import hashlib
 import io
 import os
 import struct
@@ -476,6 +477,7 @@ class ShardEncoder:
                 "row_slice": shard.get("row_slice"),
                 "engine": "ray-sonic-0.1",
             },
+            data_sha256=hashlib.sha256(blob).hexdigest(),
         )
         save_manifest(self.out_dir, manifest)
         return {
@@ -637,6 +639,7 @@ class BatchEncoder:
                 wall_sec=time.monotonic() - t0,
                 columns=col_metrics,
                 lineage={"source": "dataset-stream", "run_id": self.run_id},
+                data_sha256=hashlib.sha256(blob).hexdigest(),
             ),
         )
         return pa.Table.from_pylist(
@@ -693,9 +696,11 @@ class PartitionDecoder:
         self,
         columns: list[str] | None = None,
         ranges: dict[str, tuple] | None = None,
+        verify: bool = False,
     ):
         self.columns = columns
         self.ranges = ranges
+        self.verify = verify
 
     def _chunk_mask(self, path: str) -> list[bool] | None:
         """Per-chunk zone-map mask from the partition's manifest — the
@@ -727,11 +732,33 @@ class PartitionDecoder:
                     mask[i] = False
         return mask
 
+    def _check_integrity(self, path: str, blob: bytes) -> None:
+        """Compare the .rsb bytes against the manifest's data_sha256 —
+        catches silent corruption (bit rot, same-size overwrites) that
+        the resume-time size check cannot.  Manifests from pre-checksum
+        runs (empty field) pass unchecked."""
+        import json
+
+        mpath = path[: -len(".rsb")] + ".manifest.json"
+        try:
+            with open(mpath) as f:
+                expect = json.load(f).get("data_sha256", "")
+        except OSError:
+            return
+        if expect and hashlib.sha256(blob).hexdigest() != expect:
+            raise IOError(
+                f"integrity check failed for {path}: sha256 mismatch vs manifest "
+                f"(corrupted partition — re-encode it or restore from source)"
+            )
+
     def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
         for path in batch.column("path").to_pylist():
             mask = self._chunk_mask(path)
             with open(path, "rb") as f:
-                yield decode_blob(f.read(), columns=self.columns, chunk_mask=mask)
+                blob = f.read()
+            if self.verify:
+                self._check_integrity(path, blob)
+            yield decode_blob(blob, columns=self.columns, chunk_mask=mask)
 
 
 def _partition_overlaps(
@@ -790,6 +817,7 @@ def decode_partitions(
     columns: list[str] | None = None,
     ranges: dict[str, tuple] | None = None,
     equals: dict[str, str] | None = None,
+    verify: bool = False,
 ):
     """Streaming decode: Dataset over all .rsb partition files.
     ``columns`` prunes at the DECODE level — unrequested columns are
@@ -797,7 +825,10 @@ def decode_partitions(
     None) prunes whole PARTITIONS via the manifests' zone maps, and
     ``equals`` ({col: value}) via zone maps + per-column Bloom filters,
     before any file is read; rows inside surviving partitions still
-    need the exact filter downstream."""
+    need the exact filter downstream.  ``verify=True`` checks each
+    partition's bytes against the manifest's data_sha256 before
+    decoding (silent-corruption scrub — worth it on archival reads,
+    skippable on hot paths)."""
     import ray
     import ray.data as rd
 
@@ -811,7 +842,7 @@ def decode_partitions(
     # map_batches then schedules one decode task per file across all
     # CPUs (from_items packs items into few blocks otherwise)
     ds = rd.from_items([{"path": p} for p in paths]).repartition(max(1, len(paths)))
-    decoder = PartitionDecoder(columns=columns, ranges=ranges)
+    decoder = PartitionDecoder(columns=columns, ranges=ranges, verify=verify)
     kwargs = {} if concurrency is None else {"concurrency": concurrency}
     return ds.map_batches(
         decoder,

@@ -40,6 +40,10 @@ class PartitionManifest:
     wall_sec: float
     columns: dict[str, dict[str, Any]] = field(default_factory=dict)
     lineage: dict[str, Any] = field(default_factory=dict)
+    # sha256 of the written .rsb bytes ("" on manifests from older
+    # runs): lets decode detect SILENT corruption — bit rot, partial
+    # same-size overwrites — that the resume-time size check can't
+    data_sha256: str = ""
 
     @property
     def ratio(self) -> float:

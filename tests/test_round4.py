@@ -815,3 +815,50 @@ def test_alp_specials_bit_identical():
             assert np.float64(a).tobytes() == np.float64(b).tobytes()
     # -0.0 sign preserved (would be lost without the bit-level check)
     assert np.signbit(out.to_pylist()[4])
+
+
+# ------------------------------------------------ partition checksums
+
+
+def test_decode_verify_detects_silent_corruption(ray_session, tmp_path):
+    import glob
+    import json
+
+    import pytest
+
+    from supersonic_ray.pipelines.encode import decode_partitions, encode_parquet
+
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "in.parquet")
+    t = pa.table({"k": list(range(4000)), "v": [f"row-{i}" for i in range(4000)]})
+    pq.write_table(t, src, row_group_size=1000)
+    out = str(tmp_path / "enc")
+    encode_parquet(src, out, target_rows=1000, concurrency=2).to_pandas()
+
+    # manifests record the data hash
+    mans = sorted(glob.glob(f"{out}/*.manifest.json"))
+    assert mans and all(len(json.load(open(m))["data_sha256"]) == 64 for m in mans)
+
+    # clean read passes WITH verification
+    assert decode_partitions(out, verify=True, concurrency=2).count() == 4000
+
+    # flip one byte mid-payload, SAME size — the size-based resume
+    # check cannot see this; the checksum must
+    victim = sorted(glob.glob(f"{out}/*.rsb"))[1]
+    blob = bytearray(open(victim, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    open(victim, "wb").write(bytes(blob))
+
+    with pytest.raises(Exception) as ei:
+        decode_partitions(out, verify=True, concurrency=2).count()
+    assert "integrity check failed" in str(ei.value) or "sha256" in str(ei.value)
+
+    # pre-checksum manifests (empty field) stay readable unverified
+    m = json.load(open(mans[0]))
+    m["data_sha256"] = ""
+    open(mans[0], "w").write(json.dumps(m))
+    paths_ok = decode_partitions(out, verify=True, concurrency=2)
+    # partition 0 passes (no hash), partition 1 still fails
+    with pytest.raises(Exception):
+        paths_ok.count()
