@@ -761,16 +761,15 @@ class PartitionDecoder:
             yield decode_blob(blob, columns=self.columns, chunk_mask=mask)
 
 
-def _partition_overlaps(
-    m, ranges: dict[str, tuple], equals: dict[str, str] | None = None
+def _zones_overlap(
+    cols: dict, ranges: dict[str, tuple], equals: dict[str, str] | None = None
 ) -> bool:
-    """Manifest-only check: False ⇔ the manifest PROVES the partition
-    holds no matching row.  Conservative: columns without stats (or
-    with truncated string stats for range checks) never prune.
-    ``ranges`` uses the zone maps; ``equals`` uses the zone maps when
-    exact plus the per-column Bloom filter for string point lookups."""
+    """Zone-map-only check over a plain per-column stats dict (manifest
+    columns or an index entry): False ⇔ the stats PROVE no row matches.
+    Conservative: columns without stats (or with truncated string stats)
+    never prune."""
     for col, (lo, hi) in ranges.items():
-        st = m.columns.get(col, {}) if isinstance(m.columns, dict) else {}
+        st = cols.get(col, {}) if isinstance(cols, dict) else {}
         if "vmin" not in st or st.get("truncated"):
             continue
         if hi is not None and st["vmin"] > hi:
@@ -778,10 +777,22 @@ def _partition_overlaps(
         if lo is not None and st["vmax"] < lo:
             return False
     for col, val in (equals or {}).items():
-        st = m.columns.get(col, {}) if isinstance(m.columns, dict) else {}
+        st = cols.get(col, {}) if isinstance(cols, dict) else {}
         if "vmin" in st and not st.get("truncated") and not (st["vmin"] <= val <= st["vmax"]):
             return False
-        bloom = st.get("bloom")
+    return True
+
+
+def _partition_overlaps(
+    m, ranges: dict[str, tuple], equals: dict[str, str] | None = None
+) -> bool:
+    """Manifest-only check: zone maps for ``ranges``/``equals`` plus the
+    per-column Bloom filter for string point lookups."""
+    cols = m.columns if isinstance(m.columns, dict) else {}
+    if not _zones_overlap(cols, ranges, equals):
+        return False
+    for col, val in (equals or {}).items():
+        bloom = cols.get(col, {}).get("bloom")
         if bloom is not None:
             from supersonic_ray.state.bloom import bloom_might_contain
 
@@ -795,15 +806,42 @@ def pruned_partition_paths(
     ranges: dict[str, tuple] | None = None,
     equals: dict[str, str] | None = None,
 ) -> list[str]:
-    """Paths of partitions the manifests cannot rule out — the
-    manifest-only planning step (no data file is opened)."""
-    from supersonic_ray.state import load_all_manifests
+    """Paths of partitions the stats cannot rule out — the manifest-only
+    planning step (no data file is opened).
 
-    keep = {
-        m.part_id
-        for m in load_all_manifests(out_dir)
-        if _partition_overlaps(m, ranges or {}, equals)
+    Planning cost at scale: with a FRESH consolidated ``_index.json``
+    (state.build_partition_index — tools/encode_job.py writes it after
+    encode) this is ONE file read + in-memory zone pruning; individual
+    manifests are opened only for zone-surviving partitions that carry
+    a Bloom filter on an ``equals`` column.  Without (or with a stale)
+    index it falls back to loading every manifest, so the index is an
+    accelerator, never a correctness dependency."""
+    from supersonic_ray.state import load_all_manifests, load_manifest, load_partition_index
+
+    rsb_ids = {
+        f[len("part-") : -len(".rsb")]
+        for f in os.listdir(out_dir)
+        if f.endswith(".rsb")
     }
+    idx = load_partition_index(out_dir, expect_part_ids=rsb_ids)
+    ranges = ranges or {}
+    if idx is None:
+        keep = {
+            m.part_id
+            for m in load_all_manifests(out_dir)
+            if _partition_overlaps(m, ranges, equals)
+        }
+    else:
+        keep = set()
+        for pid, entry in idx.items():
+            cols = entry.get("columns", {})
+            if not _zones_overlap(cols, ranges, equals):
+                continue
+            if equals and any(cols.get(c, {}).get("has_bloom") for c in equals):
+                m = load_manifest(out_dir, pid)
+                if m is not None and not _partition_overlaps(m, ranges, equals):
+                    continue
+            keep.add(pid)
     return sorted(
         os.path.join(out_dir, f)
         for f in os.listdir(out_dir)

@@ -112,3 +112,60 @@ def load_all_manifests(out_dir: str) -> list[PartitionManifest]:
             if m is not None:
                 out.append(m)
     return out
+
+
+# ------------------------------------------------- consolidated index
+#
+# At 10^5-10^6 partitions, opening every per-partition manifest on the
+# driver just to zone-prune a scan is an O(N)-file-opens planning step.
+# build_partition_index folds the PRUNING-RELEVANT manifest stats
+# (zone min/max per column; NOT blooms or chunk zones, which are
+# KB-sized and only needed for survivors/worker-side pruning) into one
+# _index.json.  Readers use it when it is FRESH (its part_id set equals
+# the directory's .rsb set) and fall back to per-manifest loads
+# otherwise, so the index is an accelerator, never a correctness
+# dependency.
+
+INDEX_NAME = "_index.json"
+
+_INDEX_STAT_KEYS = ("vmin", "vmax", "truncated")
+
+
+def _index_stats(columns: dict[str, dict[str, Any]]) -> dict[str, dict[str, Any]]:
+    out: dict[str, dict[str, Any]] = {}
+    for col, st in (columns or {}).items():
+        if not isinstance(st, dict):
+            continue
+        keep = {k: st[k] for k in _INDEX_STAT_KEYS if k in st}
+        keep["has_bloom"] = st.get("bloom") is not None
+        out[col] = keep
+    return out
+
+
+def build_partition_index(out_dir: str) -> str:
+    """Fold all partition manifests into one _index.json; returns its
+    path.  Atomic write — concurrent readers see old or new, never a
+    torn file.  Call after an encode run's metrics Dataset has been
+    consumed (tools/encode_job.py does; resumed runs just rebuild)."""
+    parts = {
+        m.part_id: {"n_rows": m.n_rows, "bytes_out": m.bytes_out, "columns": _index_stats(m.columns)}
+        for m in load_all_manifests(out_dir)
+    }
+    path = os.path.join(out_dir, INDEX_NAME)
+    write_atomic(path, json.dumps({"version": 1, "partitions": parts}).encode())
+    return path
+
+
+def load_partition_index(out_dir: str, expect_part_ids: set[str] | None = None) -> dict[str, Any] | None:
+    """The index's partitions dict, or None when absent/corrupt/STALE
+    (part_id set differs from ``expect_part_ids``)."""
+    path = os.path.join(out_dir, INDEX_NAME)
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        parts = d["partitions"]
+    except (OSError, json.JSONDecodeError, KeyError, TypeError):
+        return None
+    if expect_part_ids is not None and set(parts) != expect_part_ids:
+        return None
+    return parts

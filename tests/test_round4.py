@@ -862,3 +862,53 @@ def test_decode_verify_detects_silent_corruption(ray_session, tmp_path):
     # partition 0 passes (no hash), partition 1 still fails
     with pytest.raises(Exception):
         paths_ok.count()
+
+
+def test_partition_index_prunes_identically(ray_session, tmp_path):
+    """Consolidated _index.json must produce EXACTLY the fallback's
+    pruning decisions (zones via the index, blooms via surviving
+    manifests), and a stale index must be ignored, not trusted."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from supersonic_ray.pipelines.encode import encode_parquet, pruned_partition_paths
+    from supersonic_ray.state import build_partition_index
+
+    src = str(tmp_path / "in.parquet")
+    t = pa.table(
+        {
+            "k": list(range(8000)),
+            "name": [f"user-{i:05d}" for i in range(8000)],
+        }
+    )
+    pq.write_table(t, src, row_group_size=1000)
+    out = str(tmp_path / "enc")
+    encode_parquet(src, out, target_rows=1000, concurrency=2).to_pandas()
+
+    cases = [
+        dict(ranges={"k": (2500, 3500)}),
+        dict(ranges={"k": (50000, None)}),
+        dict(equals={"name": "user-00042"}),
+        dict(equals={"name": "no-such-user"}),
+        dict(ranges={"k": (0, 999)}, equals={"name": "user-00042"}),
+    ]
+    baseline = [pruned_partition_paths(out, **c) for c in cases]
+    assert baseline[0] and not baseline[1]  # sanity: pruning does something
+
+    idx_path = build_partition_index(out)
+    assert os.path.basename(idx_path) == "_index.json"
+    # blooms are NOT duplicated into the index (it must stay small)
+    idx_text = open(idx_path).read()
+    assert '"bloom":' not in idx_text and '"has_bloom":' in idx_text
+    with_index = [pruned_partition_paths(out, **c) for c in cases]
+    assert with_index == baseline
+
+    # stale index (a partition vanished) → ignored, fallback used
+    victims = sorted(glob.glob(f"{out}/*.rsb"))
+    os.remove(victims[-1])
+    os.remove(victims[-1][: -len(".rsb")] + ".manifest.json")
+    stale = pruned_partition_paths(out, ranges={"k": (0, 10**9)})
+    assert victims[-1] not in stale and len(stale) == len(victims) - 1

@@ -88,6 +88,12 @@ def main() -> int:
     ).to_pandas()
     wall = time.monotonic() - t0
 
+    # one consolidated _index.json so later scans zone-prune with ONE
+    # file read instead of opening every partition manifest
+    from supersonic_ray.state import build_partition_index
+
+    build_partition_index(args.out)
+
     report = {
         "status": "ok",
         "wall_sec": round(wall, 2),
