@@ -1066,18 +1066,20 @@ def parquet_partitioned_sink(sf_dir: str):
 
 def rsb_scan_aggregate(sf_dir: str):
     """Storage + query composition: documents → RSB encode → COLUMN-
-    PRUNED decode (only lang, n_chars decompress) → distributed group
-    aggregate.  The oracle runs the same aggregate on the raw table, so
-    lossless encode + pruned scan + aggregation verify together."""
+    PRUNED scan via the ray.data.Datasource read path (read_rsb: read
+    tasks carry exact row/size metadata from the manifests; only lang,
+    n_chars decompress) → distributed group aggregate.  The oracle runs
+    the same aggregate on the raw table, so lossless encode + pruned
+    datasource scan + aggregation verify together."""
     import tempfile
 
-    from supersonic_ray.pipelines import decode_partitions, encode_dataset
+    from supersonic_ray.pipelines import encode_dataset, read_rsb
     from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
 
     with tempfile.TemporaryDirectory() as tmp:
         ds = _ld(sf_dir, "documents")
         encode_dataset(ds, tmp, batch_size=4096, concurrency=2).materialize()
-        scan = decode_partitions(tmp, concurrency=2, columns=["lang", "n_chars"])
+        scan = read_rsb(tmp, columns=["lang", "n_chars"])
         out = group_aggregate(
             scan, ["lang"], [AggSpec("count", None, "n_docs"), AggSpec("sum", "n_chars", "total_chars")]
         ).to_pandas()

@@ -6,6 +6,8 @@ from .encode import (  # noqa: F401
     encode_dataset,
     encode_parquet,
     encode_table_to_blob,
+    make_rsb_datasource,
     plan_shards,
+    read_rsb,
 )
 from .plan import benchmark_pipeline, build_expr, build_pipeline, run_plan_json  # noqa: F401

@@ -849,6 +849,116 @@ def pruned_partition_paths(
     )
 
 
+def make_rsb_datasource(
+    out_dir: str,
+    columns: list[str] | None = None,
+    ranges: dict[str, tuple] | None = None,
+    equals: dict[str, str] | None = None,
+    verify: bool = False,
+):
+    """Idiomatic Ray Data read path for an .rsb partition directory —
+    a ``ray.data.Datasource`` whose read tasks carry REAL block
+    metadata (exact row counts and decoded-size estimates from the
+    partition manifests / consolidated index), so the streaming
+    executor can plan memory and parallelism instead of flying blind.
+    ``read_rsb(out_dir, ...)`` is the entry point; decode_partitions
+    remains the explicit map_batches shape (same decoder underneath).
+    Imports ray.data.datasource lazily so module import stays Ray-free."""
+    from ray.data.block import BlockMetadata
+    from ray.data.datasource import Datasource, ReadTask
+
+    from supersonic_ray.state import load_manifest, load_partition_index
+
+    if ranges or equals:
+        paths = pruned_partition_paths(out_dir, ranges, equals)
+    else:
+        paths = sorted(
+            os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".rsb")
+        )
+    rsb_ids = {os.path.basename(p)[len("part-") : -len(".rsb")] for p in paths}
+    idx = load_partition_index(out_dir) or {}
+
+    def part_meta(path: str) -> tuple[int | None, int | None]:
+        pid = os.path.basename(path)[len("part-") : -len(".rsb")]
+        e = idx.get(pid)
+        if e is None:
+            m = load_manifest(out_dir, pid)
+            if m is None:
+                return None, None
+            return m.n_rows, m.bytes_in
+        return e.get("n_rows"), e.get("bytes_in")
+
+    decoder = PartitionDecoder(columns=columns, ranges=ranges, verify=verify)
+
+    class _RsbDatasource(Datasource):
+        def get_name(self) -> str:
+            return "RSB"
+
+        def estimate_inmemory_data_size(self):
+            total = 0
+            for p in paths:
+                _, b = part_meta(p)
+                if b is None:
+                    return None
+                total += b
+            return total
+
+        def get_read_tasks(self, parallelism: int):
+            if not paths:
+                return []
+            groups: list[list[str]] = [[] for _ in range(min(parallelism, len(paths)))]
+            for i, p in enumerate(paths):
+                groups[i % len(groups)].append(p)
+            tasks = []
+            for group in groups:
+                rows = 0
+                size = 0
+                exact = ranges is None  # chunk masks may drop rows
+                for p in group:
+                    r, b = part_meta(p)
+                    rows = rows + r if (rows is not None and r is not None) else None
+                    size = size + b if (size is not None and b is not None) else None
+
+                def read_fn(group=tuple(group)):
+                    yield from decoder(pa.table({"path": list(group)}))
+
+                tasks.append(
+                    ReadTask(
+                        read_fn,
+                        BlockMetadata(
+                            num_rows=rows if exact else None,
+                            size_bytes=size,
+                            exec_stats=None,
+                            input_files=list(group),
+                        ),
+                    )
+                )
+            return tasks
+
+    return _RsbDatasource()
+
+
+def read_rsb(
+    out_dir: str,
+    columns: list[str] | None = None,
+    ranges: dict[str, tuple] | None = None,
+    equals: dict[str, str] | None = None,
+    verify: bool = False,
+    override_num_blocks: int | None = None,
+):
+    """``ray.data.read_datasource`` over an .rsb directory: partition
+    files become read tasks with exact row/size metadata; ``columns``
+    prunes at decode, ``ranges``/``equals`` prune partitions (and
+    chunks) before any file is read — see decode_partitions for the
+    pruning semantics."""
+    import ray.data as rd
+
+    kwargs = {} if override_num_blocks is None else {"override_num_blocks": override_num_blocks}
+    return rd.read_datasource(
+        make_rsb_datasource(out_dir, columns, ranges, equals, verify), **kwargs
+    )
+
+
 def decode_partitions(
     out_dir: str,
     concurrency: int | None = None,

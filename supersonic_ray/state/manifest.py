@@ -148,7 +148,12 @@ def build_partition_index(out_dir: str) -> str:
     torn file.  Call after an encode run's metrics Dataset has been
     consumed (tools/encode_job.py does; resumed runs just rebuild)."""
     parts = {
-        m.part_id: {"n_rows": m.n_rows, "bytes_out": m.bytes_out, "columns": _index_stats(m.columns)}
+        m.part_id: {
+            "n_rows": m.n_rows,
+            "bytes_in": m.bytes_in,
+            "bytes_out": m.bytes_out,
+            "columns": _index_stats(m.columns),
+        }
         for m in load_all_manifests(out_dir)
     }
     path = os.path.join(out_dir, INDEX_NAME)

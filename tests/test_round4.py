@@ -912,3 +912,41 @@ def test_partition_index_prunes_identically(ray_session, tmp_path):
     os.remove(victims[-1][: -len(".rsb")] + ".manifest.json")
     stale = pruned_partition_paths(out, ranges={"k": (0, 10**9)})
     assert victims[-1] not in stale and len(stale) == len(victims) - 1
+
+
+# ------------------------------------------------- RSB Ray Datasource
+
+
+def test_read_rsb_datasource(ray_session, tmp_path):
+    """read_rsb: proper ray.data.Datasource over .rsb partitions with
+    manifest-derived block metadata; pruning semantics must match
+    decode_partitions exactly."""
+    import pyarrow.parquet as pq
+
+    from supersonic_ray.pipelines import encode_parquet, read_rsb
+    from supersonic_ray.pipelines.encode import decode_partitions
+    from supersonic_ray.state import build_partition_index
+
+    src = str(tmp_path / "in.parquet")
+    t = pa.table({"k": list(range(6000)), "name": [f"u{i:05d}" for i in range(6000)]})
+    pq.write_table(t, src, row_group_size=1000)
+    out = str(tmp_path / "enc")
+    encode_parquet(src, out, target_rows=1000, concurrency=2).to_pandas()
+    build_partition_index(out)
+
+    ds = read_rsb(out)
+    # metadata is real: in-memory size estimate from the manifests
+    assert ds.size_bytes() and ds.size_bytes() > 0
+    assert ds.count() == 6000
+
+    # column pruning
+    assert set(read_rsb(out, columns=["k"]).schema().names) == {"k"}
+
+    # range + equals pruning parity with decode_partitions
+    for kw in (dict(ranges={"k": (2500, 3500)}), dict(equals={"name": "u00042"})):
+        a = read_rsb(out, **kw).to_pandas().sort_values("k").reset_index(drop=True)
+        b = decode_partitions(out, concurrency=2, **kw).to_pandas().sort_values("k").reset_index(drop=True)
+        assert a.equals(b)
+
+    # verify=True integrates with the datasource path too
+    assert read_rsb(out, verify=True).count() == 6000
