@@ -178,6 +178,20 @@ def run_bench(ncpu: int) -> dict:
     queries["decode"] = round(time.monotonic() - t0, 3)
     extra["decoded_rows"] = n_decoded
 
+    # float-heavy encode leg (lineitem money columns → the ALP codec):
+    # measures the numeric-plane pipeline the webpages corpus can't
+    li = os.path.join(SF_DIR, "lineitem.parquet")
+    if os.path.exists(li) and not os.environ.get("GRAFT_SKIP_QUERIES"):
+        li_dir = os.path.join(BENCH_ROOT, f"encoded_li_sf{sf}_cpu{ncpu}")
+        shutil.rmtree(li_dir, ignore_errors=True)
+        t0 = time.monotonic()
+        lim = encode_parquet(li, li_dir, target_rows=2 * ROW_GROUP, concurrency=ncpu).to_pandas()
+        t_li = time.monotonic() - t0
+        queries["encode_lineitem"] = round(t_li, 3)
+        extra["lineitem_ratio"] = round(
+            float(lim["bytes_in"].sum()) / max(1, int(lim["bytes_out"].sum())), 3
+        )
+
     # per-column codec choices + ratios from the lineage manifests
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))

@@ -329,10 +329,22 @@ def encode_array(arr: pa.Array, codec: Codec | str, backend: int | str = BACKEND
     return HEADER.pack(codec.codec_id, backend, flags, 0, len(arr)) + body
 
 
-def decode_array(blob: bytes, dtype: pa.DataType) -> pa.Array:
+def decode_array(blob: bytes, dtype: pa.DataType, expect_rows: int | None = None) -> pa.Array:
     import supersonic_ray.codecs  # noqa: F401
 
     codec_id, backend, flags, _, n = HEADER.unpack_from(blob, 0)
+    # corrupt-input guards: two independently-stored facts must agree
+    # BEFORE any codec allocates n elements — a flipped bit in either
+    # length field fails loudly here instead of as a giant allocation
+    # or a garbage column
+    if expect_rows is not None and n != expect_rows:
+        raise ValueError(
+            f"corrupt column blob: header says {n} rows, chunk header says {expect_rows}"
+        )
+    if codec_id not in _REGISTRY:
+        raise ValueError(f"corrupt column blob: unknown codec id {codec_id}")
+    if backend not in _BACKEND_DECOMPRESS:
+        raise ValueError(f"corrupt column blob: unknown backend id {backend}")
     body = _BACKEND_DECOMPRESS[backend](blob[HEADER.size :])
     pos = 0
     validity = None

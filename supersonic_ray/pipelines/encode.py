@@ -251,7 +251,9 @@ def decode_blob(
             (blen,) = struct.unpack_from("<I", data, pos)
             pos += 4
             if want_chunk and (columns is None or field.name in columns):
-                cols[field.name] = decode_array(data[pos : pos + blen], field.type)
+                cols[field.name] = decode_array(
+                    data[pos : pos + blen], field.type, expect_rows=n_rows
+                )
             pos += blen
         if want_chunk:
             tables.append(pa.table({c: cols[c] for c in out_schema.names}, schema=out_schema))

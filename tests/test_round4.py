@@ -950,3 +950,45 @@ def test_read_rsb_datasource(ray_session, tmp_path):
 
     # verify=True integrates with the datasource path too
     assert read_rsb(out, verify=True).count() == 6000
+
+
+def test_decode_blob_corrupt_input_fails_cleanly():
+    """Single-byte mutations anywhere in a valid RSB blob must either
+    raise a Python exception or decode to SOME table — never crash,
+    hang, or allocate unboundedly.  Cross-checked length fields
+    (decode_array expect_rows) catch header flips before allocation."""
+    import numpy as np
+
+    from supersonic_ray.pipelines.encode import decode_blob, encode_table_to_blob
+
+    t = pa.table(
+        {
+            "k": pa.array(range(3000), pa.int64()),
+            "s": pa.array([f"value-{i % 97}" for i in range(3000)], pa.string()),
+            "f": pa.array(np.round(np.arange(3000) * 0.01, 2)),
+        }
+    )
+    blob, _ = encode_table_to_blob(t, chunk_rows=1000)
+    base = bytearray(blob)
+    rng = np.random.default_rng(1234)
+    outcomes = {"raised": 0, "decoded": 0}
+    for _ in range(120):
+        mutated = bytearray(base)
+        i = int(rng.integers(4, len(mutated)))  # keep MAGIC intact
+        mutated[i] ^= int(rng.integers(1, 256))
+        try:
+            got = decode_blob(bytes(mutated))
+            assert got.num_rows >= 0  # some table, process intact
+            outcomes["decoded"] += 1
+        except Exception:
+            outcomes["raised"] += 1
+    # most mutations must be DETECTED (headers, compressed payloads,
+    # cross-checked lengths); a small rest may land in slack bits
+    assert outcomes["raised"] >= 90, outcomes
+
+    # truncations fail cleanly too
+    for cut in (5, len(blob) // 3, len(blob) - 3):
+        try:
+            decode_blob(blob[:cut])
+        except Exception:
+            pass
