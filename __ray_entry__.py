@@ -1832,9 +1832,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """Registration ORDER matters: the driver's correctness run
     evaluates the first 50 entries, so the window front-loads (a)
     queries NEW this round (agg_distinct_nullkey, plan_window_json,
-    image_decode_jpeg, image_decode_png), (b) the round-3 flagships
-    that had no hard driver row yet (tfidf_top_terms_docs,
-    dedup_clusters_docs), and (c) every path REWRITTEN in round 4
+    image_decode_jpeg, image_decode_png, video_frame_sample,
+    audio_decode_g711, and rsb_scan_aggregate's switch to the read_rsb
+    Datasource), (b) the round-3 flagships that had no hard driver row
+    yet (tfidf_top_terms_docs, dedup_clusters_docs), and (c) every
+    path REWRITTEN in round 4
     (NULL-key mixed aggregation, top_k partial prune, MinHash winner
     pick, scalar arg-extreme FIRST/LAST, group_with_limit dtype
     normalization).  Every query below #50 has a green driver
