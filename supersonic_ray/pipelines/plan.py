@@ -19,6 +19,8 @@ Plan document::
 
     {"steps": [
       {"op": "scan", "table": "lineitem", "columns": [...]},
+      {"op": "scan_rsb", "path": "<.rsb dir>", "columns": [...],
+       "ranges": {"k": [lo, hi]}, "equals": {"s": "v"}, "verify": false},
       {"op": "filter", "pred": <expr>},
       {"op": "compute", "exprs": {"name": <expr>, ...}},
       {"op": "project", "columns": [...]},
@@ -61,6 +63,7 @@ failure contract, SURVEY.md §3.1), not mid-execution.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable
 
 import pyarrow as pa
@@ -171,6 +174,27 @@ def build_pipeline(plan: dict, sf_dir: str):
         if kind == "scan":
             ds = rd.read_parquet(
                 f"{sf_dir}/{step['table']}.parquet", columns=step.get("columns")
+            )
+            continue
+        if kind == "scan_rsb":
+            # scan an ENCODED .rsb directory (absolute path, or a name
+            # resolved under sf_dir) through the read_rsb Datasource —
+            # closes the job loop: encode_job writes RSB, a query-job
+            # plan reads it back with column + zone-map/bloom pruning
+            from .encode import read_rsb
+
+            path = step["path"]
+            if not os.path.isabs(path):
+                path = os.path.join(sf_dir, path)
+            ranges = {
+                c: (r[0], r[1]) for c, r in (step.get("ranges") or {}).items()
+            } or None
+            ds = read_rsb(
+                path,
+                columns=step.get("columns"),
+                ranges=ranges,
+                equals=step.get("equals"),
+                verify=bool(step.get("verify", False)),
             )
             continue
         if ds is None:

@@ -169,3 +169,42 @@ def test_plan_session_window_and_union(ray_session, sf_dir):
     }
     u = build_pipeline(union_plan, sf_dir).to_pandas()
     assert len(u) == 10  # 5 regions twice
+
+
+def test_plan_scan_rsb(ray_session, tmp_path):
+    """scan_rsb plan node: a ray-job JSON plan reads an ENCODED .rsb
+    directory with column pruning + zone-map range pruning and runs the
+    rest of the grammar on top."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from supersonic_ray.pipelines import encode_parquet
+    from supersonic_ray.pipelines.plan import build_pipeline
+    from supersonic_ray.state import build_partition_index
+
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(
+        pa.table({"k": list(range(5000)), "g": [i % 4 for i in range(5000)]}),
+        src,
+        row_group_size=1000,
+    )
+    out = str(tmp_path / "enc")
+    encode_parquet(src, out, target_rows=1000, concurrency=2).to_pandas()
+    build_partition_index(out)
+
+    plan = {
+        "steps": [
+            {"op": "scan_rsb", "path": out, "columns": ["k", "g"], "ranges": {"k": [1000, 1999]}},
+            {"op": "filter", "pred": {"op": "and", "args": [
+                {"op": "ge", "args": [{"col": "k"}, {"lit": 1000}]},
+                {"op": "le", "args": [{"col": "k"}, {"lit": 1999}]}]}},
+            {"op": "group_aggregate", "keys": ["g"],
+             "aggs": [{"fn": "sum", "column": "k", "alias": "s"},
+                      {"fn": "count", "column": None, "alias": "n"}]},
+            {"op": "sort", "keys": ["g"]},
+        ]
+    }
+    df = build_pipeline(plan, str(tmp_path)).to_pandas()
+    assert df["n"].sum() == 1000
+    assert df["s"].sum() == sum(range(1000, 2000))
+    assert df["g"].tolist() == [0, 1, 2, 3]
