@@ -26,4 +26,5 @@ from .dictionary import DICT  # noqa: F401
 from .rle import RLE  # noqa: F401
 from .fsst import FSST, FsstCodec  # noqa: F401
 from .alp import ALP  # noqa: F401
+from .frontcode import FRONTCODE  # noqa: F401
 from .selector import ColumnStats, choose_codec, column_stats  # noqa: F401

@@ -56,6 +56,10 @@ class ColumnStats:
     is_sorted: bool
     avg_len: float
     entropy_bits: float
+    # mean(adjacent common-prefix length / value length) on the sample —
+    # high on sorted OR host-clustered url-like columns even when the
+    # tail of each value is unordered; gates the frontcode trial
+    prefix_share: float = 0.0
 
 
 def column_stats(arr: pa.Array, sample_rows: int = SAMPLE_ROWS) -> ColumnStats:
@@ -74,7 +78,15 @@ def column_stats(arr: pa.Array, sample_rows: int = SAMPLE_ROWS) -> ColumnStats:
     is_sorted = False
     avg_len = 0.0
     entropy = 8.0
+    prefix_share = 0.0
     if is_var_len(arr.type):
+        if sn > 1:
+            is_sorted = bool(
+                pc.all(pc.greater_equal(sample.slice(1), sample.slice(0, sn - 1))).as_py()
+                or False
+            )
+        else:
+            is_sorted = True
         lengths, data = base.var_len_to_buffers(sample)
         avg_len = float(lengths.mean()) if sn else 0.0
         if data:
@@ -82,6 +94,21 @@ def column_stats(arr: pa.Array, sample_rows: int = SAMPLE_ROWS) -> ColumnStats:
             counts = np.bincount(probe, minlength=256).astype(np.float64)
             p = counts[counts > 0] / len(probe)
             entropy = float(-(p * np.log2(p)).sum())
+        if sn > 1 and avg_len:
+            mv = memoryview(data)
+            shares = []
+            pos = 0
+            prev = b""
+            for ln in lengths[: min(sn, 256)]:
+                cur = mv[pos : pos + int(ln)]
+                pos += int(ln)
+                m = min(len(cur), len(prev))
+                k = 0
+                while k < m and cur[k] == prev[k]:
+                    k += 1
+                shares.append(k / max(len(cur), 1))
+                prev = cur
+            prefix_share = float(np.mean(shares[1:])) if len(shares) > 1 else 0.0
     else:
         try:
             vals = base.values_to_numpy(sample)
@@ -95,12 +122,17 @@ def column_stats(arr: pa.Array, sample_rows: int = SAMPLE_ROWS) -> ColumnStats:
         is_sorted=is_sorted,
         avg_len=avg_len,
         entropy_bits=entropy,
+        prefix_share=prefix_share,
     )
 
 
 def _candidates(dtype: pa.DataType, st: ColumnStats) -> list[tuple[str, str]]:
     cands: list[tuple[str, str]] = [("plain", "")]  # never-inflate guard
     if is_var_len(dtype):
+        if st.is_sorted or st.prefix_share > 0.3:
+            # sorted or host-clustered runs (cluster_for_encode output):
+            # adjacent values share prefixes — front coding's home turf
+            cands += [("frontcode", ""), ("frontcode", "zstd"), ("frontcode", "bz2")]
         if st.run_ratio < 0.2:
             cands += [("rle", ""), ("rle", "zlib"), ("rle", "brotli")]
         if st.distinct_ratio < 0.3:

@@ -58,14 +58,14 @@ def test_int_round_trip(arr, codec, backend):
 
 
 @settings(max_examples=30, deadline=None)
-@given(arr=string_arrays(), codec=st.sampled_from(["plain", "dict", "rle", "fsst"]), backend=st.sampled_from([0, 2, 5]))
+@given(arr=string_arrays(), codec=st.sampled_from(["plain", "dict", "rle", "fsst", "frontcode"]), backend=st.sampled_from([0, 2, 5]))
 def test_string_round_trip(arr, codec, backend):
     out = decode_array(encode_array(arr, codec, backend), arr.type)
     assert out.equals(arr)
 
 
 @settings(max_examples=25, deadline=None)
-@given(arr=binary_arrays(), codec=st.sampled_from(["plain", "dict", "fsst"]))
+@given(arr=binary_arrays(), codec=st.sampled_from(["plain", "dict", "fsst", "frontcode"]))
 def test_binary_round_trip(arr, codec):
     out = decode_array(encode_array(arr, codec), arr.type)
     assert out.equals(arr)

@@ -992,3 +992,53 @@ def test_decode_blob_corrupt_input_fails_cleanly():
             decode_blob(blob[:cut])
         except Exception:
             pass
+
+
+# ---------------------------------------------------------- frontcode
+
+
+def test_frontcode_sorted_urls_and_selector_gate():
+    import numpy as np
+
+    from supersonic_ray.codecs import decode_array, encode_array
+    from supersonic_ray.codecs.selector import choose_codec, column_stats
+
+    rng = np.random.default_rng(5)
+    hosts = [f"https://site-{i:03d}.example.com/" for i in range(40)]
+    items = [
+        (int(h), f"page/{int(p)}/item-{int(q)}.html")
+        for h, p, q in zip(
+            rng.integers(0, 40, 30000), rng.integers(0, 500, 30000), rng.integers(0, 10000, 30000)
+        )
+    ]
+    urls_sorted = pa.array(sorted(hosts[h] + tail for h, tail in items))
+    blob = encode_array(urls_sorted, "frontcode", "bz2")
+    assert decode_array(blob, pa.string()).equals(urls_sorted)
+    # beats fsst+bz2 on sorted urls by a wide margin
+    assert len(blob) * 1.3 < len(encode_array(urls_sorted, "fsst", "bz2"))
+    assert choose_codec(urls_sorted)[0] == "frontcode"
+
+    # host-CLUSTERED but unsorted-within-host still gates in via
+    # prefix_share; fully shuffled does not
+    items.sort(key=lambda x: x[0])
+    clustered = pa.array([hosts[h] + tail for h, tail in items])
+    st = column_stats(clustered)
+    assert not st.is_sorted and st.prefix_share > 0.3
+    assert choose_codec(clustered)[0] == "frontcode"
+    shuffled = [hosts[h] + tail for h, tail in items]
+    rng.shuffle(shuffled)
+    assert choose_codec(pa.array(shuffled))[0] != "frontcode"
+
+
+def test_frontcode_edge_cases():
+    from supersonic_ray.codecs import decode_array, encode_array
+
+    for vals, typ in [
+        ([], pa.string()),
+        ([None, "", None, "a", "a", "ab", None], pa.string()),
+        ([b"\x00\xff", b"\x00\xff\x01", None, b""], pa.binary()),
+        (["z", "a", "m", "a"], pa.string()),  # unsorted stays CORRECT
+        (["x" * 70000, "x" * 70000 + "y"], pa.string()),  # long prefixes
+    ]:
+        a = pa.array(vals, typ)
+        assert decode_array(encode_array(a, "frontcode"), typ).equals(a)
