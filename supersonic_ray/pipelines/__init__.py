@@ -1,6 +1,7 @@
 from .encode import (  # noqa: F401
     BatchEncoder,
     ShardEncoder,
+    compact_partitions,
     decode_blob,
     decode_partitions,
     encode_dataset,

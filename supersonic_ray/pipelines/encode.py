@@ -57,6 +57,7 @@ from supersonic_ray.state import (
     data_path,
     is_complete,
     load_manifest,
+    manifest_path,
     save_manifest,
     write_atomic,
 )
@@ -763,6 +764,171 @@ class PartitionDecoder:
             yield decode_blob(blob, columns=self.columns, chunk_mask=mask)
 
 
+def _live_rsb_paths(out_dir: str) -> list[str]:
+    """All .rsb paths that are CURRENT — compaction-aware listing.
+
+    Crash-safe contract with compact_partitions: a merged partition's
+    manifest carries ``lineage.replaces`` = the source part ids, and the
+    worker deletes sources only AFTER that manifest is durable.  So a
+    crash at any point leaves either (a) sources live and a manifest-less
+    compact data file (excluded here), or (b) the compact partition live
+    and leftover sources (excluded via the replaces set).  Rows are never
+    lost or double-counted."""
+    from supersonic_ray.state import load_manifest
+
+    names = os.listdir(out_dir)
+    rsb = {f for f in names if f.endswith(".rsb")}
+    present = set(names)
+    replaced: set[str] = set()
+    for f in sorted(rsb):
+        pid = f[len("part-") : -len(".rsb")]
+        if not pid.startswith("compact-"):
+            continue
+        if f"part-{pid}.manifest.json" not in present:
+            rsb.discard(f)  # half-finished compaction: data without manifest
+            continue
+        m = load_manifest(out_dir, pid)
+        if m is None:
+            rsb.discard(f)
+            continue
+        replaced.update(m.lineage.get("replaces") or [])
+    return sorted(
+        os.path.join(out_dir, f)
+        for f in rsb
+        if f[len("part-") : -len(".rsb")] not in replaced
+    )
+
+
+class CompactWorker:
+    """Task per merge group: decode the source partitions, re-encode as
+    ONE partition, write data+manifest (lineage.replaces = sources),
+    then delete the sources.  Idempotent by content hash over the
+    source ids+hashes — a retry that finds the complete merged
+    partition skips straight to source cleanup."""
+
+    def __init__(self, out_dir: str, chunk_rows: int = CHUNK_ROWS):
+        self.out_dir = out_dir
+        self.chunk_rows = chunk_rows
+
+    def __call__(self, batch: pa.Table) -> Iterator[dict]:
+        for row in batch.to_pylist():
+            yield pa.Table.from_pylist([self._one(row)])
+
+    def _one(self, group: dict) -> dict:
+        t0 = time.monotonic()
+        pids = list(group["part_ids"])
+        chash = group["content_hash"]
+        new_pid = f"compact-{chash}"
+        if not is_complete(self.out_dir, new_pid, chash):
+            tables = []
+            for pid in pids:
+                with open(data_path(self.out_dir, pid), "rb") as f:
+                    tables.append(decode_blob(f.read()))
+            table = pa.concat_tables(tables)
+            del tables
+            blob, col_metrics = encode_table_to_blob(table, self.chunk_rows)
+            write_atomic(data_path(self.out_dir, new_pid), blob)
+            save_manifest(
+                self.out_dir,
+                PartitionManifest(
+                    part_id=new_pid,
+                    content_hash=chash,
+                    n_rows=table.num_rows,
+                    n_chunks=max(1, -(-table.num_rows // self.chunk_rows)),
+                    bytes_in=table.nbytes,
+                    bytes_out=len(blob),
+                    wall_sec=time.monotonic() - t0,
+                    columns=col_metrics,
+                    lineage={"op": "compact", "replaces": pids},
+                    data_sha256=hashlib.sha256(blob).hexdigest(),
+                ),
+            )
+        # sources go away only AFTER the merged manifest is durable
+        for pid in pids:
+            for path in (data_path(self.out_dir, pid), manifest_path(self.out_dir, pid)):
+                try:
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass
+        m = load_manifest(self.out_dir, new_pid)
+        return {
+            "part_id": new_pid,
+            "merged": len(pids),
+            "n_rows": m.n_rows,
+            "bytes_out": m.bytes_out,
+            "wall_sec": round(time.monotonic() - t0, 3),
+        }
+
+
+def compact_partitions(
+    out_dir: str,
+    target_bytes: int = 64 << 20,
+    chunk_rows: int = CHUNK_ROWS,
+    concurrency: int | None = None,
+):
+    """Merge small partitions (the small-file problem incremental
+    ``encode_dataset`` runs create) into ~``target_bytes``-of-input
+    partitions.  Metadata-only planning on the driver; one Ray task per
+    merge group; crash-safe at every point (see _live_rsb_paths);
+    idempotent re-runs skip completed groups.  Returns the metrics
+    DataFrame and rebuilds the consolidated index when one exists."""
+    import ray.data as rd
+
+    from supersonic_ray.state import build_partition_index, load_manifest, load_partition_index
+
+    live_ids = [
+        os.path.basename(p)[len("part-") : -len(".rsb")] for p in _live_rsb_paths(out_dir)
+    ]
+    mans = [m for pid in live_ids if (m := load_manifest(out_dir, pid)) is not None]
+    small = [m for m in mans if m.bytes_in < target_bytes]
+    small.sort(key=lambda m: m.part_id)
+    groups = []
+    cur: list = []
+    cur_bytes = 0
+    for m in small:
+        cur.append(m)
+        cur_bytes += m.bytes_in
+        if cur_bytes >= target_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+    if cur:
+        groups.append(cur)
+    groups = [g for g in groups if len(g) >= 2]  # singletons gain nothing
+    if not groups:
+        import pandas as pd
+
+        return pd.DataFrame(columns=["part_id", "merged", "n_rows", "bytes_out", "wall_sec"])
+    items = [
+        {
+            "part_ids": [m.part_id for m in g],
+            "content_hash": content_hash(
+                "compact", [m.part_id for m in g], [m.content_hash for m in g]
+            ),
+        }
+        for g in groups
+    ]
+    if concurrency is None:
+        import ray
+
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    out = (
+        rd.from_items(items)
+        .repartition(len(items))
+        .map_batches(
+            CompactWorker,
+            fn_constructor_kwargs={"out_dir": out_dir, "chunk_rows": chunk_rows},
+            batch_size=1,
+            concurrency=min(concurrency, len(items)),
+            num_cpus=1,
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    if load_partition_index(out_dir) is not None:
+        build_partition_index(out_dir)
+    return out
+
+
 def _zones_overlap(
     cols: dict, ranges: dict[str, tuple], equals: dict[str, str] | None = None
 ) -> bool:
@@ -818,13 +984,10 @@ def pruned_partition_paths(
     a Bloom filter on an ``equals`` column.  Without (or with a stale)
     index it falls back to loading every manifest, so the index is an
     accelerator, never a correctness dependency."""
-    from supersonic_ray.state import load_all_manifests, load_manifest, load_partition_index
+    from supersonic_ray.state import load_all_manifests, load_partition_index
 
-    rsb_ids = {
-        f[len("part-") : -len(".rsb")]
-        for f in os.listdir(out_dir)
-        if f.endswith(".rsb")
-    }
+    live = _live_rsb_paths(out_dir)
+    rsb_ids = {os.path.basename(p)[len("part-") : -len(".rsb")] for p in live}
     idx = load_partition_index(out_dir, expect_part_ids=rsb_ids)
     ranges = ranges or {}
     if idx is None:
@@ -845,9 +1008,7 @@ def pruned_partition_paths(
                     continue
             keep.add(pid)
     return sorted(
-        os.path.join(out_dir, f)
-        for f in os.listdir(out_dir)
-        if f.endswith(".rsb") and f[len("part-") : -len(".rsb")] in keep
+        p for p in live if os.path.basename(p)[len("part-") : -len(".rsb")] in keep
     )
 
 
@@ -874,10 +1035,7 @@ def make_rsb_datasource(
     if ranges or equals:
         paths = pruned_partition_paths(out_dir, ranges, equals)
     else:
-        paths = sorted(
-            os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".rsb")
-        )
-    rsb_ids = {os.path.basename(p)[len("part-") : -len(".rsb")] for p in paths}
+        paths = _live_rsb_paths(out_dir)
     idx = load_partition_index(out_dir) or {}
 
     def part_meta(path: str) -> tuple[int | None, int | None]:
@@ -985,9 +1143,7 @@ def decode_partitions(
     if ranges or equals:
         paths = pruned_partition_paths(out_dir, ranges, equals)
     else:
-        paths = sorted(
-            os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".rsb")
-        )
+        paths = _live_rsb_paths(out_dir)
     # repartition so every partition file is its own block: task-pool
     # map_batches then schedules one decode task per file across all
     # CPUs (from_items packs items into few blocks otherwise)

@@ -1042,3 +1042,65 @@ def test_frontcode_edge_cases():
     ]:
         a = pa.array(vals, typ)
         assert decode_array(encode_array(a, "frontcode"), typ).equals(a)
+
+
+# ----------------------------------------------------------- compaction
+
+
+def test_compact_partitions_merges_and_stays_crash_safe(ray_session, tmp_path):
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from supersonic_ray.pipelines import compact_partitions, encode_parquet, read_rsb
+    from supersonic_ray.pipelines.encode import _live_rsb_paths, decode_partitions
+    from supersonic_ray.state import build_partition_index, load_partition_index
+
+    src = str(tmp_path / "in.parquet")
+    t = pa.table({"k": list(range(12000)), "s": [f"v-{i % 321}" for i in range(12000)]})
+    pq.write_table(t, src, row_group_size=500)
+    out = str(tmp_path / "enc")
+    # tiny shards -> the small-file problem
+    encode_parquet(src, out, target_rows=500, concurrency=2).to_pandas()
+    build_partition_index(out)
+    n_before = len(glob.glob(f"{out}/*.rsb"))
+    assert n_before >= 12
+
+    # snapshot for the crash simulations below
+    snap = str(tmp_path / "snap")
+    shutil.copytree(out, snap)
+
+    metrics = compact_partitions(out, target_bytes=1 << 20, concurrency=2)
+    assert len(metrics) >= 1 and (metrics["merged"] >= 2).all()
+    n_after = len(glob.glob(f"{out}/*.rsb"))
+    assert n_after < n_before
+    # content unchanged, rows intact, checksums verify
+    got = read_rsb(out, verify=True).to_pandas().sort_values("k").reset_index(drop=True)
+    assert got.equals(t.to_pandas())
+    # index was rebuilt and is FRESH for the new layout
+    live_ids = {os.path.basename(p)[len("part-"):-len(".rsb")] for p in _live_rsb_paths(out)}
+    assert set(load_partition_index(out, expect_part_ids=live_ids) or {}) == live_ids
+    # idempotent: nothing left to merge at this budget with >= 2 members
+    again = compact_partitions(out, target_bytes=1 << 20, concurrency=2)
+    total_rows = decode_partitions(out, concurrency=2).count()
+    assert total_rows == 12000
+
+    # CRASH CASE A: merged data+manifest durable, sources NOT deleted
+    # (copy the compacted files into the untouched snapshot)
+    for f in glob.glob(f"{out}/part-compact-*"):
+        shutil.copy(f, snap)
+    live = _live_rsb_paths(snap)
+    assert decode_partitions(snap, concurrency=2).count() == 12000  # no double rows
+    assert len(live) == len(glob.glob(f"{snap}/part-compact-*.rsb")) + (
+        n_before - int(metrics["merged"].sum())
+    )
+
+    # CRASH CASE B: compact data file WITHOUT manifest -> ignored
+    snap2 = str(tmp_path / "snap2")
+    shutil.copytree(snap, snap2)
+    for f in glob.glob(f"{snap2}/part-compact-*.manifest.json"):
+        os.remove(f)
+    # now the compact .rsb files are manifest-less: excluded; sources live
+    assert decode_partitions(snap2, concurrency=2).count() == 12000
