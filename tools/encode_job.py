@@ -36,6 +36,11 @@ def main() -> int:
     )
     ap.add_argument("--decode-verify", action="store_true", help="decode all partitions and count rows after encode")
     ap.add_argument(
+        "--compact", type=int, default=0, metavar="BYTES",
+        help="after encode, merge partitions smaller than BYTES of input "
+             "into ~BYTES-sized ones (crash-safe; see compact_partitions)",
+    )
+    ap.add_argument(
         "--cluster", action="store_true",
         help="pre-sort by (lang, url host) before encode — one all-to-all "
              "shuffle for longer dict/RLE runs (stages/skew.py cluster_for_encode); "
@@ -88,6 +93,13 @@ def main() -> int:
     ).to_pandas()
     wall = time.monotonic() - t0
 
+    compacted = None
+    if args.compact:
+        from supersonic_ray.pipelines import compact_partitions
+
+        cm = compact_partitions(args.out, target_bytes=args.compact)
+        compacted = {"groups": len(cm), "merged": int(cm["merged"].sum()) if len(cm) else 0}
+
     # one consolidated _index.json so later scans zone-prune with ONE
     # file read instead of opening every partition manifest
     from supersonic_ray.state import build_partition_index
@@ -106,6 +118,8 @@ def main() -> int:
         "throughput_MBps": round(metrics["bytes_in"].sum() / 1e6 / wall, 2),
         "out": args.out,
     }
+    if compacted is not None:
+        report["compacted"] = compacted
     if args.decode_verify:
         t0 = time.monotonic()
         report["decoded_rows"] = decode_partitions(args.out).count()
