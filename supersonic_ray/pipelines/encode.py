@@ -599,14 +599,39 @@ class BatchEncoder:
     checkpoint-resumable shape; give each ``encode_dataset`` run a
     fresh ``out_dir``."""
 
-    def __init__(self, out_dir: str, chunk_rows: int = CHUNK_ROWS, run_id: str = "run"):
+    def __init__(
+        self,
+        out_dir: str,
+        chunk_rows: int = CHUNK_ROWS,
+        run_id: str = "run",
+        target_bytes: int = SHARD_TARGET_BYTES,
+    ):
         self.out_dir = out_dir
         self.chunk_rows = chunk_rows
         self.run_id = run_id
+        self.target_bytes = target_bytes
         self.seen: dict[str, int] = {}
         os.makedirs(out_dir, exist_ok=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # byte-bounded skew guard, symmetric with plan_shards' row-slice
+        # splitting on the parquet path: a batch whose Arrow bytes blow
+        # the budget (map_batches sizes batches by ROWS — giant html
+        # blobs can put GBs in one batch) is split into contiguous row
+        # slices, each its own partition, before any encode state grows
+        if batch.nbytes > self.target_bytes and batch.num_rows > 1:
+            n_slices = min(batch.num_rows, -(-batch.nbytes // self.target_bytes))
+            base_rows, extra = divmod(batch.num_rows, n_slices)
+            parts = []
+            offset = 0
+            for s in range(n_slices):
+                take = base_rows + (1 if s < extra else 0)
+                parts.append(self._encode_one(batch.slice(offset, take)))
+                offset += take
+            return pa.concat_tables(parts)
+        return self._encode_one(batch)
+
+    def _encode_one(self, batch: pa.Table) -> pa.Table:
         t0 = time.monotonic()
         chash = table_content_hash(batch)
         k = self.seen.get(chash, 0)
@@ -661,7 +686,7 @@ class BatchEncoder:
         )
 
 
-def encode_dataset(ds, out_dir: str, batch_size: int = 4 * CHUNK_ROWS, concurrency=None, chunk_rows: int = CHUNK_ROWS):
+def encode_dataset(ds, out_dir: str, batch_size: int = 4 * CHUNK_ROWS, concurrency=None, chunk_rows: int = CHUNK_ROWS, target_bytes: int = SHARD_TARGET_BYTES):
     """Streaming Dataset encode (see BatchEncoder docstring: NOT
     resumable — use a fresh out_dir; encode_parquet is the resumable
     shape)."""
@@ -677,6 +702,7 @@ def encode_dataset(ds, out_dir: str, batch_size: int = 4 * CHUNK_ROWS, concurren
             "out_dir": out_dir,
             "chunk_rows": chunk_rows,
             "run_id": uuid.uuid4().hex[:8],
+            "target_bytes": target_bytes,
         },
         batch_size=batch_size,
         concurrency=concurrency,

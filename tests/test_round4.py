@@ -1104,3 +1104,36 @@ def test_compact_partitions_merges_and_stays_crash_safe(ray_session, tmp_path):
         os.remove(f)
     # now the compact .rsb files are manifest-less: excluded; sources live
     assert decode_partitions(snap2, concurrency=2).count() == 12000
+
+
+def test_batch_encoder_splits_giant_batches(ray_session, tmp_path):
+    """encode_dataset's byte-bounded skew guard: one batch carrying
+    giant blobs becomes MULTIPLE partitions, each under the budget,
+    and the round trip stays bit-identical."""
+    import glob
+
+    import ray.data as rd
+
+    from supersonic_ray.pipelines import encode_dataset
+    from supersonic_ray.pipelines.encode import decode_partitions
+
+    blob = bytes(range(256)) * 4096  # 1 MiB each, incompressible-ish
+    t = pa.table(
+        {
+            "k": pa.array(range(64), pa.int64()),
+            "payload": pa.array([blob] * 64, pa.binary()),
+        }
+    )
+    out = str(tmp_path / "enc")
+    m = encode_dataset(
+        rd.from_arrow(t).repartition(1),
+        out,
+        batch_size=64,
+        concurrency=2,
+        target_bytes=8 << 20,  # 8 MiB budget vs a ~64 MiB batch
+    ).to_pandas()
+    assert len(m) >= 8 and m["n_rows"].sum() == 64
+    assert len(glob.glob(f"{out}/*.rsb")) == len(m)
+    got = decode_partitions(out, concurrency=2).to_pandas().sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == list(range(64))
+    assert all(bytes(b) == blob for b in got["payload"])
