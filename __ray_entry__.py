@@ -1460,6 +1460,23 @@ def line_dedup_docs(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def substring_dedup_docs(sf_dir: str):
+    """Exact-substring span dedup (Lee et al. 2022 / RefinedWeb's
+    exact-substring pass; round-4 final session): every 16-token window
+    appearing in ≥2 documents is removed from EVERY document at token
+    level.  Distributed as map-only window explode → 24-byte
+    (key, doc) pair exchange → adaptive semi join → ONE ordered-CONCAT
+    span aggregate → left-outer rejoin + token surgery.  The oracle
+    recomputes the whole thing in SQL on literal window text (the
+    engine keys on md5 of the same text — bit-equal modulo 2^-128), so
+    dropped/kept counts AND the cleaned text hash-match exactly."""
+    from supersonic_ray.stages.text import substring_span_dedup
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "text"])
+    out = substring_span_dedup(ds, "text", "doc_id", window=16).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def pack_sequences_docs(sf_dir: str):
     """Greedy token-budget sequence packing (training-data assembly):
     per source in doc_id order, docs join the current bin until the
@@ -1891,12 +1908,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- training-data assembly (round-3 flagships)
         "pack_sequences_docs": pack_sequences_docs,
         "vocab_top_words_docs": vocab_top_words_docs,
-        # -- dedup + fingerprints (round-3 vectorized hash kernels)
+        # -- dedup + fingerprints (round-3 vectorized hash kernels;
+        # -- substring_dedup_docs NEW this session; parquet_partitioned_sink
+        # -- rotated down — green r03, sinks untouched this round)
         "dedup_exact_docs": dedup_exact_docs,
+        "substring_dedup_docs": substring_dedup_docs,
         "doc_fingerprints": doc_fingerprints,
-        # -- sources + sinks (csv/json_source_roundtrip rotated down:
-        # -- green r03, sources/ untouched this round)
-        "parquet_partitioned_sink": parquet_partitioned_sink,
         # -- round-3 flagship operators (no prior driver row)
         "exact_quantiles_orders": exact_quantiles_orders,
         "window_rank_lag": window_rank_lag,
@@ -1920,6 +1937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- paths, frozen this round)
         "limit_offset_orders": limit_offset_orders,
         "sample_by_hash": sample_by_hash,
+        "parquet_partitioned_sink": parquet_partitioned_sink,
         "expr_hyperbolic": expr_hyperbolic,
         "expr_is_normal": expr_is_normal,
         "expr_date_local": expr_date_local,
@@ -2467,6 +2485,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, count(*) AS cnt FROM words
             WHERE word <> ''
             GROUP BY word ORDER BY cnt DESC, word LIMIT 100
+        """,
+        "substring_dedup_docs": """
+            WITH raw AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(coalesce(text, ''), '\\s+')) AS tok,
+                       generate_subscripts(regexp_split_to_array(coalesce(text, ''), '\\s+'), 1) AS ord
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, tok,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS i
+                FROM raw WHERE tok <> ''
+            ),
+            nt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+            win AS (
+                SELECT t.doc_id, t.i AS s, string_agg(t2.tok, ' ' ORDER BY t2.i) AS w
+                FROM toks t
+                JOIN nt ON nt.doc_id = t.doc_id
+                JOIN toks t2 ON t2.doc_id = t.doc_id AND t2.i >= t.i AND t2.i < t.i + 16
+                WHERE t.i + 16 <= nt.n
+                GROUP BY t.doc_id, t.i
+            ),
+            cand AS (SELECT w FROM win GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+            pos AS (SELECT win.doc_id, win.s FROM win JOIN cand USING (w)),
+            cov AS (
+                SELECT DISTINCT t.doc_id, t.i
+                FROM toks t JOIN pos p ON p.doc_id = t.doc_id
+                                      AND t.i >= p.s AND t.i < p.s + 16
+            ),
+            ncov AS (SELECT doc_id, count(*) AS dropped FROM cov GROUP BY doc_id),
+            kept AS (
+                SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.i) AS kt
+                FROM toks t
+                LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.i = t.i
+                WHERE cov.i IS NULL
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(nt.n, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(ncov.dropped, 0) AS BIGINT) AS dropped_tokens,
+                   CAST(coalesce(nt.n, 0) - coalesce(ncov.dropped, 0) AS BIGINT) AS kept_tokens,
+                   coalesce(kept.kt, '') AS kept_text
+            FROM documents d
+            LEFT JOIN nt ON nt.doc_id = d.doc_id
+            LEFT JOIN ncov ON ncov.doc_id = d.doc_id
+            LEFT JOIN kept ON kept.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
         "line_dedup_docs": """
             WITH w0 AS (

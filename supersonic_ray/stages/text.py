@@ -1052,3 +1052,134 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id", k: int =
 
 
 _IDF_CACHE: dict = {}
+
+
+def substring_span_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    concurrency: int | None = None,
+    batch_size: int = 512,
+):
+    """Exact-substring span dedup (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"; RefinedWeb's
+    exact-substring pass): every ``window``-token span that appears in
+    MORE THAN ONE document is duplicated text, and ALL its occurrences
+    are removed at token level from every document.
+
+    Distributed shape (no suffix array — that is the single-machine
+    tool; this is the hash-sharded equivalent over Ray Data):
+
+    1. map-only: per document, all W-token windows as exploded
+       (window_key, doc, start) rows.  The key here is md5 of the
+       LITERAL window text (vectorized DuckDB kernel; collision-safe
+       and exactly SQL-reproducible); at 10^12-doc scale swap in the
+       128-bit rolling variant to skip building window strings.
+    2. candidates: distinct (key, doc) per batch (a doc never spans
+       batches, so per-batch distinct IS global distinct) → one
+       groupby(key).count() → keys in ≥ 2 docs.  Only 24-byte pairs
+       cross this exchange.
+    3. positions ⋉ candidates via the adaptive semi join, then ONE
+       ordered-CONCAT group aggregate collapses each affected doc's
+       duplicate starts to a single csv string (distributed run-concat
+       partials — no per-doc Python tasks).
+    4. adaptive LEFT OUTER join of the docs against that (small:
+       affected docs only) span table; final map re-cuts each doc's
+       tokens and emits exact counts + the cleaned text.
+
+    Removing ALL occurrences (not all-but-one) matches the paper;
+    documents shorter than ``window`` tokens are untouched by
+    construction."""
+    from supersonic_ray.functions.dhash import md5_hex
+
+    from .aggregates import AggSpec, group_aggregate
+    from .joins import hash_join_auto, semi_join_auto
+    from .ops import fanout
+
+    def explode_windows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        docs, starts, wtexts = [], [], []
+        for d, t in zip(ids, texts):
+            toks = (t or "").split()
+            n = len(toks) - window + 1
+            for i in range(max(0, n)):
+                docs.append(d)
+                starts.append(i)
+                wtexts.append(" ".join(toks[i : i + window]))
+        out = pa.table(
+            {
+                id_col: pa.array(docs, pa.int64()),
+                "__i": pa.array(starts, pa.int32()),
+                "__w": pa.array(wtexts, pa.string()),
+            }
+        )
+        return out.set_column(2, "__w", md5_hex(out.column("__w")))
+
+    positions = fanout(
+        ds.select_columns([id_col, text_col]).map_batches(
+            explode_windows, batch_format="pyarrow", batch_size=batch_size
+        ),
+        n_consumers=2,
+    )
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["__w", id_col])
+            .group_by(["__w", id_col])
+            .aggregate([])
+        )
+
+    pair_counts = (
+        positions.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby("__w")
+        .count()
+    )
+    def only_dups(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("count()"), 2)).select(["__w"])
+
+    candidates = pair_counts.map_batches(only_dups, batch_format="pyarrow")
+
+    dup_pos = semi_join_auto(positions, candidates, ["__w"])
+    spans = group_aggregate(
+        dup_pos.select_columns([id_col, "__i"]),
+        [id_col],
+        [AggSpec("concat", "__i", "__spans", order_by="__i", separator=",")],
+    )
+
+    merged = hash_join_auto(
+        ds.select_columns([id_col, text_col]),
+        spans,
+        [id_col],
+        [id_col],
+        join_type="left_outer",
+    )
+
+    def cut(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        span_col = batch.column("__spans").to_pylist()
+        n_toks, dropped, kept_txt = [], [], []
+        for t, sp in zip(texts, span_col):
+            toks = (t or "").split()
+            n = len(toks)
+            covered = np.zeros(n, dtype=bool)
+            if sp:
+                for s in str(sp).split(","):
+                    i = int(float(s))
+                    covered[i : i + window] = True
+            n_toks.append(n)
+            dropped.append(int(covered.sum()))
+            kept_txt.append(" ".join(tok for tok, c in zip(toks, covered) if not c))
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n_toks, pa.int64()),
+                "dropped_tokens": pa.array(dropped, pa.int64()),
+                "kept_tokens": pa.array([n - d for n, d in zip(n_toks, dropped)], pa.int64()),
+                "kept_text": pa.array(kept_txt, pa.string()),
+            }
+        )
+
+    return merged.map_batches(cut, batch_format="pyarrow")

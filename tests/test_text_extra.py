@@ -407,3 +407,37 @@ def test_connected_components_empty_edges(ray_session):
     edges = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     out = connected_components(rd.from_arrow(edges))
     assert out.count() == 0
+
+
+def test_substring_span_dedup_planted(ray_session):
+    """Exact-substring span dedup: a 20-token span planted in 3 docs is
+    removed from ALL of them (Lee et al. semantics — every occurrence
+    goes); short docs and unique text are untouched."""
+    import ray.data as rd
+
+    from supersonic_ray.stages.text import substring_span_dedup
+
+    shared = " ".join(f"tok{i}" for i in range(20))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [
+                "alpha beta " + shared + " gamma delta",
+                "unrelated words here only short",
+                shared,
+                "prefix " + shared + " " + shared + " suffix",
+            ],
+        }
+    )
+    out = (
+        substring_span_dedup(rd.from_arrow(docs), window=16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_tokens"].tolist() == [24, 5, 20, 42]
+    assert out["dropped_tokens"].tolist() == [20, 0, 20, 40]
+    assert out["kept_text"][0] == "alpha beta gamma delta"
+    assert out["kept_text"][1] == "unrelated words here only short"
+    assert out["kept_text"][2] == ""
+    assert out["kept_text"][3] == "prefix suffix"
