@@ -730,11 +730,13 @@ def image_decode_bmp(sf_dir: str):
 
 
 def image_decode_jpeg(sf_dir: str):
-    """REAL baseline JPEG decode end-to-end (round-4; codecs/jpeg.py —
-    pure Python/numpy JFIF: Huffman entropy decode, dequant, IDCT,
+    """REAL JPEG decode end-to-end (round-4; codecs/jpeg.py — pure
+    Python/numpy JFIF: Huffman entropy decode, dequant, IDCT,
     block-padding crop): constant-gray JPEGs are synthesized
-    deterministically from table columns, shipped as a binary column
-    through the actor-pool decoder, and the decoded dimensions AND the
+    deterministically from table columns — BASELINE sequential for even
+    doc_ids, PROGRESSIVE (SOF2, spectral selection + successive
+    approximation) for odd ones — shipped as a binary column through
+    the actor-pool decoder, and the decoded dimensions AND the
     recovered gray level (exact for constant blocks under a unit quant
     table) must match the formulas the SQL oracle computes directly."""
     import numpy as np
@@ -749,7 +751,8 @@ def image_decode_jpeg(sf_dir: str):
         ncs = batch.column("n_chars").to_pylist()
         blobs = [
             encode_jpeg(
-                np.full((3 + int(i) % 14, 5 + int(i) % 27), int(nc or 0) % 256, dtype=np.uint8)
+                np.full((3 + int(i) % 14, 5 + int(i) % 27), int(nc or 0) % 256, dtype=np.uint8),
+                progressive=bool(int(i) % 2),
             )
             for i, nc in zip(ids, ncs)
         ]

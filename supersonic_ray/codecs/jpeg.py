@@ -9,16 +9,21 @@ prediction, dequantization in zigzag order, 8x8 IDCT via an orthonormal
 DCT matrix, interleaved-MCU chroma subsampling (any integer factors,
 e.g. the dominant real-web 4:2:0, replicate-upsampled), restart-marker
 intervals (RSTn, DC reset + byte align), block-padding crop, and JFIF
-YCbCr->RGB for 3-component images.  Restrictions (raise loudly): 8-bit
-precision only, no progressive (SOF2).
+YCbCr->RGB for 3-component images — PLUS full progressive (SOF2, T.81
+G.2): spectral-selection bands, successive approximation on DC and AC
+(first + refinement scans), cross-block EOB runs, interleaved DC /
+non-interleaved AC scan geometry.  Restrictions (raise loudly): 8-bit
+precision only, no arithmetic coding / lossless / hierarchical.
 
-Encoder (`encode_jpeg`): the matching baseline encoder used to
-synthesize deterministic test fixtures — real 2-D DCT, quantization,
-run-length + canonical Huffman coding, byte stuffing.  The Huffman
-tables it EMITS are simple valid canonical tables (fixed 4-bit DC /
-8-bit AC codes) rather than the Annex K defaults; decoders (including
-ours) read tables from the DHT segments, so the stream is fully
-conformant baseline JPEG.
+Encoder (`encode_jpeg`): the matching encoder used to synthesize
+deterministic test fixtures — real 2-D DCT, quantization, run-length +
+canonical Huffman coding, byte stuffing; ``progressive=True`` emits a
+libjpeg-like SOF2 scan script over the SAME quantized coefficients, so
+progressive and baseline encodings of one image decode bit-identically
+(the test oracle).  The Huffman tables it EMITS are simple valid
+canonical tables (fixed 4-bit DC / 8-bit AC codes) rather than the
+Annex K defaults; decoders (including ours) read tables from the DHT
+segments, so the stream is fully conformant JPEG.
 
 This is a correctness-first reference path: the per-bit Python Huffman
 loop is fine for the small fixtures the oracle query ships; production
@@ -208,13 +213,20 @@ def encode_jpeg(
     quant: np.ndarray | None = None,
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Encode an HxW (grayscale) or HxWx3 (RGB) uint8 array as baseline
-    sequential JFIF with one shared quant + Huffman table set.
-    ``subsampling``: "4:4:4" or "4:2:0" (chroma box-averaged 2x2 — the
-    dominant real-web layout).  ``restart_interval`` > 0 emits a DRI
-    segment and RSTn markers every that-many MCUs (DC predictors
-    reset, bitstream byte-aligned)."""
+    """Encode an HxW (grayscale) or HxWx3 (RGB) uint8 array as JFIF with
+    one shared quant + Huffman table set.  ``subsampling``: "4:4:4" or
+    "4:2:0" (chroma box-averaged 2x2 — the dominant real-web layout).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that-many MCUs (DC predictors reset, bitstream byte-aligned;
+    baseline only).  ``progressive=True`` emits SOF2 with a
+    libjpeg-like scan script — interleaved DC first, per-component
+    spectral AC bands, successive-approximation refinement passes on
+    both DC and AC — encoding the SAME quantized coefficients, so the
+    decoded pixels are bit-identical to the baseline encoding."""
+    if progressive and restart_interval:
+        raise ValueError("restart intervals are supported on the baseline path only")
     img = np.asarray(img)
     if img.ndim == 2:
         comps = [img.astype(np.float64)]
@@ -256,14 +268,14 @@ def encode_jpeg(
     for cid in range(1, ncomp + 1):
         hs, vs = samp[cid - 1]
         sof += bytes([cid, (hs << 4) | vs, 0x00])
-    out += _seg(0xC0, sof)  # SOF0 baseline
+    out += _seg(0xC2 if progressive else 0xC0, sof)  # SOF0 baseline / SOF2
+    ac_counts = _PAC_COUNTS if progressive else _AC_COUNTS
+    ac_symbols = _PAC_SYMBOLS if progressive else _AC_SYMBOLS
     out += _seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMBOLS)  # DHT DC0
-    out += _seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + _AC_SYMBOLS)  # DHT AC0
-    sos = bytes([ncomp]) + b"".join(bytes([cid, 0x00]) for cid in range(1, ncomp + 1))
-    out += _seg(0xDA, sos + bytes([0x00, 0x3F, 0x00]))
+    out += _seg(0xC4, bytes([0x10]) + bytes(ac_counts) + ac_symbols)  # DHT AC0
 
     dc_codes = _build_codes(_DC_COUNTS, _DC_SYMBOLS)
-    ac_codes = _build_codes(_AC_COUNTS, _AC_SYMBOLS)
+    ac_codes = _build_codes(ac_counts, ac_symbols)
     enc_dc = {sym: code for (length, code), sym in dc_codes.items()}
     enc_dc_len = {sym: length for (length, code), sym in dc_codes.items()}
     enc_ac = {sym: code for (length, code), sym in ac_codes.items()}
@@ -275,6 +287,27 @@ def encode_jpeg(
     for (hs, vs), c in zip(samp, comps):
         ph, pw = mcuy * 8 * vs, mcux * 8 * hs
         padded.append(np.pad(c, ((0, ph - c.shape[0]), (0, pw - c.shape[1])), mode="edge"))
+
+    if progressive:
+        qz_grids = []
+        for (hs, vs), comp in zip(samp, padded):
+            bh_, bw2 = comp.shape[0] // 8, comp.shape[1] // 8
+            blocks = comp.reshape(bh_, 8, bw2, 8).transpose(0, 2, 1, 3)
+            coef = np.einsum("ab,ijbc,cd->ijad", _M, blocks - 128.0, _M.T)
+            qz_grids.append(
+                np.round(coef / q).astype(np.int64).reshape(bh_, bw2, 64)[:, :, _ZIGZAG]
+            )
+        # component pixel dims -> ceil-block grids for the AC scans
+        cw_ch = [(-(-w * hs // H), -(-h * vs // V)) for hs, vs in samp]
+        out += _encode_progressive(
+            qz_grids, samp, ncomp, mcux, mcuy, cw_ch,
+            (enc_dc, enc_dc_len, enc_ac, enc_ac_len),
+        )
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    sos = bytes([ncomp]) + b"".join(bytes([cid, 0x00]) for cid in range(1, ncomp + 1))
+    out += _seg(0xDA, sos + bytes([0x00, 0x3F, 0x00]))
 
     bw = _BitWriter()
     prev_dc = [0] * ncomp
@@ -301,11 +334,415 @@ def encode_jpeg(
     return bytes(out)
 
 
+# -------------------------------------------------- progressive decoder
+
+
+class _ProgressiveState:
+    """Coefficient accumulator for progressive JPEG (T.81 G.2): each SOS
+    scan deposits a spectral band (Ss..Se) at a precision (Ah/Al) into
+    per-component zigzag-order coefficient grids; ``reconstruct``
+    dequantizes + IDCTs once at the end.
+
+    Supports interleaved DC scans, non-interleaved AC scans, successive
+    approximation on both (first + refinement passes), cross-block EOB
+    runs, and restart markers (DC predictor + EOB-run reset)."""
+
+    def __init__(self, frame):
+        h, w, fcomps = frame
+        self.h, self.w, self.fcomps = h, w, fcomps
+        self.H = max(c[1] for c in fcomps)
+        self.V = max(c[2] for c in fcomps)
+        self.mcux = -(-w // (8 * self.H))
+        self.mcuy = -(-h // (8 * self.V))
+        # coefficient grids sized to the MCU-padded geometry; zigzag order
+        self.coefs = [
+            np.zeros((self.mcuy * vs, self.mcux * hs, 64), dtype=np.int32)
+            for _, hs, vs, _ in fcomps
+        ]
+        self.eobrun = 0
+
+    def _comp_index(self, cid: int) -> int:
+        for i, (c, *_rest) in enumerate(self.fcomps):
+            if c == cid:
+                return i
+        raise ValueError(f"scan references unknown component id {cid}")
+
+    # ---- per-block scan primitives (T.81 G.2 / libjpeg jdphuff shapes)
+
+    def _dc_first(self, r, blk, dc_codes, pred, ci, al):
+        size = _read_code(r, dc_codes)
+        diff = _extend(r.bits(size), size)
+        pred[ci] += diff
+        blk[0] = pred[ci] << al
+
+    def _dc_refine(self, r, blk, al):
+        if r.bit():
+            blk[0] = int(blk[0]) | (1 << al)
+
+    def _ac_first(self, r, blk, ac_codes, ss, se, al):
+        if self.eobrun > 0:
+            self.eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            sym = _read_code(r, ac_codes)
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                self.eobrun = (1 << run) - 1
+                if run:
+                    self.eobrun += r.bits(run)
+                return
+            k += run
+            if k > se:
+                raise ValueError("AC run past band end")
+            blk[k] = _extend(r.bits(size), size) << al
+            k += 1
+
+    def _ac_refine(self, r, blk, ac_codes, ss, se, al):
+        p1 = 1 << al
+
+        def correct(k):
+            v = int(blk[k])
+            if r.bit() and (abs(v) & p1) == 0:
+                blk[k] = v + p1 if v > 0 else v - p1
+
+        k = ss
+        if self.eobrun == 0:
+            while k <= se:
+                sym = _read_code(r, ac_codes)
+                run, size = sym >> 4, sym & 0x0F
+                newval = 0
+                if size == 0:
+                    if run != 15:  # EOBn
+                        self.eobrun = 1 << run
+                        if run:
+                            self.eobrun += r.bits(run)
+                        break
+                    # ZRL: skip 16 zero-history positions
+                else:
+                    if size != 1:
+                        raise ValueError("AC refinement size must be 1")
+                    newval = p1 if r.bit() else -p1
+                # advance over `run` zero-history coefficients; nonzero-
+                # history positions receive correction bits and do not
+                # count toward the run
+                while k <= se:
+                    if int(blk[k]) != 0:
+                        correct(k)
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+        if self.eobrun > 0:
+            while k <= se:
+                if int(blk[k]) != 0:
+                    correct(k)
+                k += 1
+            self.eobrun -= 1
+
+    # ---- whole-scan driver
+
+    def decode_scan(self, data, scan, ss, se, ah, al, htables, restart_interval):
+        r = _BitReader(data)
+        self.eobrun = 0
+        is_dc = ss == 0
+        if is_dc and se != 0:
+            raise ValueError("progressive scan cannot mix DC and AC bands")
+        if not is_dc and len(scan) != 1:
+            raise ValueError("progressive AC scans must be non-interleaved")
+        pred = [0] * len(self.fcomps)
+        rst = 0
+        units = 0
+
+        def maybe_restart():
+            nonlocal rst, pred
+            if restart_interval and units and units % restart_interval == 0:
+                r.expect_rst(rst)
+                rst += 1
+                pred = [0] * len(self.fcomps)
+                self.eobrun = 0
+
+        if is_dc and len(scan) > 1:
+            # interleaved DC scan over the MCU grid
+            tds = {}
+            for cid, td, _ta in scan:
+                tds[self._comp_index(cid)] = htables[(0, td)]
+            for mcu in range(self.mcuy * self.mcux):
+                maybe_restart()
+                units += 1
+                by, bx = divmod(mcu, self.mcux)
+                for ci, (_cid, hs, vs, _tq) in enumerate(self.fcomps):
+                    for v in range(vs):
+                        for hh in range(hs):
+                            blk = self.coefs[ci][by * vs + v, bx * hs + hh]
+                            if ah == 0:
+                                self._dc_first(r, blk, tds[ci], pred, ci, al)
+                            else:
+                                self._dc_refine(r, blk, al)
+            return
+        # non-interleaved scan (single component): block grid is the
+        # component's OWN ceil(cw/8) x ceil(ch/8), not the MCU-padded one
+        cid, td, ta = scan[0]
+        ci = self._comp_index(cid)
+        _c, hs, vs, _tq = self.fcomps[ci]
+        cw = -(-self.w * hs // self.H)
+        ch = -(-self.h * vs // self.V)
+        bw_, bh_ = -(-cw // 8), -(-ch // 8)
+        dc_codes = htables.get((0, td)) if is_dc else None
+        ac_codes = htables.get((1, ta)) if not is_dc else None
+        for bi in range(bh_ * bw_):
+            maybe_restart()
+            units += 1
+            by, bx = divmod(bi, bw_)
+            blk = self.coefs[ci][by, bx]
+            if is_dc:
+                if ah == 0:
+                    self._dc_first(r, blk, dc_codes, pred, ci, al)
+                else:
+                    self._dc_refine(r, blk, al)
+            elif ah == 0:
+                self._ac_first(r, blk, ac_codes, ss, se, al)
+            else:
+                self._ac_refine(r, blk, ac_codes, ss, se, al)
+
+    # ---- final reconstruction
+
+    def reconstruct(self, qtables):
+        h, w = self.h, self.w
+        planes = []
+        for (cid, hs, vs, tq), zz in zip(self.fcomps, self.coefs):
+            q = qtables[tq].reshape(-1)[_ZIGZAG]  # quant in zigzag order
+            deq = zz.astype(np.float64) * q  # (by, bx, 64) zigzag
+            rast = np.zeros_like(deq)
+            rast[:, :, _ZIGZAG] = deq
+            blocks = rast.reshape(rast.shape[0], rast.shape[1], 8, 8)
+            # IDCT all blocks at once: M.T @ B @ M
+            px = np.einsum("ab,ijbc,cd->ijad", _M.T, blocks, _M) + 128.0
+            plane = px.transpose(0, 2, 1, 3).reshape(
+                blocks.shape[0] * 8, blocks.shape[1] * 8
+            )
+            cw_ = -(-w * hs // self.H)
+            ch_ = -(-h * vs // self.V)
+            plane = plane[:ch_, :cw_]
+            if hs != self.H or vs != self.V:
+                plane = np.repeat(np.repeat(plane, self.V // vs, axis=0), self.H // hs, axis=1)
+            planes.append(plane[:h, :w])
+        ncomp = len(planes)
+        if ncomp == 1:
+            px = planes[0][..., None]
+        elif ncomp == 3:
+            y, cb, cr = planes
+            rr = y + 1.402 * (cr - 128.0)
+            gg = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            bb = y + 1.772 * (cb - 128.0)
+            px = np.stack([rr, gg, bb], axis=2)
+        else:
+            raise ValueError(f"{ncomp}-component JPEG unsupported")
+        px = np.clip(np.round(px), 0, 255)
+        return w, h, ncomp, (px / 255.0).astype(np.float32)
+
+
+# ------------------------------------------------- progressive encoder
+
+# progressive AC tables need the EOBn symbols (n<<4, n=1..14) on top of
+# the baseline set; everything sits in one 8-bit-length bucket
+_PAC_SYMBOLS = bytes(
+    [n << 4 for n in range(15)]  # EOB0..EOB14 (0x00 is EOB0)
+    + [0xF0]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+_PAC_COUNTS = [0, 0, 0, 0, 0, 0, 0, len(_PAC_SYMBOLS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+class _ScanWriter:
+    """Per-scan entropy writer with cross-block EOB-run + buffered
+    correction bits (the encoder mirror of T.81 G.2 / libjpeg
+    jcphuff)."""
+
+    def __init__(self, enc_dc, enc_dc_len, enc_ac, enc_ac_len):
+        self.bw = _BitWriter()
+        self.enc_dc, self.enc_dc_len = enc_dc, enc_dc_len
+        self.enc_ac, self.enc_ac_len = enc_ac, enc_ac_len
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush_eobrun(self):
+        if self.eobrun > 0:
+            n = self.eobrun.bit_length() - 1
+            sym = n << 4
+            self.bw.write(self.enc_ac[sym], self.enc_ac_len[sym])
+            if n:
+                self.bw.write(self.eobrun - (1 << n), n)
+            for b in self.pending:
+                self.bw.write(b, 1)
+            self.pending = []
+            self.eobrun = 0
+
+    def dc_first(self, dc_shifted: int, pred: list, ci: int):
+        diff = dc_shifted - pred[ci]
+        pred[ci] = dc_shifted
+        size = _category(diff)
+        self.bw.write(self.enc_dc[size], self.enc_dc_len[size])
+        if size:
+            amp = diff if diff > 0 else diff + (1 << size) - 1
+            self.bw.write(amp, size)
+
+    def dc_refine(self, bit: int):
+        self.bw.write(bit, 1)
+
+    def ac_first(self, zz, ss: int, se: int, al: int):
+        vals = [
+            (int(np.sign(zz[k])) * (abs(int(zz[k])) >> al)) for k in range(ss, se + 1)
+        ]
+        last_nz = -1
+        for i, v in enumerate(vals):
+            if v:
+                last_nz = i
+        if last_nz < 0:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+            return
+        self.flush_eobrun()
+        run = 0
+        for i in range(last_nz + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                self.bw.write(self.enc_ac[0xF0], self.enc_ac_len[0xF0])
+                run -= 16
+            size = _category(v)
+            sym = (run << 4) | size
+            self.bw.write(self.enc_ac[sym], self.enc_ac_len[sym])
+            amp = v if v > 0 else v + (1 << size) - 1
+            self.bw.write(amp, size)
+            run = 0
+        if last_nz < se - ss:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+
+    def ac_refine(self, zz, ss: int, se: int, al: int):
+        r = 0
+        br: list[int] = []
+        for k in range(ss, se + 1):
+            a = abs(int(zz[k])) >> al
+            if a == 0:
+                r += 1
+                continue
+            if a > 1:  # already significant at Ah: buffer correction bit
+                br.append(a & 1)
+                continue
+            # newly significant (magnitude exactly 1 at this precision)
+            self.flush_eobrun()
+            while r > 15:
+                self.bw.write(self.enc_ac[0xF0], self.enc_ac_len[0xF0])
+                for b in br:
+                    self.bw.write(b, 1)
+                br = []
+                r -= 16
+            sym = (r << 4) | 1
+            self.bw.write(self.enc_ac[sym], self.enc_ac_len[sym])
+            self.bw.write(1 if int(zz[k]) > 0 else 0, 1)
+            for b in br:
+                self.bw.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            self.eobrun += 1
+            self.pending.extend(br)
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+
+    def finish(self) -> bytes:
+        self.flush_eobrun()
+        self.bw.flush()
+        return bytes(self.bw.buf)
+
+
+def _encode_progressive(qz_grids, samp, ncomp, mcux, mcuy, cw_ch, enc_tabs) -> bytes:
+    """Emit the scan sequence (a libjpeg-like script): interleaved DC
+    first (Al=1), per-component AC bands (Ss 1-5 then 6-63, Al=2), AC
+    refinement 2→1, DC refinement, AC refinement 1→0."""
+    enc_dc, enc_dc_len, enc_ac, enc_ac_len = enc_tabs
+    out = bytearray()
+
+    def sos_header(comps_in_scan, ss, se, ah, al) -> bytes:
+        body = bytes([len(comps_in_scan)])
+        for cid in comps_in_scan:
+            body += bytes([cid, 0x00])  # DC table 0 / AC table 0
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def new_writer() -> _ScanWriter:
+        return _ScanWriter(enc_dc, enc_dc_len, enc_ac, enc_ac_len)
+
+    # 1. DC first, all components, Al=1
+    sw = new_writer()
+    pred = [0] * ncomp
+    for mcu in range(mcuy * mcux):
+        by, bx = divmod(mcu, mcux)
+        for ci in range(ncomp):
+            hs, vs = samp[ci]
+            for v in range(vs):
+                for hh in range(hs):
+                    dc = int(qz_grids[ci][by * vs + v, bx * hs + hh, 0])
+                    sw.dc_first(dc >> 1, pred, ci)
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 0, 1) + sw.finish()
+
+    def ac_scan(ci, ss, se, ah, al):
+        sw = new_writer()
+        cw, ch = cw_ch[ci]
+        bw_, bh_ = -(-cw // 8), -(-ch // 8)
+        for bi in range(bh_ * bw_):
+            by, bx = divmod(bi, bw_)
+            zz = qz_grids[ci][by, bx]
+            if ah == 0:
+                sw.ac_first(zz, ss, se, al)
+            else:
+                sw.ac_refine(zz, ss, se, al)
+        return sos_header([ci + 1], ss, se, ah, al) + sw.finish()
+
+    # 2-3. AC first passes at Al=2, split spectral bands
+    for ci in range(ncomp):
+        out += ac_scan(ci, 1, 5, 0, 2)
+        out += ac_scan(ci, 6, 63, 0, 2)
+    # 4. AC refinement 2 -> 1
+    for ci in range(ncomp):
+        out += ac_scan(ci, 1, 63, 2, 1)
+    # 5. DC refinement (bit 0)
+    sw = new_writer()
+    for mcu in range(mcuy * mcux):
+        by, bx = divmod(mcu, mcux)
+        for ci in range(ncomp):
+            hs, vs = samp[ci]
+            for v in range(vs):
+                for hh in range(hs):
+                    sw.dc_refine(int(qz_grids[ci][by * vs + v, bx * hs + hh, 0]) & 1)
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 1, 0) + sw.finish()
+    # 6. AC refinement 1 -> 0
+    for ci in range(ncomp):
+        out += ac_scan(ci, 1, 63, 1, 0)
+    return bytes(out)
+
+
 # --------------------------------------------------------------- decoder
 
 def decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Decode baseline JFIF → (width, height, channels, float32 pixels
-    HxWxC in [0,1]).  Same return contract as decode_bmp/decode_ppm."""
+    """Decode JFIF → (width, height, channels, float32 pixels HxWxC in
+    [0,1]).  Baseline sequential (SOF0/SOF1) takes the one-scan fast
+    path below; progressive (SOF2 — the other dominant real-web layout)
+    accumulates coefficients across its DC/AC spectral-selection and
+    successive-approximation scans and reconstructs at the end.  Same
+    return contract as decode_bmp/decode_ppm."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG file (no SOI)")
     pos = 2
@@ -314,6 +751,8 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     frame = None  # (h, w, [(cid, hq, vq, tq)])
     scan = None
     restart_interval = 0
+    progressive = False
+    prog = None  # _ProgressiveState
 
     while pos < len(blob):
         if blob[pos] != 0xFF:
@@ -355,7 +794,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
                 symbols = body[bp : bp + nsym]
                 bp += nsym
                 htables[(tc, th)] = _build_codes(counts, symbols)
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -367,16 +806,31 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
                     raise ValueError(f"invalid sampling factors {hs}x{vs}")
                 comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(f"non-baseline SOF 0x{marker:02X} unsupported")
+            progressive = marker == 0xC2
+            if progressive:
+                prog = _ProgressiveState(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"SOF 0x{marker:02X} unsupported (lossless/arithmetic/hierarchical)")
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = body[0]
             scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F) for i in range(ns)]
+            if progressive:
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                end = _entropy_end(blob, pos)
+                prog.decode_scan(
+                    blob[pos:end], scan, ss, se, ahal >> 4, ahal & 0x0F,
+                    htables, restart_interval,
+                )
+                pos = end
+                continue
             break
         # APPn / COM / others: skip
 
+    if progressive:
+        return prog.reconstruct(qtables)
     if frame is None or scan is None:
         raise ValueError("missing SOF0/SOS")
     h, w, fcomps = frame

@@ -1137,3 +1137,64 @@ def test_batch_encoder_splits_giant_batches(ray_session, tmp_path):
     got = decode_partitions(out, concurrency=2).to_pandas().sort_values("k").reset_index(drop=True)
     assert got["k"].tolist() == list(range(64))
     assert all(bytes(b) == blob for b in got["payload"])
+
+
+# ---------------------------------------------------- progressive JPEG
+
+
+def test_progressive_jpeg_matches_baseline_decode():
+    """Progressive (SOF2) and baseline encodings of one image carry the
+    SAME quantized coefficients, so decoded pixels must be bit-identical
+    — across gray/RGB, 4:2:0 with odd dims, and a real quant table whose
+    zero-heavy blocks exercise cross-block EOB runs and the successive-
+    approximation refinement scans."""
+    import numpy as np
+    import pytest
+
+    from supersonic_ray.codecs.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(9)
+    q = np.array(
+        [[16, 11, 10, 16, 24, 40, 51, 61], [12, 12, 14, 19, 26, 58, 60, 55],
+         [14, 13, 16, 24, 40, 57, 69, 56], [14, 17, 22, 29, 51, 87, 80, 62],
+         [18, 22, 37, 56, 68, 109, 103, 77], [24, 35, 55, 64, 81, 104, 113, 92],
+         [49, 64, 78, 87, 103, 121, 120, 101], [72, 92, 95, 98, 112, 100, 103, 99]]
+    )
+    cases = [
+        dict(img=np.full((12, 17), 77, dtype=np.uint8)),
+        dict(img=rng.integers(0, 256, (23, 31)).astype(np.uint8)),
+        dict(img=rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)),
+        dict(img=rng.integers(0, 256, (21, 37, 3)).astype(np.uint8), subsampling="4:2:0"),
+        dict(img=rng.integers(100, 140, (64, 80)).astype(np.uint8), quant=q),
+    ]
+    for kw in cases:
+        pb = encode_jpeg(progressive=True, **kw)
+        bb = encode_jpeg(progressive=False, **kw)
+        assert pb[:2] == b"\xff\xd8" and b"\xff\xc2" in pb and b"\xff\xc2" not in bb
+        wp, hp, cp, pxp = decode_jpeg(pb)
+        wb, hb, cb_, pxb = decode_jpeg(bb)
+        assert (wp, hp, cp) == (wb, hb, cb_)
+        assert np.array_equal(pxp, pxb)
+
+    # constant blocks under unit quant decode EXACTLY
+    img = np.full((9, 13), 201, dtype=np.uint8)
+    _, _, _, px = decode_jpeg(encode_jpeg(img, progressive=True))
+    assert np.allclose(px * 255.0, 201)
+
+    with pytest.raises(ValueError):
+        encode_jpeg(img, progressive=True, restart_interval=2)
+
+
+def test_progressive_jpeg_in_mjpeg_stream():
+    """split_mjpeg must demux frames with MULTIPLE SOS segments
+    (progressive) just as exactly as baseline frames."""
+    import numpy as np
+
+    from supersonic_ray.codecs.jpeg import decode_jpeg, encode_jpeg, split_mjpeg
+
+    a = encode_jpeg(np.full((8, 8), 50, dtype=np.uint8), progressive=True)
+    b = encode_jpeg(np.full((8, 8), 90, dtype=np.uint8))
+    out = split_mjpeg(a + b + a)
+    assert [len(f) for f in out] == [len(a), len(b), len(a)]
+    grays = [int(round(float(decode_jpeg(f)[3].mean()) * 255)) for f in out]
+    assert grays == [50, 90, 50]
