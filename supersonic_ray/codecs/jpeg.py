@@ -161,6 +161,89 @@ def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
+# ------------------------------------------------- Annex K default tables
+#
+# The "typical" Huffman tables from T.81 Annex K (K.3.3).  Old-school
+# MJPEG-in-AVI streams famously OMIT their DHT segments and expect the
+# decoder to assume these; decode falls back to them for any table id
+# the stream never defined.
+
+_K_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], bytes(range(12)))
+_K_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], bytes(range(12)))
+_K_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    bytes([
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ]),
+)
+_K_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    bytes([
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ]),
+)
+_ANNEX_K = {
+    (0, 0): _K_DC_LUMA,
+    (0, 1): _K_DC_CHROMA,
+    (1, 0): _K_AC_LUMA,
+    (1, 1): _K_AC_CHROMA,
+}
+
+
+def _htable(htables: dict, tc: int, th: int) -> dict:
+    """Huffman table lookup with the Annex K fallback for DHT-less
+    streams (old MJPEG-in-AVI)."""
+    t = htables.get((tc, th))
+    if t is not None:
+        return t
+    k = _ANNEX_K.get((tc, th))
+    if k is None:
+        raise ValueError(f"stream uses undefined Huffman table (class {tc}, id {th})")
+    t = _build_codes(*k)
+    htables[(tc, th)] = t
+    return t
+
+
 # --------------------------------------------------------------- encoder
 
 # simple valid canonical tables the encoder EMITS into DHT (decoders
@@ -214,6 +297,8 @@ def encode_jpeg(
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
     progressive: bool = False,
+    tables: str = "custom",
+    omit_dht: bool = False,
 ) -> bytes:
     """Encode an HxW (grayscale) or HxWx3 (RGB) uint8 array as JFIF with
     one shared quant + Huffman table set.  ``subsampling``: "4:4:4" or
@@ -227,6 +312,12 @@ def encode_jpeg(
     decoded pixels are bit-identical to the baseline encoding."""
     if progressive and restart_interval:
         raise ValueError("restart intervals are supported on the baseline path only")
+    if tables not in ("custom", "annex_k"):
+        raise ValueError(f"tables must be 'custom' or 'annex_k', got {tables!r}")
+    if tables == "annex_k" and progressive:
+        raise ValueError("annex_k tables lack the EOBn>0 symbols progressive scans emit")
+    if omit_dht and tables != "annex_k":
+        raise ValueError("omit_dht requires tables='annex_k' (decoders assume Annex K)")
     img = np.asarray(img)
     if img.ndim == 2:
         comps = [img.astype(np.float64)]
@@ -269,17 +360,40 @@ def encode_jpeg(
         hs, vs = samp[cid - 1]
         sof += bytes([cid, (hs << 4) | vs, 0x00])
     out += _seg(0xC2 if progressive else 0xC0, sof)  # SOF0 baseline / SOF2
-    ac_counts = _PAC_COUNTS if progressive else _AC_COUNTS
-    ac_symbols = _PAC_SYMBOLS if progressive else _AC_SYMBOLS
-    out += _seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMBOLS)  # DHT DC0
-    out += _seg(0xC4, bytes([0x10]) + bytes(ac_counts) + ac_symbols)  # DHT AC0
+    if tables == "annex_k":
+        # per-class tables: id 0 = luma (component 0), id 1 = chroma;
+        # omit_dht leaves the stream table-less (old MJPEG-in-AVI),
+        # relying on the decoder's Annex K fallback
+        table_sets = [
+            (_build_codes(*_K_DC_LUMA), _build_codes(*_K_AC_LUMA)),
+            (_build_codes(*_K_DC_CHROMA), _build_codes(*_K_AC_CHROMA)),
+        ]
+        if not omit_dht:
+            out += _seg(0xC4, bytes([0x00]) + bytes(_K_DC_LUMA[0]) + _K_DC_LUMA[1])
+            out += _seg(0xC4, bytes([0x10]) + bytes(_K_AC_LUMA[0]) + _K_AC_LUMA[1])
+            out += _seg(0xC4, bytes([0x01]) + bytes(_K_DC_CHROMA[0]) + _K_DC_CHROMA[1])
+            out += _seg(0xC4, bytes([0x11]) + bytes(_K_AC_CHROMA[0]) + _K_AC_CHROMA[1])
+    else:
+        ac_counts = _PAC_COUNTS if progressive else _AC_COUNTS
+        ac_symbols = _PAC_SYMBOLS if progressive else _AC_SYMBOLS
+        out += _seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMBOLS)  # DHT DC0
+        out += _seg(0xC4, bytes([0x10]) + bytes(ac_counts) + ac_symbols)  # DHT AC0
+        table_sets = [(_build_codes(_DC_COUNTS, _DC_SYMBOLS), _build_codes(ac_counts, ac_symbols))]
 
-    dc_codes = _build_codes(_DC_COUNTS, _DC_SYMBOLS)
-    ac_codes = _build_codes(ac_counts, ac_symbols)
-    enc_dc = {sym: code for (length, code), sym in dc_codes.items()}
-    enc_dc_len = {sym: length for (length, code), sym in dc_codes.items()}
-    enc_ac = {sym: code for (length, code), sym in ac_codes.items()}
-    enc_ac_len = {sym: length for (length, code), sym in ac_codes.items()}
+    def enc_maps(ti):
+        dc_codes, ac_codes = table_sets[min(ti, len(table_sets) - 1)]
+        return (
+            {sym: code for (length, code), sym in dc_codes.items()},
+            {sym: length for (length, code), sym in dc_codes.items()},
+            {sym: code for (length, code), sym in ac_codes.items()},
+            {sym: length for (length, code), sym in ac_codes.items()},
+        )
+
+    # component ci uses table id 0 (luma) for ci == 0 else 1 (chroma)
+    # when two table sets exist; a single shared set otherwise
+    comp_tabs = [enc_maps(0 if ci == 0 else 1) for ci in range(ncomp)]
+    comp_tids = [0 if (ci == 0 or len(table_sets) == 1) else 1 for ci in range(ncomp)]
+    enc_dc, enc_dc_len, enc_ac, enc_ac_len = comp_tabs[0]
 
     mcux, mcuy = -(-w // (8 * H)), -(-h // (8 * V))
     # edge-replicate pad each component plane to its MCU multiple
@@ -306,7 +420,10 @@ def encode_jpeg(
         out += b"\xff\xd9"
         return bytes(out)
 
-    sos = bytes([ncomp]) + b"".join(bytes([cid, 0x00]) for cid in range(1, ncomp + 1))
+    sos = bytes([ncomp]) + b"".join(
+        bytes([cid, (comp_tids[cid - 1] << 4) | comp_tids[cid - 1]])
+        for cid in range(1, ncomp + 1)
+    )
     out += _seg(0xDA, sos + bytes([0x00, 0x3F, 0x00]))
 
     bw = _BitWriter()
@@ -324,9 +441,10 @@ def encode_jpeg(
                 for hh in range(hs):
                     yy = (by * vs + v) * 8
                     xx = (bx * hs + hh) * 8
+                    cdc, cdl, cac, cal = comp_tabs[ci]
                     _encode_block(
                         bw, comp[yy : yy + 8, xx : xx + 8], q,
-                        enc_dc, enc_dc_len, enc_ac, enc_ac_len, prev_dc, ci,
+                        cdc, cdl, cac, cal, prev_dc, ci,
                     )
     bw.flush()
     out += bw.buf
@@ -473,7 +591,7 @@ class _ProgressiveState:
             # interleaved DC scan over the MCU grid
             tds = {}
             for cid, td, _ta in scan:
-                tds[self._comp_index(cid)] = htables[(0, td)]
+                tds[self._comp_index(cid)] = _htable(htables, 0, td)
             for mcu in range(self.mcuy * self.mcux):
                 maybe_restart()
                 units += 1
@@ -495,8 +613,8 @@ class _ProgressiveState:
         cw = -(-self.w * hs // self.H)
         ch = -(-self.h * vs // self.V)
         bw_, bh_ = -(-cw // 8), -(-ch // 8)
-        dc_codes = htables.get((0, td)) if is_dc else None
-        ac_codes = htables.get((1, ta)) if not is_dc else None
+        dc_codes = _htable(htables, 0, td) if is_dc else None
+        ac_codes = _htable(htables, 1, ta) if not is_dc else None
         for bi in range(bh_ * bw_):
             maybe_restart()
             units += 1
@@ -854,7 +972,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     for (cid, hs, vs, tq), (scid, td, ta) in zip(fcomps, scan):
         if cid != scid:
             raise ValueError("scan component order differs from frame")
-        comp_info.append((qtables[tq], htables[(0, td)], htables[(1, ta)], hs, vs))
+        comp_info.append((qtables[tq], _htable(htables, 0, td), _htable(htables, 1, ta), hs, vs))
 
     def read_block(q, dc_codes, ac_codes, ci) -> np.ndarray:
         zz = np.zeros(64, dtype=np.int64)

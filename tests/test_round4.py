@@ -1198,3 +1198,33 @@ def test_progressive_jpeg_in_mjpeg_stream():
     assert [len(f) for f in out] == [len(a), len(b), len(a)]
     grays = [int(round(float(decode_jpeg(f)[3].mean()) * 255)) for f in out]
     assert grays == [50, 90, 50]
+
+
+def test_annex_k_tables_and_dhtless_decode():
+    """Annex K default Huffman tables: encoder can emit streams coded
+    with them (with or WITHOUT DHT segments — old MJPEG-in-AVI omits
+    DHT entirely); the decoder falls back to Annex K for undefined
+    table ids, so all three variants decode identically."""
+    import numpy as np
+    import pytest
+
+    from supersonic_ray.codecs.jpeg import _ANNEX_K, _build_codes, decode_jpeg, encode_jpeg
+
+    for counts, syms in _ANNEX_K.values():
+        assert sum(counts) == len(syms)
+        assert len(_build_codes(counts, syms)) == len(syms)
+
+    rng = np.random.default_rng(4)
+    for shape, sub in [((19, 27), "4:4:4"), ((21, 33, 3), "4:2:0")]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        custom = decode_jpeg(encode_jpeg(img, subsampling=sub))[3]
+        dhtless_blob = encode_jpeg(img, subsampling=sub, tables="annex_k", omit_dht=True)
+        assert b"\xff\xc4" not in dhtless_blob[:200]
+        assert np.array_equal(custom, decode_jpeg(dhtless_blob)[3])
+        withk = decode_jpeg(encode_jpeg(img, subsampling=sub, tables="annex_k"))[3]
+        assert np.array_equal(custom, withk)
+
+    with pytest.raises(ValueError):
+        encode_jpeg(img, tables="annex_k", progressive=True)
+    with pytest.raises(ValueError):
+        encode_jpeg(img, omit_dht=True)
