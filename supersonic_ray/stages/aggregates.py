@@ -46,6 +46,20 @@ _UDAFS: dict = {}
 # loudly instead of OOMing the driver.
 SCALAR_COLLECT_LIMIT = 2_000_000
 
+# int8 markers for the value-partial types (fix_up restores a column
+# that degraded to Arrow's null type after an all-NULL merge block)
+_MARKER_TYPES = {
+    0: pa.int64(),
+    1: pa.float64(),
+    2: pa.int32(),
+    3: pa.float32(),
+    4: pa.uint64(),
+    5: pa.uint32(),
+    6: pa.timestamp("us"),
+    7: pa.date32(),
+}
+_TYPE_MARKERS = {t: m for m, t in _MARKER_TYPES.items()}
+
 
 def register_udaf(name: str, fn) -> None:
     """Custom aggregator plug-in (reference's expression-level
@@ -269,6 +283,16 @@ def _group_aggregate_partial(ds, keys: list[str], specs: list[AggSpec]):
                 cols[f"__pn_{s.alias}"] = out.column(f"{s.column}_count")
         if count_star:
             cols["__p_rows"] = out.column("count_all")
+        # type markers for the value partials: Ray's final Sum/Min/Max
+        # yields None for an all-NULL group, and a block where EVERY
+        # group is None comes back as a NULL-TYPED column — which poisons
+        # schema unification and Acero join probes downstream.  An int8
+        # marker (merged with Max) lets fix_up restore the real type.
+        nrows = len(next(iter(cols.values()))) if cols else 0
+        for s in specs:
+            if s.fn in ("sum", "min", "max", "mean"):
+                m = _TYPE_MARKERS.get(cols[f"__p_{s.alias}"].type, 1)
+                cols[f"__ty_{s.alias}"] = pa.array(np.full(nrows, m, dtype=np.int8))
         res = pa.table(cols)
         # NULL group keys: Ray's exchange can't sort None against
         # strings, so partials carry an is-null indicator per key and a
@@ -311,10 +335,26 @@ def _group_aggregate_partial(ds, keys: list[str], specs: list[AggSpec]):
             aggs.append(Min(p, alias_name=s.alias))
         elif s.fn == "max":
             aggs.append(Max(p, alias_name=s.alias))
+    ty_aliases = [s.alias for s in specs if s.fn in ("sum", "min", "max", "mean")]
+    for alias in ty_aliases:
+        aggs.append(Max(f"__ty_{alias}", alias_name=f"__ty_{alias}"))
     kn_cols = [f"__kn_{i}" for i in range(len(keys))]
     out = partials.groupby(keys + kn_cols).aggregate(*aggs)
 
     def fix_up(batch: pa.Table) -> pa.Table:
+        # restore value-column types lost to all-NULL blocks (see the
+        # marker comment in partial); markers then drop
+        for alias in ty_aliases:
+            col = batch.column(alias)
+            if pa.types.is_null(col.type):
+                m = batch.column(f"__ty_{alias}")
+                mv = m[0].as_py() if batch.num_rows else 1
+                batch = batch.set_column(
+                    batch.column_names.index(alias),
+                    alias,
+                    col.cast(_MARKER_TYPES.get(mv, pa.float64())),
+                )
+        batch = batch.drop_columns([f"__ty_{a}" for a in ty_aliases])
         for i, k in enumerate(keys):
             kn = batch.column(f"__kn_{i}")
             if pc.sum(kn).as_py():
