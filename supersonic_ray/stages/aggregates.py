@@ -677,8 +677,25 @@ def _group_aggregate_mixed(ds, keys: list[str], specs: list[AggSpec]):
     fills = {alias: fill for _c, alias, fill in components if fill is not None}
     final_cols = orig_keys + [s.alias for s in specs]
     int_aliases = [s.alias for s in specs if s.fn == "count"]
+    # an ENTIRELY empty component (e.g. DISTINCT over an all-NULL column)
+    # loses its schema in Ray, so the left-outer merge contributes no
+    # column at all; finalize recreates it as typed NULLs (fills then
+    # apply).  All values are NULL by construction, so only the TYPE is
+    # a choice: counts int64, concat string, everything else float64.
+    alias_null_types = {}
+    for s in specs:
+        if not _is_distributive(s):
+            if s.fn == "count":
+                alias_null_types[s.alias] = pa.int64()
+            elif s.fn == "concat":
+                alias_null_types[s.alias] = pa.string()
+            else:
+                alias_null_types[s.alias] = pa.float64()
 
     def finalize(t: pa.Table) -> pa.Table:
+        for alias, ty in alias_null_types.items():
+            if alias not in t.column_names:
+                t = t.append_column(alias, pa.nulls(t.num_rows, ty))
         # restore NULL group keys from their indicators (round-4 plan)
         for i, k in enumerate(orig_keys):
             if not kn_cols:

@@ -145,6 +145,10 @@ class _BroadcastJoiner:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            # schema-less empty block (Ray's empty-dataset sentinel):
+            # nothing to probe, nothing knowable to emit
+            return batch
         if self._try_index and self._index is None:
             self._build_index(batch.schema.field(self.left_keys[0]).type)
         if self._index is not None:
@@ -244,6 +248,13 @@ def broadcast_hash_join(
         )
     if not suffix:
         raise ValueError("broadcast_hash_join: suffix must be non-empty")
+    if right_table.num_columns == 0:
+        # schema-LOST empty build side (Ray drops the schema of an empty
+        # dataset entirely — zero blocks survive repartition/materialize),
+        # so the right columns are unknowable.  Row semantics are still
+        # exact: inner keeps nothing, left outer keeps every left row;
+        # the missing all-NULL right columns are documented behavior.
+        return ds_left.limit(0) if join_type == INNER else ds_left
     right_ref = ray.put(right_table)
     if right_table.num_rows <= TASK_PROBE_LIMIT_ROWS:
         ck = (
@@ -304,6 +315,22 @@ def partitioned_hash_join(ds_left, ds_right, left_keys, right_keys, join_type: s
     # block and skips the decode map that would degrade it.
     ds_left = drop_empty_blocks(ds_left)
     ds_right = drop_empty_blocks(ds_right)
+    # a side that is empty AND schema-LOST (Ray keeps no schema for a
+    # zero-block dataset) cannot enter Ray's join at all; row semantics
+    # are still exact — the other side's unmatched rows survive outer
+    # joins, minus the unknowable all-NULL columns (documented)
+    l_lost = ds_left.schema() is None and ds_left.count() == 0
+    r_lost = ds_right.schema() is None and ds_right.count() == 0
+    if l_lost or r_lost:
+        if join_type == INNER:
+            return ds_left.limit(0) if l_lost else ds_right.limit(0)
+        if join_type == LEFT_OUTER:
+            return ds_left.limit(0) if l_lost else ds_left
+        if join_type == "right_outer":
+            return ds_right.limit(0) if r_lost else ds_right
+        if l_lost and r_lost:  # full outer of two empties
+            return ds_left.limit(0)
+        return ds_right if l_lost else ds_left
     if num_partitions is None:
         num_partitions = _auto_join_partitions(ds_left, ds_right)
     if ds_left.count():
@@ -397,8 +424,11 @@ def semi_join_auto(
     keys_m = ds_keys.materialize()
     if keys_m.count() <= broadcast_limit:
         tbl = _collect_small(keys_m)
-        if tbl.num_columns:
-            tbl = tbl.select(right_keys)
+        if tbl.num_columns == 0:
+            # schema-lost empty key set (zero blocks): membership is
+            # exactly "nothing matches" — semi keeps none, anti keeps all
+            return ds_left.limit(0) if not anti else ds_left
+        tbl = tbl.select(right_keys)
         fn = anti_join if anti else semi_join
         return fn(ds_left, tbl, left_keys)
     # left_semi/left_anti output is insensitive to duplicate build-side
@@ -496,6 +526,8 @@ def _membership_filter(ds_left, key_values, left_keys: list[str], keep_members: 
     ref = ray.put(key_arr)
 
     def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:  # schema-less empty block sentinel
+            return batch
         idx = _member_index(ref)
         probe = _combined_key(batch, left_keys) if multi else batch.column(left_keys[0])
         vals = probe.to_numpy(zero_copy_only=False)
