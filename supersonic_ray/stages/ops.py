@@ -155,24 +155,32 @@ def limit_offset(ds, limit: int | None = None, offset: int = 0):
     return ds.limit(limit) if limit is not None else ds
 
 
-def sort(ds, keys: list[str], descending: list[bool] | bool = False, nulls_first: bool | None = None):
+def sort(ds, keys: list[str], descending: list[bool] | bool = False, nulls_first: bool | None = None, assume_no_nulls: bool = False):
     """Sort (cursor/core/sort.h:89): multi-key, per-key ASC/DESC.
     Ray Data's range-partitioned distributed sort plays the reference's
     external merge sort (spill via object store).
 
-    nulls_first: explicit NULL placement (the reference partitions NULLs
-    to one end, sort.cc:151-312).  None = substrate default (NOTE: Ray's
-    range-partition boundaries cannot ORDER None against strings — sort
-    keys that may hold NULL strings need explicit nulls_first); True /
-    False is implemented with an is-null indicator column interleaved
-    before each key and a null-FILLED copy of the key itself (placement
-    is decided entirely by the indicator, so the fill constant never
-    affects order), exact per key at any partitioning."""
+    nulls_first: NULL placement (the reference partitions NULLs to one
+    end, sort.cc:151-312).  None (default) = NULLS LAST on every key
+    (SQL's default_null_order=nulls_last, both directions).  Placement
+    is implemented with an is-null indicator column interleaved before
+    each key and a null-FILLED copy of the key itself (placement is
+    decided entirely by the indicator, so the fill constant never
+    affects order), exact per key at any partitioning.  The indicator
+    plan is NOT an optional nicety: Ray's own range-partitioned sort
+    cannot order None among strings at all (boundary searchsorted
+    TypeError) and scatters numeric NULLs nondeterministically on
+    DESCENDING keys (per-block at_end merged by value ranges) — both
+    found by the property suite.  ``assume_no_nulls=True`` skips the
+    indicator columns for provably non-null keys (hot internal sorts)."""
     ds = decode_dictionary_columns(ds)  # shuffle boundary: ENUM → values
     if isinstance(descending, bool):
         descending = [descending] * len(keys)
-    if nulls_first is None:
+    if assume_no_nulls:
         return ds.sort(keys, descending=descending)
+    nulls_last_default = nulls_first is None
+    if nulls_last_default:
+        nulls_first = False
 
     def _filled(k):
         def fn(t: pa.Table):

@@ -213,3 +213,83 @@ def test_joins_match_duckdb(ray_session, ji):
         return sorted(out, key=lambda t: tuple((v is None, v) for v in t))
 
     assert rows(got) == rows(want), (jt, len(left), len(right))
+
+
+# --------------------------------------- ordering / limits vs DuckDB
+
+
+@st.composite
+def order_inputs(draw):
+    n = draw(st.integers(0, 50))
+    a = draw(st.lists(st.one_of(st.none(), st.integers(-5, 5)), min_size=n, max_size=n))
+    b = draw(st.lists(st.one_of(st.none(), st.sampled_from(["x", "y", "z"])), min_size=n, max_size=n))
+    rid = list(range(n))  # unique tiebreaker so total order is deterministic
+    t = pa.table(
+        {
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.string()),
+            "rid": pa.array(rid, pa.int64()),
+        }
+    )
+    k = draw(st.integers(1, 12))
+    off = draw(st.integers(0, 6))
+    desc = draw(st.booleans())
+    return t, k, off, desc
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(oi=order_inputs())
+def test_sort_topk_limit_dedup_match_duckdb(ray_session, oi):
+    import ray.data as rd
+
+    from supersonic_ray.stages.ops import dedup_by_key, limit_offset, sort, top_k
+
+    t, k, off, desc = oi
+    ds = rd.from_arrow(t).repartition(3)
+    con = duckdb.connect()
+    con.register("t", t)
+    if len(t) == 0:
+        return  # zero-block dataset: schema-less empty result end to end
+    null_kw = "NULLS LAST"  # engine default: NULLS LAST in BOTH directions
+    dirn = "DESC" if desc else "ASC"
+
+    got = sort(ds, ["a", "b", "rid"], descending=desc).to_pandas()["rid"].tolist()
+    want = con.execute(
+        f"SELECT rid FROM t ORDER BY a {dirn} {null_kw}, b {dirn} {null_kw}, rid {dirn}"
+    ).df()["rid"].tolist()
+    assert got == want
+
+    # top_k on the unique rid (exact, deterministic)
+    got = sorted(top_k(ds, ["rid"], k, descending=True).to_pandas()["rid"].tolist())
+    want = sorted(
+        con.execute(f"SELECT rid FROM t ORDER BY rid DESC LIMIT {k}").df()["rid"].tolist()
+    )
+    assert got == want
+
+    # limit + offset over a sorted stream
+    got_df = limit_offset(sort(ds, ["rid"]), limit=k, offset=off).to_pandas()
+    want = con.execute(f"SELECT rid FROM t ORDER BY rid LIMIT {k} OFFSET {off}").df()[
+        "rid"
+    ].tolist()
+    got = got_df["rid"].tolist() if len(got_df) or "rid" in got_df.columns else []
+    assert sorted(got) == sorted(want)
+
+    # dedup_by_key(a) keeping min rid == SQL argmin per group
+    got = dedup_by_key(ds, ["a"], order_by="rid").to_pandas()
+    want = con.execute(
+        "SELECT a, min(rid) AS rid FROM t GROUP BY a"
+    ).df()
+
+    def key_rows(df):
+        rows = [
+            (None if pd.isna(x) else int(x), int(r))
+            for x, r in zip(df["a"], df["rid"])
+        ]
+        return sorted(rows, key=lambda p: (p[0] is None, p[0] if p[0] is not None else 0, p[1]))
+
+    assert key_rows(got) == key_rows(want)
+    con.close()
