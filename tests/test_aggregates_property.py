@@ -293,3 +293,74 @@ def test_sort_topk_limit_dedup_match_duckdb(ray_session, oi):
 
     assert key_rows(got) == key_rows(want)
     con.close()
+
+
+# ------------------------------------------ window functions vs DuckDB
+
+
+@st.composite
+def window_inputs(draw):
+    n = draw(st.integers(1, 45))
+    g = draw(st.lists(st.integers(0, 3), min_size=n, max_size=n))
+    v = draw(st.lists(st.one_of(st.none(), st.integers(-50, 50)), min_size=n, max_size=n))
+    rid = list(range(n))
+    return pa.table(
+        {
+            "g": pa.array(g, pa.int64()),
+            "v": pa.array(v, pa.int64()),
+            "rid": pa.array(rid, pa.int64()),
+        }
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(t=window_inputs())
+def test_window_functions_match_duckdb(ray_session, t):
+    """ROW_NUMBER / RANK / DENSE_RANK / LAG / LEAD per partition ordered
+    by the unique rid must match DuckDB's window semantics exactly
+    (NULLs rank last per the engine's documented SQL default)."""
+    import ray.data as rd
+
+    from supersonic_ray.stages.stateful import apply_running, dense_rank_by, lag, lead, rank_by, row_number
+
+    got = apply_running(
+        rd.from_arrow(t).repartition(3),
+        ["g"],
+        ["rid"],
+        {
+            "rn": row_number,
+            "rnk": rank_by("v"),
+            "drnk": dense_rank_by("v"),
+            "prev_v": lag("v"),
+            "next_v": lead("v"),
+        },
+    ).to_pandas().sort_values("rid").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        """
+        SELECT rid,
+               row_number() OVER w AS rn,
+               rank() OVER (PARTITION BY g ORDER BY v NULLS LAST) AS rnk,
+               dense_rank() OVER (PARTITION BY g ORDER BY v NULLS LAST) AS drnk,
+               lag(v) OVER w AS prev_v,
+               lead(v) OVER w AS next_v
+        FROM t WINDOW w AS (PARTITION BY g ORDER BY rid)
+        ORDER BY rid
+        """
+    ).df()
+    con.close()
+
+    for col in ("rn", "prev_v", "next_v"):
+        a = [None if pd.isna(x) else int(x) for x in got[col]]
+        b = [None if pd.isna(x) else int(x) for x in want[col]]
+        assert a == b, col
+    # rank over v: DuckDB's ORDER BY v NULLS LAST ranks ties by value
+    # only — both sides must agree including the NULL block
+    for col in ("rnk", "drnk"):
+        assert [int(x) for x in got[col]] == [int(x) for x in want[col]], col
