@@ -1088,6 +1088,56 @@ def jpeg_dimensions(blob: bytes) -> tuple[int, int, int]:
     raise ValueError("no SOF segment before scan data")
 
 
+def split_avi_mjpeg(blob: bytes) -> list[bytes]:
+    """Demux an AVI container's MJPEG video frames: RIFF 'AVI ' → LIST
+    'movi' → '..dc'/'..db' chunks, each one JPEG image (the standard
+    MJPG fourcc layout; DHT-less frames decode via the Annex K
+    fallback).  Audio and index chunks are skipped."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = blob[pos : pos + 4]
+            (sz,) = struct.unpack_from("<I", blob, pos + 4)
+            body_start = pos + 8
+            if cid == b"LIST":
+                ltype = blob[body_start : body_start + 4]
+                if ltype in (b"movi", b"rec "):
+                    walk(body_start + 4, body_start + sz)
+            elif cid[2:4] in (b"dc", b"db"):
+                frame = blob[body_start : body_start + sz]
+                if frame[:2] == b"\xff\xd8":  # some encoders pad empties
+                    frames.append(frame)
+            pos = body_start + sz + (sz & 1)  # chunks are word-aligned
+
+    walk(12, len(blob))
+    return frames
+
+
+def make_avi_mjpeg(frames: list[bytes], width: int, height: int, fps: int = 25) -> bytes:
+    """Minimal AVI writer around MJPEG frames (hdrl with avih+strl, one
+    movi LIST of 00dc chunks) — the fixture counterpart of
+    split_avi_mjpeg."""
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII", 1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0x47504A4D, width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def split_mjpeg(blob: bytes) -> list[bytes]:
     """Demux an MJPEG stream (back-to-back JFIF images — the actual
     payload of webcam streams and AVI/MOV 'mjpa' tracks) into one

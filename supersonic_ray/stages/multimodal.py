@@ -466,9 +466,11 @@ class FrameSampler:
     (flat_map-shaped 1→N via map_batches on an actor pool).
 
     ``demuxer="mjpeg"`` is a REAL video path: the blob is a Motion-JPEG
-    stream (back-to-back JFIF images — the payload of webcam streams
-    and AVI 'MJPG' tracks), demuxed structure-aware by
-    codecs/jpeg.split_mjpeg.  Skipped frames cost only the header walk;
+    stream (back-to-back JFIF images — the payload of webcam streams),
+    demuxed structure-aware by codecs/jpeg.split_mjpeg;
+    ``demuxer="avi"`` parses a full AVI CONTAINER (RIFF → movi LIST →
+    00dc chunks; DHT-less frames decode via the Annex K fallback).
+    Skipped frames cost only the header walk;
     each SAMPLED frame is fully decoded (pure-numpy baseline JFIF) to
     (width, height, gray) — the demux-cheap / decode-only-what-you-keep
     pattern a production sampler uses.  H.264/VP9 remain a documented
@@ -484,13 +486,14 @@ class FrameSampler:
         self.demuxer = demuxer
 
     def _call_mjpeg(self, batch: pa.Table) -> pa.Table:
-        from supersonic_ray.codecs.jpeg import decode_jpeg, split_mjpeg
+        from supersonic_ray.codecs.jpeg import decode_jpeg, split_avi_mjpeg, split_mjpeg
 
+        demux = split_avi_mjpeg if self.demuxer == "avi" else split_mjpeg
         mids, fids, nfs, ws, hs, grays = [], [], [], [], [], []
         for mid, blob in zip(batch.column(self.id_col).to_pylist(), batch.column(self.blob_col).to_pylist()):
             if blob is None:
                 continue
-            frames = split_mjpeg(blob)
+            frames = demux(blob)
             for f in range(0, len(frames), self.every_n):
                 w, h, _, px = decode_jpeg(frames[f])
                 mids.append(mid)
@@ -511,7 +514,7 @@ class FrameSampler:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.demuxer == "mjpeg":
+        if self.demuxer in ("mjpeg", "avi"):
             return self._call_mjpeg(batch)
         if self.demuxer == "libav":
             raise NotImplementedError(

@@ -1228,3 +1228,45 @@ def test_annex_k_tables_and_dhtless_decode():
         encode_jpeg(img, tables="annex_k", progressive=True)
     with pytest.raises(ValueError):
         encode_jpeg(img, omit_dht=True)
+
+
+def test_avi_container_demux_and_sampling(ray_session):
+    """Real AVI container path: RIFF/movi/00dc parse, DHT-less MJPG
+    frames via the Annex K fallback, every-Nth sampling end to end."""
+    import numpy as np
+    import ray.data as rd
+
+    from supersonic_ray.codecs.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        make_avi_mjpeg,
+        split_avi_mjpeg,
+    )
+    from supersonic_ray.stages.multimodal import sample_frames
+
+    frames = [
+        encode_jpeg(
+            np.full((6, 9), (30 + 7 * f) % 256, dtype=np.uint8),
+            tables="annex_k",
+            omit_dht=True,  # the classic MJPG-in-AVI layout
+        )
+        for f in range(7)
+    ]
+    avi = make_avi_mjpeg(frames, 9, 6)
+    got = split_avi_mjpeg(avi)
+    assert [bytes(f) for f in got] == frames
+    assert [int(round(float(decode_jpeg(f)[3].mean()) * 255)) for f in got[:2]] == [30, 37]
+
+    t = pa.table(
+        {"media_id": pa.array([1], pa.int64()), "blob": pa.array([avi], pa.binary())}
+    )
+    out = (
+        sample_frames(rd.from_arrow(t), every_n=3, demuxer="avi", concurrency=1)
+        .to_pandas()
+        .sort_values("frame_id")
+        .reset_index(drop=True)
+    )
+    assert out["frame_id"].tolist() == [0, 3, 6]
+    assert out["n_frames"].tolist() == [7, 7, 7]
+    assert out["gray"].tolist() == [30, 51, 72]
+    assert out["width"].tolist() == [9, 9, 9]
