@@ -152,26 +152,15 @@ def linear_to_ulaw(x: np.ndarray) -> np.ndarray:
     return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
 
 
-def decode_ima_adpcm(data: bytes, n_channels: int, block_align: int) -> np.ndarray:
-    """IMA/DVI ADPCM 'data' chunk → int16 samples (frames x channels
-    flattened, interleaved).  Mono path is the numpy-across-blocks one;
-    multi-channel raises (rare in the wild for IMA-in-WAV corpora)."""
-    if n_channels != 1:
-        raise ValueError("IMA ADPCM decode: mono only")
-    ba = block_align
-    nb = len(data) // ba
-    if nb == 0:
-        return np.zeros(0, np.int16)
-    blocks = np.frombuffer(data[: nb * ba], dtype=np.uint8).reshape(nb, ba)
-    pred = blocks[:, :2].copy().view("<i2")[:, 0].astype(np.int64)
-    index = np.clip(blocks[:, 2].astype(np.int64), 0, 88)
-    payload = blocks[:, 4:]  # nibble stream: low nibble first
-    spb = (ba - 4) * 2  # samples after the header sample
+def _ima_decode_nibbles(nibbles: np.ndarray, pred: np.ndarray, index: np.ndarray) -> np.ndarray:
+    """Core IMA step: nibbles (nb, spb) decoded sequentially-in-sample,
+    VECTORIZED across the nb independent blocks; returns (nb, spb+1)
+    int16 including the header sample."""
+    nb, spb = nibbles.shape
     out = np.empty((nb, spb + 1), dtype=np.int16)
     out[:, 0] = pred.astype(np.int16)
     for s in range(spb):
-        byte = payload[:, s >> 1]
-        n = np.where(s & 1, byte >> 4, byte & 0x0F).astype(np.int64)
+        n = nibbles[:, s].astype(np.int64)
         step = _IMA_STEPS[index]
         diff = step >> 3
         diff += np.where(n & 1, step >> 2, 0)
@@ -180,7 +169,47 @@ def decode_ima_adpcm(data: bytes, n_channels: int, block_align: int) -> np.ndarr
         pred = np.clip(pred + np.where(n & 8, -diff, diff), -32768, 32767)
         index = np.clip(index + _IMA_INDEX[n & 7], 0, 88)
         out[:, s + 1] = pred.astype(np.int16)
-    return out.reshape(-1)
+    return out
+
+
+def decode_ima_adpcm(data: bytes, n_channels: int, block_align: int) -> np.ndarray:
+    """IMA/DVI ADPCM 'data' chunk → int16 samples (frames x channels,
+    interleaved).  Mono and stereo (the spec's 4-byte-per-channel
+    word-interleaved layout); both vectorized across blocks."""
+    if n_channels not in (1, 2):
+        raise ValueError(f"IMA ADPCM decode: 1 or 2 channels, got {n_channels}")
+    ba = block_align
+    nb = len(data) // ba
+    if nb == 0:
+        return np.zeros(0, np.int16)
+    blocks = np.frombuffer(data[: nb * ba], dtype=np.uint8).reshape(nb, ba)
+    ch = n_channels
+    preds, idxs = [], []
+    for c in range(ch):
+        hdr = blocks[:, 4 * c : 4 * c + 4]
+        preds.append(hdr[:, :2].copy().view("<i2")[:, 0].astype(np.int64))
+        idxs.append(np.clip(hdr[:, 2].astype(np.int64), 0, 88))
+    payload = blocks[:, 4 * ch :]
+    if ch == 1:
+        nib_bytes = payload
+    else:
+        # stereo: repeating [4B left | 4B right] words
+        units = payload.reshape(nb, -1, 2, 4)
+    outs = []
+    for c in range(ch):
+        if ch == 1:
+            chan_bytes = nib_bytes
+        else:
+            chan_bytes = units[:, :, c, :].reshape(nb, -1)
+        spb = chan_bytes.shape[1] * 2
+        nibbles = np.empty((nb, spb), dtype=np.uint8)
+        nibbles[:, 0::2] = chan_bytes & 0x0F
+        nibbles[:, 1::2] = chan_bytes >> 4
+        outs.append(_ima_decode_nibbles(nibbles, preds[c], idxs[c]))
+    if ch == 1:
+        return outs[0].reshape(-1)
+    # interleave L/R per frame: (nb, spc, 2) -> flat
+    return np.stack(outs, axis=2).reshape(-1)
 
 
 def encode_ima_adpcm(samples: np.ndarray, block_align: int = 256) -> bytes:

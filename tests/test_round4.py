@@ -1270,3 +1270,59 @@ def test_avi_container_demux_and_sampling(ray_session):
     assert out["n_frames"].tolist() == [7, 7, 7]
     assert out["gray"].tolist() == [30, 51, 72]
     assert out["width"].tolist() == [9, 9, 9]
+
+
+def test_ima_adpcm_stereo_vs_scalar_reference():
+    """Stereo IMA ADPCM (4-byte word-interleaved channels) against an
+    independent scalar decode of the same spec."""
+    import numpy as np
+
+    from supersonic_ray.stages.multimodal import _IMA_INDEX, _IMA_STEPS, decode_ima_adpcm
+
+    rng = np.random.default_rng(21)
+    ba = 32  # 8B headers + 24B payload = 3 L/R word pairs = 24 samples/ch
+    nblocks = 5
+    data = bytes(rng.integers(0, 256, nblocks * ba, dtype=np.uint8))
+    # sanitize headers so predictors/indices are valid
+    buf = bytearray(data)
+    for b in range(nblocks):
+        for c in range(2):
+            buf[b * ba + 4 * c + 2] = buf[b * ba + 4 * c + 2] % 89
+            buf[b * ba + 4 * c + 3] = 0
+    data = bytes(buf)
+
+    def scalar(data):
+        out = []
+        for b0 in range(0, len(data), ba):
+            block = data[b0 : b0 + ba]
+            st = []
+            for c in range(2):
+                pred = int.from_bytes(block[4 * c : 4 * c + 2], "little", signed=True)
+                st.append([pred, min(max(block[4 * c + 2], 0), 88)])
+            chans = [[st[0][0]], [st[1][0]]]
+            payload = block[8:]
+            for u in range(0, len(payload), 8):
+                for c in range(2):
+                    for byte in payload[u + 4 * c : u + 4 * c + 4]:
+                        for n in (byte & 0x0F, byte >> 4):
+                            pred, index = st[c]
+                            step = int(_IMA_STEPS[index])
+                            diff = step >> 3
+                            if n & 1:
+                                diff += step >> 2
+                            if n & 2:
+                                diff += step >> 1
+                            if n & 4:
+                                diff += step
+                            pred = max(-32768, min(32767, pred - diff if n & 8 else pred + diff))
+                            index = max(0, min(88, index + int(_IMA_INDEX[n & 7])))
+                            st[c] = [pred, index]
+                            chans[c].append(pred)
+            for l, r in zip(*chans):
+                out += [l, r]
+        return np.array(out, dtype=np.int16)
+
+    got = decode_ima_adpcm(data, 2, ba)
+    want = scalar(data)
+    assert got.shape == want.shape
+    assert (got == want).all()
