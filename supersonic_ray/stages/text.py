@@ -1061,6 +1061,7 @@ def substring_span_dedup(
     window: int = 16,
     concurrency: int | None = None,
     batch_size: int = 512,
+    key_mode: str = "md5",
 ):
     """Exact-substring span dedup (Lee et al. 2022 "Deduplicating
     Training Data Makes Language Models Better"; RefinedWeb's
@@ -1072,10 +1073,14 @@ def substring_span_dedup(
     tool; this is the hash-sharded equivalent over Ray Data):
 
     1. map-only: per document, all W-token windows as exploded
-       (window_key, doc, start) rows.  The key here is md5 of the
-       LITERAL window text (vectorized DuckDB kernel; collision-safe
-       and exactly SQL-reproducible); at 10^12-doc scale swap in the
-       128-bit rolling variant to skip building window strings.
+       (window_key, doc, start) rows.  ``key_mode="md5"`` (default)
+       keys on md5 of the LITERAL window text (vectorized DuckDB
+       kernel; collision-safe and exactly SQL-reproducible);
+       ``key_mode="rolling"`` is the 10^12-doc shape — NO window
+       strings are built (md5 amplifies memory W-fold): two
+       independent 64-bit polynomial rolls over per-token SipHashes
+       (sliding_window_view, fully vectorized) give a 128-bit key
+       space, span-identical to md5 mode by test.
     2. candidates: distinct (key, doc) per batch (a doc never spans
        batches, so per-batch distinct IS global distinct) → one
        groupby(key).count() → keys in ≥ 2 docs.  Only 24-byte pairs
@@ -1097,25 +1102,74 @@ def substring_span_dedup(
     from .joins import hash_join_auto, semi_join_auto
     from .ops import fanout
 
+    if key_mode not in ("md5", "rolling"):
+        raise ValueError(f"key_mode must be 'md5' or 'rolling', got {key_mode!r}")
+    key_cols = ["__w"] if key_mode == "md5" else ["__w1", "__w2"]
+
     def explode_windows(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        docs, starts, wtexts = [], [], []
+        if key_mode == "md5":
+            docs, starts, wtexts = [], [], []
+            for d, t in zip(ids, texts):
+                toks = (t or "").split()
+                n = len(toks) - window + 1
+                for i in range(max(0, n)):
+                    docs.append(d)
+                    starts.append(i)
+                    wtexts.append(" ".join(toks[i : i + window]))
+            out = pa.table(
+                {
+                    id_col: pa.array(docs, pa.int64()),
+                    "__i": pa.array(starts, pa.int32()),
+                    "__w": pa.array(wtexts, pa.string()),
+                }
+            )
+            return out.set_column(2, "__w", md5_hex(out.column("__w")))
+        # rolling mode — the 10^12-doc shape: NO window strings are ever
+        # built (the md5 path amplifies memory W-fold); two independent
+        # 64-bit polynomial rolls over per-token SipHashes give a
+        # 128-bit key space, fully vectorized per document via
+        # sliding_window_view
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        docs, starts, w1s, w2s = [], [], [], []
+        B1, B2 = np.uint64(1099511628211), np.uint64(0x9E3779B97F4A7C15)
+        p1 = B1 ** np.arange(window, dtype=np.uint64)[::-1]
+        p2 = B2 ** np.arange(window, dtype=np.uint64)[::-1]
         for d, t in zip(ids, texts):
             toks = (t or "").split()
             n = len(toks) - window + 1
-            for i in range(max(0, n)):
-                docs.append(d)
-                starts.append(i)
-                wtexts.append(" ".join(toks[i : i + window]))
-        out = pa.table(
+            if n <= 0:
+                continue
+            th = _token_hashes(toks)
+            th2 = pd.util.hash_array(np.array(toks, dtype=object), hash_key="raysonic-ssdd-k2")
+            wins = sliding_window_view(th, window)
+            wins2 = sliding_window_view(th2, window)
+            with np.errstate(over="ignore"):
+                docs.append(np.full(n, int(d), dtype=np.int64))
+                starts.append(np.arange(n, dtype=np.int32))
+                # bit-reinterpret to int64: Arrow/pandas stages downstream
+                # (groupby blocks, membership indexes) mishandle uint64
+                w1s.append((wins * p1).sum(axis=1, dtype=np.uint64).view(np.int64))
+                w2s.append((wins2 * p2).sum(axis=1, dtype=np.uint64).view(np.int64))
+        if not docs:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "__i": pa.array([], pa.int32()),
+                    "__w1": pa.array([], pa.int64()),
+                    "__w2": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
             {
-                id_col: pa.array(docs, pa.int64()),
-                "__i": pa.array(starts, pa.int32()),
-                "__w": pa.array(wtexts, pa.string()),
+                id_col: pa.array(np.concatenate(docs)),
+                "__i": pa.array(np.concatenate(starts)),
+                "__w1": pa.array(np.concatenate(w1s)),
+                "__w2": pa.array(np.concatenate(w2s)),
             }
         )
-        return out.set_column(2, "__w", md5_hex(out.column("__w")))
 
     positions = fanout(
         ds.select_columns([id_col, text_col]).map_batches(
@@ -1126,22 +1180,23 @@ def substring_span_dedup(
 
     def distinct_pairs(batch: pa.Table) -> pa.Table:
         return (
-            batch.select(["__w", id_col])
-            .group_by(["__w", id_col])
+            batch.select(key_cols + [id_col])
+            .group_by(key_cols + [id_col])
             .aggregate([])
         )
 
     pair_counts = (
         positions.map_batches(distinct_pairs, batch_format="pyarrow")
-        .groupby("__w")
+        .groupby(key_cols)
         .count()
     )
+
     def only_dups(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater_equal(batch.column("count()"), 2)).select(["__w"])
+        return batch.filter(pc.greater_equal(batch.column("count()"), 2)).select(key_cols)
 
     candidates = pair_counts.map_batches(only_dups, batch_format="pyarrow")
 
-    dup_pos = semi_join_auto(positions, candidates, ["__w"])
+    dup_pos = semi_join_auto(positions, candidates, key_cols)
     spans = group_aggregate(
         dup_pos.select_columns([id_col, "__i"]),
         [id_col],

@@ -441,3 +441,38 @@ def test_substring_span_dedup_planted(ray_session):
     assert out["kept_text"][1] == "unrelated words here only short"
     assert out["kept_text"][2] == ""
     assert out["kept_text"][3] == "prefix suffix"
+
+
+def test_substring_span_dedup_rolling_matches_md5(ray_session):
+    """key_mode='rolling' (the 10^12-doc shape — no window strings, two
+    64-bit polynomial rolls = 128-bit key space) must produce the SAME
+    spans as the oracle-exact md5 mode."""
+    import ray.data as rd
+
+    from supersonic_ray.stages.text import substring_span_dedup
+
+    shared = " ".join(f"tok{i}" for i in range(20))
+    other = " ".join(f"xx{i}" for i in range(25))
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "text": [
+                "alpha beta " + shared + " gamma delta",
+                "unique words only here " + other,
+                shared,
+                "prefix " + shared + " " + shared + " suffix",
+                other + " tail tail tail",
+                "short doc",
+            ],
+        }
+    )
+    outs = {}
+    for mode in ("md5", "rolling"):
+        outs[mode] = (
+            substring_span_dedup(rd.from_arrow(docs), window=16, key_mode=mode)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    for col in ("n_tokens", "dropped_tokens", "kept_tokens", "kept_text"):
+        assert outs["md5"][col].tolist() == outs["rolling"][col].tolist(), col
