@@ -638,6 +638,10 @@ def asof_join(
     ties among identical ordinates are otherwise arbitrary."""
     import ray
 
+    if right_table.num_rows == 0:
+        # inner as-of with an empty right side matches nothing; also
+        # covers the schema-LOST empty table (zero-block datasets)
+        return ds_left.limit(0)
     right_ref = ray.put(right_table)
 
     def make_actor():

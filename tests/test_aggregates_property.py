@@ -364,3 +364,82 @@ def test_window_functions_match_duckdb(ray_session, t):
     # only — both sides must agree including the NULL block
     for col in ("rnk", "drnk"):
         assert [int(x) for x in got[col]] == [int(x) for x in want[col]], col
+
+
+# --------------------------------------------------- as-of join vs DuckDB
+
+
+@st.composite
+def asof_inputs(draw):
+    nl = draw(st.integers(0, 35))
+    nr = draw(st.integers(0, 20))
+    lk = draw(st.lists(st.integers(0, 3), min_size=nl, max_size=nl))
+    lt = draw(st.lists(st.integers(0, 40), min_size=nl, max_size=nl))
+    rk = draw(st.lists(st.integers(0, 3), min_size=nr, max_size=nr))
+    rt = draw(st.lists(st.integers(0, 40), min_size=nr, max_size=nr))
+    left = pa.table(
+        {
+            "k": pa.array(lk, pa.int64()),
+            "ts": pa.array(lt, pa.int64()),
+            "rid": pa.array(list(range(nl)), pa.int64()),
+        }
+    )
+    # dedupe right on (k, ts) keeping max payload -> deterministic ties
+    seen = {}
+    for i, (k, t_) in enumerate(zip(rk, rt)):
+        seen[(k, t_)] = max(seen.get((k, t_), -1), i)
+    rows = sorted(seen.items())
+    right = pa.table(
+        {
+            "k": pa.array([k for (k, _t), _ in rows], pa.int64()),
+            "rts": pa.array([t_ for (_k, t_), _ in rows], pa.int64()),
+            "pay": pa.array([v for _, v in rows], pa.int64()),
+        }
+    )
+    return left, right
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ai=asof_inputs())
+def test_asof_join_matches_duckdb(ray_session, ai):
+    """Inner as-of (latest right at or before each left ts per key) vs
+    DuckDB's native ASOF JOIN, on BOTH planner arms (broadcast and the
+    hash-partitioned fallback forced via broadcast_limit=0 when the
+    right side is non-empty)."""
+    import ray.data as rd
+
+    from supersonic_ray.stages.joins import asof_join_auto
+
+    left, right = ai
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.execute(
+        """
+        SELECT l.rid AS rid, r.pay AS pay
+        FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.rts
+        ORDER BY rid
+        """
+    ).df()
+    con.close()
+
+    limits = [10**9]
+    if len(right) and len(left):
+        limits.append(0)  # force the partitioned arm too
+    for limit in limits:
+        got = asof_join_auto(
+            rd.from_arrow(left).repartition(2),
+            rd.from_arrow(right).repartition(2),
+            "k", "k", "ts", "rts", ["pay"],
+            broadcast_limit=limit,
+        ).to_pandas()
+        if len(want) == 0:
+            assert len(got) == 0
+            continue
+        got = got[["rid", "pay"]].sort_values("rid").reset_index(drop=True)
+        assert got["rid"].tolist() == want["rid"].tolist(), limit
+        assert got["pay"].tolist() == [int(x) for x in want["pay"]], limit
