@@ -443,3 +443,70 @@ def test_asof_join_matches_duckdb(ray_session, ai):
         got = got[["rid", "pay"]].sort_values("rid").reset_index(drop=True)
         assert got["rid"].tolist() == want["rid"].tolist(), limit
         assert got["pay"].tolist() == [int(x) for x in want["pay"]], limit
+
+
+# -------------------------------------------------- range join vs DuckDB
+
+
+@st.composite
+def range_inputs(draw):
+    n = draw(st.integers(0, 40))
+    vals = draw(st.lists(st.integers(-30, 130), min_size=n, max_size=n))
+    # sorted NON-overlapping [lo, hi) bands (the operator's contract)
+    cuts = sorted(draw(st.sets(st.integers(0, 100), min_size=2, max_size=8)))
+    bands = [(cuts[i], cuts[i + 1], f"b{i}") for i in range(len(cuts) - 1)]
+    left = pa.table(
+        {
+            "v": pa.array(vals, pa.int64()),
+            "rid": pa.array(list(range(n)), pa.int64()),
+        }
+    )
+    iv = pa.table(
+        {
+            "lo": pa.array([b[0] for b in bands], pa.int64()),
+            "hi": pa.array([b[1] for b in bands], pa.int64()),
+            "band": pa.array([b[2] for b in bands], pa.string()),
+        }
+    )
+    return left, iv
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ri=range_inputs())
+def test_range_join_matches_duckdb(ray_session, ri):
+    """Inner [lo, hi) interval join vs a DuckDB range predicate, on both
+    planner arms."""
+    import ray.data as rd
+
+    from supersonic_ray.stages.joins import range_join_auto
+
+    left, iv = ri
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("iv", iv)
+    want = con.execute(
+        "SELECT l.rid AS rid, iv.band AS band FROM l JOIN iv "
+        "ON l.v >= iv.lo AND l.v < iv.hi ORDER BY rid"
+    ).df()
+    con.close()
+
+    limits = [10**9]
+    if len(left):
+        limits.append(0)
+    for limit in limits:
+        got = range_join_auto(
+            rd.from_arrow(left).repartition(2),
+            rd.from_arrow(iv).repartition(2),
+            "v",
+            broadcast_limit=limit,
+        ).to_pandas()
+        if len(want) == 0:
+            assert len(got) == 0
+            continue
+        got = got.sort_values("rid").reset_index(drop=True)
+        assert got["rid"].tolist() == want["rid"].tolist(), limit
+        assert got["band"].tolist() == want["band"].tolist(), limit
