@@ -343,7 +343,7 @@ class ImageDecoder:
         self.id_col = id_col
         self.decoder = decoder
         self.feat_dim = feat_dim
-        if decoder not in ("fake", "bmp", "ppm", "jpeg", "png", "pil"):
+        if decoder not in ("fake", "bmp", "ppm", "jpeg", "png", "gif", "pil"):
             raise ValueError(f"unknown decoder {decoder}")
 
     def _pool_feature(self, px: np.ndarray) -> np.ndarray:
@@ -385,6 +385,16 @@ class ImageDecoder:
             elif c == 2:  # gray+alpha: feature sees the gray plane
                 px = np.repeat(px[..., :1], 3, axis=2)
             return w, h, c, self._pool_feature(px)
+        if self.decoder == "gif":
+            # real GIF decode (codecs/gif.py — LZW + palette + interlace);
+            # an animated GIF's FIRST frame is the image surface here,
+            # frame sampling is FrameSampler(demuxer="gif")
+            from supersonic_ray.codecs.gif import decode_gif
+
+            g = decode_gif(blob)
+            f = g["frames"][0]
+            px = f["rgb"].astype(np.float64) / 255.0
+            return f["w"], f["h"], 3, self._pool_feature(px)
         if self.decoder == "pil":
             raise NotImplementedError(
                 "PIL not available in this container; plug Image.open(io.BytesIO(blob)) here"
@@ -522,6 +532,19 @@ class FrameSampler:
         for mid, blob in zip(batch.column(self.id_col).to_pylist(), batch.column(self.blob_col).to_pylist()):
             if blob is None:
                 continue
+            if self.demuxer == "gif":
+                from supersonic_ray.codecs.gif import decode_gif
+
+                g = decode_gif(blob)
+                for f in range(0, len(g["frames"]), self.every_n):
+                    fr = g["frames"][f]
+                    mids.append(mid)
+                    fids.append(f)
+                    nfs.append(len(g["frames"]))
+                    ws.append(fr["w"])
+                    hs.append(fr["h"])
+                    grays.append(int(round(float(fr["rgb"].mean()))))
+                continue
             frames = demux(blob)
             for f in range(0, len(frames), self.every_n):
                 w, h, _, px = decode_jpeg(frames[f])
@@ -543,7 +566,7 @@ class FrameSampler:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.demuxer in ("mjpeg", "avi"):
+        if self.demuxer in ("mjpeg", "avi", "gif"):
             return self._call_mjpeg(batch)
         if self.demuxer == "libav":
             raise NotImplementedError(

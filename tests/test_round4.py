@@ -1326,3 +1326,55 @@ def test_ima_adpcm_stereo_vs_scalar_reference():
     want = scalar(data)
     assert got.shape == want.shape
     assert (got == want).all()
+
+
+# ------------------------------------------------------------- GIF
+
+
+def test_gif_roundtrip_and_interlace():
+    import numpy as np
+    import pytest
+
+    from supersonic_ray.codecs.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(8)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    frames = [rng.integers(0, 16, (13, 21)).astype(np.uint8) for _ in range(4)]
+    d = decode_gif(encode_gif(frames, pal))
+    assert (d["width"], d["height"]) == (21, 13) and len(d["frames"]) == 4
+    for f_in, f_out in zip(frames, d["frames"]):
+        assert np.array_equal(f_in, f_out["indices"])  # lossless
+        assert np.array_equal(pal[f_in], f_out["rgb"])
+
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF" + bytes(20))
+    with pytest.raises(ValueError):
+        encode_gif([frames[0]], pal[:3])  # non-power-of-two palette
+
+
+def test_gif_image_decode_and_frame_sampling(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from supersonic_ray.codecs.gif import encode_gif
+    from supersonic_ray.stages.multimodal import decode_images, sample_frames
+
+    pal = np.stack([np.arange(0, 256, 32)] * 3, axis=1).astype(np.uint8)  # 8 grays
+    anim = encode_gif(
+        [np.full((5, 7), (f * 2) % 8, dtype=np.uint8) for f in range(6)], pal
+    )
+    t = pa.table({"media_id": pa.array([1], pa.int64()), "blob": pa.array([anim], pa.binary())})
+
+    img = decode_images(rd.from_arrow(t), decoder="gif", concurrency=1).to_pandas()
+    assert img["width"].tolist() == [7] and img["height"].tolist() == [5]
+
+    out = (
+        sample_frames(rd.from_arrow(t), every_n=2, demuxer="gif", concurrency=1)
+        .to_pandas()
+        .sort_values("frame_id")
+        .reset_index(drop=True)
+    )
+    assert out["frame_id"].tolist() == [0, 2, 4]
+    assert out["n_frames"].tolist() == [6, 6, 6]
+    # constant frame f has palette index (2f)%8 -> gray 32*((2f)%8)
+    assert out["gray"].tolist() == [0, 128, 0]
