@@ -13,6 +13,12 @@ import pyarrow as pa
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+# deterministic example generation for CI (the driver's pytest run);
+# export GRAFT_HYPOTHESIS_EXPLORE=1 locally to hunt fresh examples
+import os
+
+_DERANDOMIZE = not os.environ.get("GRAFT_HYPOTHESIS_EXPLORE")
+
 from supersonic_ray.functions import expressions as E
 
 _ASCII = st.text(
@@ -31,7 +37,8 @@ def _sql(expr: str, **cols) -> list:
     return [r[0] for r in out]  # fetchall keeps SQL NULL as None (no NaN)
 
 
-@settings(max_examples=80, deadline=None)
+@settings(
+    derandomize=_DERANDOMIZE,max_examples=80, deadline=None)
 @given(
     a=st.lists(st.one_of(st.none(), st.integers(-10**6, 10**6)), min_size=1, max_size=40),
     b=st.lists(st.one_of(st.none(), st.integers(-50, 50)), min_size=1, max_size=40),
@@ -49,7 +56,8 @@ def test_nulling_divide_modulus_match_sql(a, b):
             assert abs(g - w) < 1e-9
 
 
-@settings(max_examples=80, deadline=None)
+@settings(
+    derandomize=_DERANDOMIZE,max_examples=80, deadline=None)
 @given(
     s=st.lists(st.one_of(st.none(), _ASCII), min_size=1, max_size=30),
     pos=st.integers(1, 10),
@@ -62,7 +70,8 @@ def test_substring_matches_sql(s, pos, ln):
     assert got == [None if w is None else w for w in want]
 
 
-@settings(max_examples=60, deadline=None)
+@settings(
+    derandomize=_DERANDOMIZE,max_examples=60, deadline=None)
 @given(s=st.lists(st.one_of(st.none(), _ASCII), min_size=1, max_size=30))
 def test_string_kernels_match_sql(s):
     arr = pa.array(s, pa.string())
@@ -78,7 +87,8 @@ def test_string_kernels_match_sql(s):
     assert got == [None if w is None else int(w) for w in want]
 
 
-@settings(max_examples=60, deadline=None)
+@settings(
+    derandomize=_DERANDOMIZE,max_examples=60, deadline=None)
 @given(
     v=st.lists(
         st.one_of(st.none(), st.floats(-1e6, 1e6, allow_nan=False)),
