@@ -905,15 +905,26 @@ def compact_partitions(
     live_ids = [
         os.path.basename(p)[len("part-") : -len(".rsb")] for p in _live_rsb_paths(out_dir)
     ]
-    mans = [m for pid in live_ids if (m := load_manifest(out_dir, pid)) is not None]
-    small = [m for m in mans if m.bytes_in < target_bytes]
-    small.sort(key=lambda m: m.part_id)
+    # plan from the consolidated index when it is FRESH (one file read);
+    # fall back to per-manifest loads.  Either way the per-group content
+    # hash needs each member's own content_hash, so group MEMBERS load
+    # their manifest — but only sub-target partitions, not all of them.
+    idx = load_partition_index(out_dir, expect_part_ids=set(live_ids))
+    if idx is not None:
+        sizes = {pid: idx[pid].get("bytes_in", 0) for pid in live_ids}
+    else:
+        sizes = {}
+        for pid in live_ids:
+            m = load_manifest(out_dir, pid)
+            if m is not None:
+                sizes[pid] = m.bytes_in
+    small_ids = sorted(pid for pid, b in sizes.items() if b < target_bytes)
     groups = []
     cur: list = []
     cur_bytes = 0
-    for m in small:
-        cur.append(m)
-        cur_bytes += m.bytes_in
+    for pid in small_ids:
+        cur.append(pid)
+        cur_bytes += sizes[pid]
         if cur_bytes >= target_bytes:
             groups.append(cur)
             cur, cur_bytes = [], 0
@@ -924,15 +935,14 @@ def compact_partitions(
         import pandas as pd
 
         return pd.DataFrame(columns=["part_id", "merged", "n_rows", "bytes_out", "wall_sec"])
-    items = [
-        {
-            "part_ids": [m.part_id for m in g],
-            "content_hash": content_hash(
-                "compact", [m.part_id for m in g], [m.content_hash for m in g]
-            ),
-        }
-        for g in groups
-    ]
+    items = []
+    for g in groups:
+        hashes = [
+            m.content_hash for pid in g if (m := load_manifest(out_dir, pid)) is not None
+        ]
+        items.append(
+            {"part_ids": g, "content_hash": content_hash("compact", g, hashes)}
+        )
     if concurrency is None:
         import ray
 
