@@ -194,6 +194,12 @@ def test_joins_match_duckdb(ray_session, ji):
         ).df()
         if len(got) == 0 and len(want) == 0:
             return  # empty result: Ray datasets with zero blocks have no schema
+        if "rv" not in got.columns:
+            # documented left-outer semantics against a schema-LOST empty
+            # build side: row set exact, right columns unknowable (all
+            # SQL-NULL by construction)
+            assert jt == "left_outer" and want["rv"].isna().all()
+            got = got.assign(rv=np.nan)
         got = got[["k", "lv", "rv"]]
     else:
         got = semi_join_auto(
