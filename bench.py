@@ -297,6 +297,10 @@ def run_scaling() -> dict:
         "metric": f"encode scaling efficiency (N -> 4N CPUs over levels {list(levels)})",
         "unit": "efficiency",
         "sf": results[levels[-1]]["sf"],
+        # record the codec regime the child runs actually measured, so
+        # the artifact itself says whether this is the pinned-bz2 shape
+        # (host-ceiling isolation) or the production speed-aware mix
+        "encode_overrides": os.environ.get("GRAFT_ENCODE_OVERRIDES", "html=fsst:bz2"),
     }
     for n in levels:
         out[f"GBps_{n}"] = results[n]["encode_GBps"]

@@ -55,6 +55,41 @@ def sha256_hex(arr: pa.Array | pa.ChunkedArray) -> pa.ChunkedArray:
     return _run_on_column(arr, "sha256(v)")
 
 
+def _sql_str_lit(s: str) -> str:
+    return "'" + str(s).replace("'", "''") + "'"
+
+
+def md5_u64(arr: pa.Array | pa.ChunkedArray, prefix: str = "") -> pa.ChunkedArray:
+    """64-bit hash per row: ``md5_number_lower(prefix || v)`` (the LOW
+    8 digest bytes little-endian — DuckDB's native uint64 md5 view, so
+    a SQL oracle reproduces every value verbatim).  NULL → NULL; input
+    cast to string (DuckDB CAST(x AS VARCHAR) == Arrow cast semantics
+    for ints/strings).  Returns a uint64 column."""
+    if not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
+        arr = pc.cast(arr, pa.string())
+    expr = "md5_number_lower(v)" if not prefix else f"md5_number_lower({_sql_str_lit(prefix)} || v)"
+    return _run_on_column(arr, expr)
+
+
+def md5_u64_multi(arr: pa.Array | pa.ChunkedArray, prefixes: list[str]) -> list:
+    """One DuckDB pass computing ``md5_number_lower(prefix_i || v)`` for
+    every prefix — the batched form the sketch/minhash oracle modes use
+    (n_hashes independent 64-bit hash functions over one column)."""
+    if not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
+        arr = pc.cast(arr, pa.string())
+    con = _con()
+    t = pa.table({"v": arr})
+    con.register("__hash_in", t)
+    try:
+        sel = ", ".join(
+            f"md5_number_lower({_sql_str_lit(p)} || v) AS h{i}" for i, p in enumerate(prefixes)
+        )
+        out = con.execute(f"SELECT {sel} FROM __hash_in").arrow()
+    finally:
+        con.unregister("__hash_in")
+    return [out.column(f"h{i}") for i in range(len(prefixes))]
+
+
 def md5_sample_mask(
     arr: pa.Array | pa.ChunkedArray, seed: int, hex_thresh: str
 ) -> pa.ChunkedArray:

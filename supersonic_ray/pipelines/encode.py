@@ -224,7 +224,12 @@ def decode_blob(
     equivalent of parquet column pruning.  ``chunk_mask`` (one bool per
     chunk) skips whole CHUNKS the same zero-decompression way — the
     intra-partition analog of parquet row-group pruning, driven by the
-    manifests' per-chunk zone maps."""
+    manifests' per-chunk zone maps.  Chunks BEYOND the mask's length are
+    KEPT (fail-open): a stale manifest (crash between the data write
+    and save_manifest, or a re-encode with different chunk_rows over an
+    old manifest) must never silently drop rows — pruning is an
+    optimization, the readers re-apply the exact row filter, so the
+    'no stats → keep' conservative contract applies per chunk too."""
     from supersonic_ray.codecs import decode_array
 
     assert data[:4] == MAGIC, "not an RSB file"
@@ -246,7 +251,7 @@ def decode_blob(
     for ci in range(n_chunks):
         (n_rows,) = struct.unpack_from("<I", data, pos)
         pos += 4
-        want_chunk = chunk_mask is None or (ci < len(chunk_mask) and chunk_mask[ci])
+        want_chunk = chunk_mask is None or ci >= len(chunk_mask) or chunk_mask[ci]
         cols = {}
         for field in schema:
             (blen,) = struct.unpack_from("<I", data, pos)
@@ -982,8 +987,14 @@ def _zones_overlap(
             return False
     for col, val in (equals or {}).items():
         st = cols.get(col, {}) if isinstance(cols, dict) else {}
-        if "vmin" in st and not st.get("truncated") and not (st["vmin"] <= val <= st["vmax"]):
-            return False
+        if "vmin" in st and not st.get("truncated"):
+            try:
+                if not (st["vmin"] <= val <= st["vmax"]):
+                    return False
+            except TypeError:
+                # stats/value type mismatch (e.g. int zone stats vs a str
+                # equals probe): prune conservatively — keep the partition
+                continue
     return True
 
 

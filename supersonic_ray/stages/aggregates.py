@@ -57,6 +57,13 @@ _MARKER_TYPES = {
     5: pa.uint32(),
     6: pa.timestamp("us"),
     7: pa.date32(),
+    8: pa.string(),
+    9: pa.large_string(),
+    10: pa.binary(),
+    11: pa.large_binary(),
+    12: pa.bool_(),
+    13: pa.int16(),
+    14: pa.int8(),
 }
 _TYPE_MARKERS = {t: m for m, t in _MARKER_TYPES.items()}
 

@@ -261,20 +261,80 @@ def union_all(ds_a, ds_b):
     return ds_a.union(ds_b)
 
 
-def dedup_by_key(ds, keys: list[str], order_by: str | None = None):
-    """Exact dedup: hash-partition on key, keep first per group
+def dedup_by_key(ds, keys: list[str], order_by: str | None = None, num_shards: int | None = None):
+    """Exact dedup: keep ONE row per distinct key combination
     (reference: RowHashSet 'at most one row with a given key',
-    row_hash_set.h:61-65).  With order_by, 'first' is the minimal
-    order_by row — deterministic under any partitioning."""
+    row_hash_set.h:61-65).  The kept row is the minimal
+    (order_by, row-md5) row — deterministic under ANY partitioning or
+    block layout (identical full rows tie on the md5 and are
+    interchangeable); without order_by the winner is the min-row-md5
+    row, equally deterministic.
+
+    Scale shape (round-5; replaces a groupby(keys).map_groups that
+    spawned one pandas task PER DISTINCT KEY — one Python task per
+    unique row for distinct()): per-batch vectorized head(1)-per-key
+    combiner (shrinks the exchange to ≤ one row per key per block),
+    then ONE hash exchange on a key-hash SHARD column and a vectorized
+    per-SHARD final pick — Python task count = num_shards, never the
+    key count.  NULL keys group together (SQL GROUP BY semantics) and
+    never touch a join.  Shard-size contract: a shard's candidate rows
+    land in one pandas frame, so num_shards must scale with the
+    expected DISTINCT-key count (default: cluster CPUs — pass
+    explicitly for billion-key corpora)."""
+    import numpy as np
     import pandas as pd
 
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        if order_by:
-            g = g.sort_values(order_by, kind="mergesort")
-        return g.head(1)
+    from supersonic_ray.functions.dhash import md5_hex
 
     ds = decode_dictionary_columns(ds)  # shuffle boundary: ENUM → values
-    return ds.groupby(keys).map_groups(first_row, batch_format="pandas")
+
+    def add_rk(t: pa.Table) -> pa.Table:
+        # deterministic row fingerprint: md5 over the \x1f-joined
+        # stringified row (NULL → \x00 sentinel, distinct from any cast
+        # output) — one vectorized DuckDB kernel call per batch
+        parts = []
+        for c in t.column_names:
+            col = t.column(c)
+            if pa.types.is_dictionary(col.type):
+                col = pc.cast(col, col.type.value_type)
+            try:
+                parts.append(pc.fill_null(pc.cast(col, pa.string()), "\x00"))
+            except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+                # non-string-castable column (nested list/struct): skip it
+                # in the fingerprint — rows differing ONLY there tie and
+                # the winner among them is arbitrary (documented caveat)
+                continue
+        if not parts:
+            parts = [pa.array(["\x00"] * t.num_rows, pa.string())]
+        joined = pc.binary_join_element_wise(*parts, "\x1f") if len(parts) > 1 else parts[0]
+        return t.append_column("__rk", md5_hex(joined))
+
+    order = ([order_by] if order_by else []) + ["__rk"]
+
+    def local_first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order, kind="mergesort")
+        return df.groupby(keys, dropna=False, sort=False).head(1)
+
+    cand = ds.map_batches(add_rk, batch_format="pyarrow").map_batches(
+        local_first, batch_format="pandas"
+    )
+
+    if num_shards is None:
+        import ray
+
+        num_shards = max(4, int(ray.cluster_resources().get("CPU", 4)))
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+        df["__shard"] = (h % np.uint64(num_shards)).astype("int64")
+        return df
+
+    def shard_first(g: pd.DataFrame) -> pd.DataFrame:
+        return local_first(g).drop(columns=["__shard", "__rk"])
+
+    sharded = cand.map_batches(add_shard, batch_format="pandas")
+    return sharded.groupby("__shard").map_groups(shard_first, batch_format="pandas")
 
 
 def distinct(ds, keys: list[str] | None = None):

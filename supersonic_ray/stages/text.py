@@ -1061,7 +1061,7 @@ def substring_span_dedup(
     window: int = 16,
     concurrency: int | None = None,
     batch_size: int = 512,
-    key_mode: str = "md5",
+    key_mode: str = "rolling",
 ):
     """Exact-substring span dedup (Lee et al. 2022 "Deduplicating
     Training Data Makes Language Models Better"; RefinedWeb's
@@ -1073,14 +1073,14 @@ def substring_span_dedup(
     tool; this is the hash-sharded equivalent over Ray Data):
 
     1. map-only: per document, all W-token windows as exploded
-       (window_key, doc, start) rows.  ``key_mode="md5"`` (default)
-       keys on md5 of the LITERAL window text (vectorized DuckDB
-       kernel; collision-safe and exactly SQL-reproducible);
-       ``key_mode="rolling"`` is the 10^12-doc shape — NO window
-       strings are built (md5 amplifies memory W-fold): two
-       independent 64-bit polynomial rolls over per-token SipHashes
-       (sliding_window_view, fully vectorized) give a 128-bit key
-       space, span-identical to md5 mode by test.
+       (window_key, doc, start) rows.  ``key_mode="rolling"``
+       (default — the 10^12-doc shape): NO window strings are built
+       (md5 amplifies memory W-fold); two independent 64-bit
+       polynomial rolls over per-token SipHashes (sliding_window_view,
+       fully vectorized) give a 128-bit key space.
+       ``key_mode="md5"`` keys on md5 of the LITERAL window text
+       (vectorized DuckDB kernel; exactly SQL-reproducible — the
+       driver-oracle mode, span-identical to rolling by test).
     2. candidates: distinct (key, doc) per batch (a doc never spans
        batches, so per-batch distinct IS global distinct) → one
        groupby(key).count() → keys in ≥ 2 docs.  Only 24-byte pairs
@@ -1178,21 +1178,23 @@ def substring_span_dedup(
         n_consumers=2,
     )
 
-    def distinct_pairs(batch: pa.Table) -> pa.Table:
-        return (
-            batch.select(key_cols + [id_col])
-            .group_by(key_cols + [id_col])
-            .aggregate([])
-        )
-
-    pair_counts = (
-        positions.map_batches(distinct_pairs, batch_format="pyarrow")
-        .groupby(key_cols)
-        .count()
+    # GLOBAL count-distinct of docs per window key (round-5 fix): the
+    # old per-batch distinct assumed a doc never spans blocks, but Ray
+    # splits task outputs at target_max_block_size, so one doc's
+    # exploded windows CAN straddle blocks — a per-batch distinct then
+    # double-counts that doc and windows repeated only WITHIN it would
+    # be removed.  group_aggregate's distinct plan dedups (key, doc)
+    # globally (per-batch local dedup partials, then one exact hash
+    # dedup) before counting, so '≥ 2' means ≥ 2 DOCUMENTS at any block
+    # layout.  The exchanges still carry only (key, id) pairs.
+    pair_counts = group_aggregate(
+        positions.select_columns(key_cols + [id_col]),
+        key_cols,
+        [AggSpec("count", id_col, "__n_docs", distinct=True)],
     )
 
     def only_dups(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater_equal(batch.column("count()"), 2)).select(key_cols)
+        return batch.filter(pc.greater_equal(batch.column("__n_docs"), 2)).select(key_cols)
 
     candidates = pair_counts.map_batches(only_dups, batch_format="pyarrow")
 

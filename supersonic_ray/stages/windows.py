@@ -1,10 +1,19 @@
 """Event-time windows over a partitioned log (SURVEY.md §2.9 'beyond').
 
 Ray Data has no watermarks; stream-shaped tables (events) are treated
-as an ordered, partitioned log: partition by key, sort by ts within the
-group, window inside ``groupby(key).map_groups`` (ray_guide.md
-'Streaming-shaped workloads').  Ordering contract: within one key, rows
-are processed in (ts, tiebreak) order; partitions are independent.
+as an ordered, partitioned log: hash-partition by key, order within the
+shard, window assignment fully vectorized across ALL of a shard's keys
+at once (round-5; replaces groupby(key).map_groups — one pandas task
+per KEY with a whole key's history unbounded in one task's heap).
+Python task count = num_shards, never the key count.
+
+Shard-size contract (same as streaming.stream_sessionize_distributed,
+streaming.py:152): each shard materializes as ONE pandas frame inside
+its task, so the shard count is sized from the row count
+(ceil(rows / target_shard_rows), floor = cluster CPUs) when not given.
+Residual caveat: windows are per-key ordered state, so one
+pathologically hot KEY still lands in one shard — that bound is
+semantic, not an implementation artifact.
 
 - tumbling_window: fixed-width buckets (also expressible as a pure
   group-by on floor(ts/width) — see window_tumbling in __ray_entry__).
@@ -19,6 +28,33 @@ import numpy as np
 import pandas as pd
 
 
+def _num_shards(ds, num_shards: int | None, target_shard_rows: int):
+    """Shared shard-count policy (streaming.py:152 contract): explicit
+    wins; else materialize (pin once — the shuffle below reuses the
+    blocks) and size from the metadata row count."""
+    if num_shards is not None:
+        return ds, num_shards
+    import math
+
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    ds = ds.materialize()
+    n_rows = ds.count()
+    return ds, max(4, cpus, math.ceil(n_rows / max(1, target_shard_rows)))
+
+
+def _shard_by_key(ds, key: str, num_shards: int):
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__shard"] = (
+            pd.util.hash_array(df[key].to_numpy()) % np.uint64(num_shards)
+        ).astype("int64")
+        return df
+
+    return ds.map_batches(add_shard, batch_format="pandas")
+
+
 def session_window(
     ds,
     key: str,
@@ -26,18 +62,32 @@ def session_window(
     gap_us: int,
     agg_col: str | None = None,
     tiebreak: str | None = None,
+    num_shards: int | None = None,
+    target_shard_rows: int = 2_000_000,
 ):
     """Gap-based sessions per key: returns one row per session with
-    (key, session_id, n_events, t_start, t_end[, sum_<agg_col>])."""
+    (key, session_id, n_events, t_start, t_end[, sum_<agg_col>]).
 
-    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    Vectorized shard kernel: one key-major sort per shard, session
+    boundaries = key-change OR gap exceeded (shift/diff — C kernels),
+    session ids = boundary cumsum rebased per key, one pandas groupby
+    over (key, session) for the aggregates.  No per-key Python."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+    order = [key, ts_col] + ([tiebreak] if tiebreak else [])
+    ds, num_shards = _num_shards(ds, num_shards, target_shard_rows)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order, kind="mergesort").reset_index(drop=True)
         ts = g[ts_col].astype("int64")
-        new_session = (ts.diff() > gap_us).fillna(False)
-        sid = new_session.cumsum().astype("int64")
-        out = g.assign(__sid=sid).groupby("__sid", sort=True)
+        key_change = g[key].ne(g[key].shift())
+        key_change.iloc[0] = True
+        new_session = key_change | (ts.diff() > gap_us)
+        sid_global = new_session.cumsum()
+        # session_id restarts at 0 per key: rebase by the key's first
+        # session ordinal (ffill of the boundary rows' ordinals)
+        base = sid_global.where(key_change).ffill()
+        sid = (sid_global - base).astype("int64")
+        out = g.assign(__sid=sid).groupby([key, "__sid"], sort=True)
         rows = {
             key: out[key].first(),
             "session_id": out["__sid"].first(),
@@ -49,7 +99,10 @@ def session_window(
             rows[f"sum_{agg_col}"] = out[agg_col].sum()
         return pd.DataFrame(rows).reset_index(drop=True)
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    sharded = _shard_by_key(ds, key, num_shards)
+    return sharded.groupby("__shard").map_groups(
+        lambda g: per_shard(g.drop(columns=["__shard"])), batch_format="pandas"
+    )
 
 
 def sliding_window(
@@ -59,29 +112,42 @@ def sliding_window(
     width_us: int,
     slide_us: int,
     agg_col: str,
+    num_shards: int | None = None,
+    target_shard_rows: int = 2_000_000,
 ):
     """Overlapping windows: one output row per (key, window_start) that
-    contains at least one event; window = [start, start + width)."""
+    contains at least one event; window = [start, start + width).
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+    Vectorized shard kernel: an event at t belongs to windows
+    (t//slide - j)*slide for j = 0..ceil(width/slide)-1 — the j-explode
+    runs over the WHOLE shard at once, then one pandas groupby over
+    (key, window_start).  No per-key Python."""
+
+    ds, num_shards = _num_shards(ds, num_shards, target_shard_rows)
+    k = int(-(-width_us // slide_us))
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
         ts = g[ts_col].astype("int64").to_numpy()
         vals = g[agg_col].to_numpy()
-        # vectorized: an event at t belongs to windows (t//slide - j)*slide
-        # for j = 0..ceil(width/slide)-1, filtered to [start, start+width)
-        k = int(-(-width_us // slide_us))
+        keys = g[key].to_numpy()
         base = ts // slide_us
         parts = []
         for j in range(k):
             w = (base - j) * slide_us
             valid = (w >= 0) & (ts < w + width_us)
             if valid.any():
-                parts.append(pd.DataFrame({"window_start": w[valid], agg_col: vals[valid]}))
+                parts.append(
+                    pd.DataFrame({key: keys[valid], "window_start": w[valid], agg_col: vals[valid]})
+                )
         if not parts:
-            return pd.DataFrame({key: [], "window_start": [], "n_events": [], f"sum_{agg_col}": []})
+            return pd.DataFrame(
+                {key: [], "window_start": [], "n_events": [], f"sum_{agg_col}": []}
+            )
         df = pd.concat(parts, ignore_index=True)
-        out = df.groupby("window_start", sort=True)[agg_col].agg(["count", "sum"]).reset_index()
-        out.insert(0, key, g[key].iloc[0])
-        out = out.rename(columns={"count": "n_events", "sum": f"sum_{agg_col}"})
-        return out
+        out = df.groupby([key, "window_start"], sort=True)[agg_col].agg(["count", "sum"]).reset_index()
+        return out.rename(columns={"count": "n_events", "sum": f"sum_{agg_col}"})
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    sharded = _shard_by_key(ds, key, num_shards)
+    return sharded.groupby("__shard").map_groups(
+        lambda g: per_shard(g.drop(columns=["__shard"])), batch_format="pandas"
+    )
