@@ -953,10 +953,14 @@ def training_pipeline_docs(sf_dir: str):
 
 
 def sketch_distinct_freq(sf_dir: str):
-    """Mergeable sketches (rows-only: approximate by design, accuracy
-    bounds pinned in tests/test_sketches.py): HLL distinct suppliers +
-    Count-Min language frequencies over one pass each, fixed-size
-    partials, zero shuffle."""
+    """Mergeable sketches with a FULL SQL oracle (round-5): an
+    approximate operator still has exact invariants — given the fixed
+    md5 hash family, every HLL register, Count-Min counter and
+    histogram bin is a pure function of the input set, so DuckDB can
+    recompute the sketches and the estimates must match BIT-IDENTICALLY
+    (integer register sums, one double division, floor(x+0.5) — no
+    float summation order anywhere).  Distributed shape unchanged:
+    fixed-size mergeable partials, zero shuffle."""
     from supersonic_ray.stages.sketches import (
         approx_count_distinct,
         approx_frequencies,
@@ -964,9 +968,9 @@ def sketch_distinct_freq(sf_dir: str):
     )
 
     li = _ld(sf_dir, "lineitem", ["l_suppkey"])
-    n_supp = approx_count_distinct(li, "l_suppkey", p=12)
+    n_supp = approx_count_distinct(li, "l_suppkey", p=12, hasher="md5")
     docs = _ld(sf_dir, "documents", ["lang"])
-    freqs = approx_frequencies(docs, "lang", ["en", "de", "fr"])
+    freqs = approx_frequencies(docs, "lang", ["en", "de", "fr"], hasher="md5")
     orders = _ld(sf_dir, "orders", ["o_totalprice"])
     quants = approx_quantiles(orders, "o_totalprice", [0.5, 0.9])
     return pd.DataFrame(
@@ -980,12 +984,12 @@ def sketch_distinct_freq(sf_dir: str):
                 "hist_p90_totalprice",
             ],
             "value": [
-                n_supp,
-                freqs["en"],
-                freqs["de"],
-                freqs["fr"],
-                round(quants[0.5], 2),
-                round(quants[0.9], 2),
+                float(n_supp),
+                float(freqs["en"]),
+                float(freqs["de"]),
+                float(freqs["fr"]),
+                quants[0.5],
+                quants[0.9],
             ],
         }
     )
@@ -1250,13 +1254,16 @@ def doc_fingerprints(sf_dir: str):
 
 
 def doc_rolling_fp(sf_dir: str):
-    """Rolling-hash winnowing fingerprint (shared-substring detector) —
-    not SQL-expressible; exactness pinned by a pytest against a scalar
-    reference implementation (tests/test_text_extra.py)."""
-    from supersonic_ray.stages.text import rolling_fingerprint
+    """Winnowing fingerprint (shared-substring detector) with a FULL SQL
+    oracle (round-5): the md5-window form — min over all 16-char window
+    substrings of md5_number_lower(window), hex-encoded — is verbatim
+    SQL-reproducible.  The polynomial-roll form (the no-substring scale
+    path) stays pinned by pytest against a scalar reference
+    (tests/test_text_extra.py); both are min-over-window-hash winnowing."""
+    from supersonic_ray.stages.text import rolling_fingerprint_md5
 
     ds = _ld(sf_dir, "documents", ["doc_id", "text"])
-    out = rolling_fingerprint(ds, "text", window=16, alias="roll_fp").to_pandas()
+    out = rolling_fingerprint_md5(ds, "text", window=16, alias="roll_fp").to_pandas()
     out = out[["doc_id", "roll_fp"]]
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -1543,11 +1550,15 @@ def dedup_clusters_docs(sf_dir: str):
 
 
 def sample_bernoulli(sf_dir: str):
-    """Seeded Bernoulli sampling (terminal_expressions.h:69-71 analog)."""
+    """Seeded Bernoulli sampling (terminal_expressions.h:69-71 analog),
+    key-derived variant: u = md5(seed:key)/2^64 < p — RandomDouble +
+    Filter made reproducible, with a FULL SQL oracle evaluating the
+    identical expression (round-5; the RNG-stream variant stays in
+    ops.bernoulli_sample for positional sampling)."""
     from supersonic_ray.stages.ops import bernoulli_sample
 
     ds = _ld(sf_dir, "orders", ["o_orderkey"])
-    out = bernoulli_sample(ds, 0.1, seed=42).to_pandas()
+    out = bernoulli_sample(ds, 0.1, seed=42, key_col="o_orderkey").to_pandas()
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
@@ -2049,8 +2060,106 @@ def _quality_oracle_sql() -> str:
     """
 
 
+def _sketch_oracle_sql() -> str:
+    """DuckDB recomputes the md5-mode sketches EXACTLY: HLL registers
+    (md5_number_lower, rank = 65 - bitlength of the left-justified
+    remainder), the integer register sum Σ 2^(64-reg) in HUGEINT (no
+    float summation order), Count-Min counters (pure integers), and the
+    equi-width histogram quantile with the identical double expression
+    tree.  Every constant is emitted from the same Python values the
+    engine uses (repr round-trips doubles exactly)."""
+    p, m = 12, 4096
+    alpha = repr(0.7213 / (1 + 1.079 / 4096)) + "e0"
+    u64 = "18446744073709551616"
+    return f"""
+        WITH hll_h AS (
+          SELECT md5_number_lower(CAST(l_suppkey AS VARCHAR)) AS h
+          FROM lineitem WHERE l_suppkey IS NOT NULL),
+        hll_r AS (
+          SELECT CAST(h >> (64 - {p}) AS BIGINT) AS idx,
+                 (h::HUGEINT * {m}) % {u64} AS rem
+          FROM hll_h),
+        hll_rk AS (
+          SELECT idx, max(CASE WHEN rem = 0 THEN 65
+                          ELSE 65 - length(bin(CAST(rem AS UBIGINT))) END) AS reg
+          FROM hll_r GROUP BY idx),
+        hll_full AS (
+          SELECT coalesce(rk.reg, 0) AS reg
+          FROM (SELECT unnest(generate_series(0, {m - 1})) AS i) g
+          LEFT JOIN hll_rk rk ON rk.idx = g.i),
+        hll_s AS (
+          SELECT sum(CASE WHEN reg = 0 THEN {u64}::HUGEINT
+                          WHEN reg >= 64 THEN 1::HUGEINT
+                          ELSE (1::UBIGINT << (64 - reg))::HUGEINT END) AS S,
+                 sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS zeros
+          FROM hll_full),
+        hll_est AS (
+          SELECT floor(CASE
+            WHEN ({alpha} * {m} * {m} * {u64}e0 / CAST(S AS DOUBLE)) <= 2.5 * {m} AND zeros > 0
+            THEN {m} * ln({m} / CAST(zeros AS DOUBLE))
+            ELSE {alpha} * {m} * {m} * {u64}e0 / CAST(S AS DOUBLE)
+          END + 0.5) AS v FROM hll_s),
+        cms_d AS (SELECT unnest(generate_series(0, 3)) AS d),
+        cms AS (
+          SELECT d.d AS d,
+                 CAST(md5_number_lower(CAST(d.d AS VARCHAR) || ':' || lang) % 2048 AS BIGINT) AS idx,
+                 count(*) AS c
+          FROM documents, cms_d d WHERE lang IS NOT NULL GROUP BY 1, 2),
+        cms_probe AS (
+          SELECT i.item, d.d,
+                 CAST(md5_number_lower(CAST(d.d AS VARCHAR) || ':' || i.item) % 2048 AS BIGINT) AS idx
+          FROM (VALUES ('en'), ('de'), ('fr')) i(item), cms_d d),
+        cms_est AS (
+          SELECT item, min(coalesce(cms.c, 0)) AS v
+          FROM cms_probe LEFT JOIN cms USING (d, idx) GROUP BY item),
+        q_mm AS (
+          SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+                 (max(o_totalprice) - min(o_totalprice)) / 4096 AS w
+          FROM orders WHERE o_totalprice IS NOT NULL),
+        q_hist AS (
+          SELECT LEAST(GREATEST(CAST(floor((o_totalprice - lo) / w) AS BIGINT), 0), 4095) AS b,
+                 count(*) AS c
+          FROM orders, q_mm WHERE o_totalprice IS NOT NULL GROUP BY 1),
+        q_cum AS (SELECT b, c, sum(c) OVER (ORDER BY b) AS cum FROM q_hist),
+        q_n AS (SELECT sum(c) AS n FROM q_hist),
+        q_val AS (
+          SELECT qq.q AS q,
+                 (SELECT lo + (t.b + (qq.q * n - CAST(t.cum - t.c AS DOUBLE)) / CAST(t.c AS DOUBLE)) * w
+                  FROM q_cum t, q_n, q_mm
+                  WHERE CAST(t.cum AS DOUBLE) >= qq.q * n
+                  ORDER BY t.b LIMIT 1) AS v
+          FROM (VALUES (0.5e0), (0.9e0)) qq(q), q_n)
+        SELECT 'hll_distinct_suppkey' AS metric, CAST(v AS DOUBLE) AS value FROM hll_est
+        UNION ALL SELECT 'cms_' || item, CAST(v AS DOUBLE) FROM cms_est
+        UNION ALL SELECT 'hist_p50_totalprice', (SELECT v FROM q_val WHERE q = 0.5)
+        UNION ALL SELECT 'hist_p90_totalprice', (SELECT v FROM q_val WHERE q = 0.9)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "sketch_distinct_freq": _sketch_oracle_sql(),
+        "doc_rolling_fp": """
+            WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+            e AS (SELECT doc_id, text, unnest(generate_series(1, L - 15)) AS s
+                  FROM d WHERE L >= 16),
+            w AS (SELECT doc_id,
+                         min(md5_number_lower(substring(text, CAST(s AS INT), 16))) AS mh
+                  FROM e GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        WHEN d.L >= 16 THEN lpad(lower(hex(w.mh)), 16, '0')
+                        ELSE lpad(lower(hex(md5_number_lower(d.text))), 16, '0')
+                   END AS roll_fp
+            FROM d LEFT JOIN w USING (doc_id) ORDER BY d.doc_id
+        """,
+        "sample_bernoulli": """
+            SELECT o_orderkey FROM orders
+            WHERE o_orderkey IS NOT NULL
+              AND md5_number_lower('42:' || CAST(o_orderkey AS VARCHAR))
+                  / 18446744073709551616e0 < 0.1e0
+            ORDER BY o_orderkey
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -90,6 +90,35 @@ def md5_u64_multi(arr: pa.Array | pa.ChunkedArray, prefixes: list[str]) -> list:
     return [out.column(f"h{i}") for i in range(len(prefixes))]
 
 
+def md5_window_min_hex(arr: pa.Array | pa.ChunkedArray, window: int) -> pa.ChunkedArray:
+    """Winnowing-style document fingerprint, SQL-reproducible form: the
+    MIN over all ``window``-char substrings of md5_number_lower(substr),
+    as a 16-hex-char string (hex keeps uint64 out of pandas, where it
+    would degrade to float64 in the compare path).  Texts shorter than
+    the window hash whole; NULL → NULL.  One DuckDB pass per batch
+    (per-row generate_series explode + grouped min — C++ all the way)."""
+    if not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
+        arr = pc.cast(arr, pa.string())
+    con = _con()
+    t = pa.table({"v": arr}).append_column("i", pa.array(range(len(arr)), pa.int64()))
+    con.register("__hash_in", t)
+    try:
+        out = con.execute(f"""
+            WITH d AS (SELECT i, v, length(v) AS L FROM __hash_in),
+            e AS (SELECT i, v, unnest(generate_series(1, L - {window - 1})) AS s
+                  FROM d WHERE L >= {window}),
+            w AS (SELECT i, min(md5_number_lower(substring(v, CAST(s AS INT), {window}))) AS mh
+                  FROM e GROUP BY i)
+            SELECT CASE WHEN d.v IS NULL THEN NULL
+                        WHEN d.L >= {window} THEN lpad(lower(hex(w.mh)), 16, '0')
+                        ELSE lpad(lower(hex(md5_number_lower(d.v))), 16, '0') END AS h
+            FROM d LEFT JOIN w USING (i) ORDER BY d.i
+        """).arrow()
+    finally:
+        con.unregister("__hash_in")
+    return out.column("h")
+
+
 def md5_sample_mask(
     arr: pa.Array | pa.ChunkedArray, seed: int, hex_thresh: str
 ) -> pa.ChunkedArray:

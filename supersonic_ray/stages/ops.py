@@ -343,12 +343,36 @@ def distinct(ds, keys: list[str] | None = None):
     return dedup_by_key(ds, keys)
 
 
-def bernoulli_sample(ds, p: float, seed: int):
+def bernoulli_sample(ds, p: float, seed: int, key_col: str | None = None):
     """Sampling via seeded RandomDouble + Filter (the reference's only
-    sampling story, terminal_expressions.h:69-71)."""
+    sampling story, terminal_expressions.h:69-71).
+
+    With ``key_col`` the uniform variate is DERIVED per row instead of
+    drawn from an RNG stream: u = md5_number_lower(seed:key) / 2^64 —
+    the RandomDouble-then-Filter shape made reproducible under any
+    partitioning or cluster shape, and exactly SQL-verifiable (the
+    oracle evaluates the identical expression; uint64→double conversion
+    and the division round the same way in numpy and DuckDB).  NULL
+    keys never sample.  Without key_col: a per-batch seeded RNG stream
+    (true positional Bernoulli; not reproducible across re-blockings —
+    prefer key_col or hash_sample in pipelines that re-run)."""
     import hashlib
 
     import numpy as np
+
+    if key_col is not None:
+        from supersonic_ray.functions.dhash import md5_u64
+
+        def keyed(batch: pa.Table) -> pa.Table:
+            h = md5_u64(batch.column(key_col), prefix=f"{int(seed)}:")
+            if isinstance(h, pa.ChunkedArray):
+                h = h.combine_chunks()
+            valid = pc.is_valid(h).to_numpy(zero_copy_only=False)
+            hv = pc.fill_null(h, 0).to_numpy(zero_copy_only=False).astype(np.uint64)
+            u = hv.astype(np.float64) / 18446744073709551616.0
+            return batch.filter(pa.array((u < p) & valid))
+
+        return ds.map_batches(keyed, batch_format="pyarrow")
 
     def fn(batch: pa.Table) -> pa.Table:
         # per-batch deterministic stream: seed mixed with a STABLE batch

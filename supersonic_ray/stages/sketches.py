@@ -42,19 +42,24 @@ def _bit_length_u64(x: np.ndarray) -> np.ndarray:
     return bl
 
 
-def hll_registers(vals, p: int = 12) -> np.ndarray:
-    """Register array (2^p uint8) for one batch of values."""
+def _hll_registers_from_hashes(h: np.ndarray, p: int) -> np.ndarray:
     m = 1 << p
     regs = np.zeros(m, dtype=np.uint8)
-    if len(vals) == 0:
+    if len(h) == 0:
         return regs
-    h = _stable_hash(vals, _HLL_KEY)
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rem = (h << np.uint64(p)).astype(np.uint64)  # top 64-p bits left-justified
     # rank = leading zeros of rem (within 64 bits) + 1, capped
     rank = (64 - _bit_length_u64(rem) + 1).astype(np.uint8)
     np.maximum.at(regs, idx, rank)
     return regs
+
+
+def hll_registers(vals, p: int = 12) -> np.ndarray:
+    """Register array (2^p uint8) for one batch of values."""
+    if len(vals) == 0:
+        return np.zeros(1 << p, dtype=np.uint8)
+    return _hll_registers_from_hashes(_stable_hash(vals, _HLL_KEY), p)
 
 
 def hll_estimate(regs: np.ndarray) -> float:
@@ -69,19 +74,58 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
-def approx_count_distinct(ds, col: str, p: int = 12) -> int:
+def hll_estimate_exact(regs: np.ndarray) -> int:
+    """HLL estimator in SQL-REPRODUCIBLE arithmetic: the register sum is
+    the exact integer Σ 2^(64-reg) (Python bigint — no float summation
+    order to drift from a SQL SUM), the estimate is ONE double division
+    of double constants, and the final integer is floor(est + 0.5)
+    (round() would be half-even here, half-away in SQL).  Every
+    operation maps 1:1 onto the DuckDB oracle expression, so the
+    estimate is bit-identical across engine and oracle."""
+    import math
+
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    s_int = sum(1 << (64 - int(r)) for r in regs)  # exact integer sum
+    est = alpha * m * m * 18446744073709551616.0 / float(s_int)
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return int(math.floor(est + 0.5))
+
+
+def approx_count_distinct(ds, col: str, p: int = 12, hasher: str = "sip") -> int:
     """Distributed approximate COUNT(DISTINCT): per-batch registers →
     element-wise max on the driver (each partial is 2^p bytes,
-    regardless of input size).  Typical error ~1.04/sqrt(2^p)."""
+    regardless of input size).  Typical error ~1.04/sqrt(2^p).
 
-    def partial(batch: pa.Table) -> pa.Table:
-        vals = batch.column(col).drop_null().to_pylist()
-        return pa.table({"regs": [hll_registers(vals, p).tobytes()]})
+    hasher="sip" (default): vectorized pandas SipHash — the production
+    path.  hasher="md5": DuckDB md5_number_lower over the Arrow column
+    (dhash batch kernel) + the exact-arithmetic estimator — every
+    register and the final integer are reproducible by a SQL oracle."""
+
+    if hasher == "md5":
+        from supersonic_ray.functions.dhash import md5_u64
+
+        def partial(batch: pa.Table) -> pa.Table:
+            h = md5_u64(batch.column(col).drop_null())
+            if isinstance(h, pa.ChunkedArray):
+                h = h.combine_chunks()
+            hv = h.to_numpy(zero_copy_only=False).astype(np.uint64)
+            return pa.table({"regs": [_hll_registers_from_hashes(hv, p).tobytes()]})
+
+    else:
+
+        def partial(batch: pa.Table) -> pa.Table:
+            vals = batch.column(col).drop_null().to_pylist()
+            return pa.table({"regs": [hll_registers(vals, p).tobytes()]})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     regs = np.zeros(1 << p, dtype=np.uint8)
     for b in parts["regs"]:
         regs = np.maximum(regs, np.frombuffer(b, dtype=np.uint8))
+    if hasher == "md5":
+        return hll_estimate_exact(regs)
     return int(round(hll_estimate(regs)))
 
 
@@ -95,14 +139,46 @@ def cms_counts(vals, depth: int = 4, width: int = 2048) -> np.ndarray:
     return cm
 
 
-def approx_frequencies(ds, col: str, items: list, depth: int = 4, width: int = 2048) -> dict:
+def _cms_md5_counts(arr, depth: int, width: int) -> np.ndarray:
+    """Count-Min matrix with md5 row hashes: row d's index for value v
+    is md5_number_lower('d:' || v) % width — the SQL-reproducible hash
+    family (one DuckDB pass computes all depth rows)."""
+    from supersonic_ray.functions.dhash import md5_u64_multi
+
+    cm = np.zeros((depth, width), dtype=np.int64)
+    if len(arr) == 0:
+        return cm
+    cols = md5_u64_multi(arr, [f"{d}:" for d in range(depth)])
+    for d in range(depth):
+        h = cols[d]
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        idx = (h.to_numpy(zero_copy_only=False).astype(np.uint64) % np.uint64(width)).astype(np.int64)
+        np.add.at(cm[d], idx, 1)
+    return cm
+
+
+def approx_frequencies(
+    ds, col: str, items: list, depth: int = 4, width: int = 2048, hasher: str = "sip"
+) -> dict:
     """Distributed Count-Min: per-batch count matrices summed on the
     driver (depth×width int64 per batch); item frequency = min over
-    rows.  Overestimates by ≤ e/width · N with prob 1 - e^-depth."""
+    rows.  Overestimates by ≤ e/width · N with prob 1 - e^-depth.
+    hasher="md5" uses the SQL-reproducible md5 hash family — every
+    counter and estimate verifiable by a DuckDB oracle (pure integers,
+    no float drift possible)."""
 
-    def partial(batch: pa.Table) -> pa.Table:
-        vals = batch.column(col).drop_null().to_pylist()
-        return pa.table({"cm": [cms_counts(vals, depth, width).tobytes()]})
+    if hasher == "md5":
+
+        def partial(batch: pa.Table) -> pa.Table:
+            arr = batch.column(col).drop_null()
+            return pa.table({"cm": [_cms_md5_counts(arr, depth, width).tobytes()]})
+
+    else:
+
+        def partial(batch: pa.Table) -> pa.Table:
+            vals = batch.column(col).drop_null().to_pylist()
+            return pa.table({"cm": [cms_counts(vals, depth, width).tobytes()]})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     cm = np.zeros((depth, width), dtype=np.int64)
@@ -110,7 +186,13 @@ def approx_frequencies(ds, col: str, items: list, depth: int = 4, width: int = 2
         cm += np.frombuffer(b, dtype=np.int64).reshape(depth, width)
     out = {}
     for it in items:
-        ests = [cm[d][int(_stable_hash([it], _CMS_KEYS[d])[0] % np.uint64(width))] for d in range(depth)]
+        if hasher == "md5":
+            from supersonic_ray.functions.dhash import md5_u64_multi
+
+            probe = md5_u64_multi(pa.array([str(it)]), [f"{d}:" for d in range(depth)])
+            ests = [cm[d][probe[d][0].as_py() % width] for d in range(depth)]
+        else:
+            ests = [cm[d][int(_stable_hash([it], _CMS_KEYS[d])[0] % np.uint64(width))] for d in range(depth)]
         out[it] = int(min(ests))
     return out
 

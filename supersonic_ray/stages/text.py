@@ -269,6 +269,22 @@ def rolling_fingerprint(ds, col: str, window: int = 16, alias: str = "rfp"):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def rolling_fingerprint_md5(ds, col: str, window: int = 16, alias: str = "rfp"):
+    """SQL-oracle form of the winnowing fingerprint: the window hash is
+    md5_number_lower of the LITERAL window substring (DuckDB batch
+    kernel, one pass per batch) instead of the polynomial roll — same
+    min-over-windows semantics, every value reproducible by a DuckDB
+    oracle verbatim.  Output is a 16-hex-char string column (hex keeps
+    uint64 exact through pandas).  The polynomial ``rolling_fingerprint``
+    remains the scale path (no substring materialization)."""
+    from supersonic_ray.functions.dhash import md5_window_min_hex
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(alias, md5_window_min_hex(batch.column(col), window))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------ dedup
 
 
