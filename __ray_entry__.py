@@ -603,10 +603,18 @@ def gopher_rules_docs(sf_dir: str):
 
 
 def minhash_dedup_docs(sf_dir: str):
+    """MinHash+LSH dedup, oracle mode (round-5): hasher='md5' swaps the
+    SipHash/affine-permutation signature kernel for literal k-token
+    window shingles hashed with md5_number_lower('f:'||shingle) — every
+    signature value, band key (FNV fold mod 2^64), winner pick and
+    wins==bands survivor rule is then recomputed verbatim by the DuckDB
+    oracle.  The banding/winner/semi-join ORCHESTRATION under test is
+    the production path; only the hash primitive is swapped (MinHasher
+    stays the no-window-strings scale path, pytest-pinned equal spans)."""
     from supersonic_ray.stages.text import minhash_lsh_dedup
 
     ds = _ld(sf_dir, "documents", ["doc_id", "text"])
-    out = minhash_lsh_dedup(ds, "text", "doc_id").to_pandas()
+    out = minhash_lsh_dedup(ds, "text", "doc_id", n_hashes=16, bands=4, hasher="md5").to_pandas()
     return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
@@ -2060,6 +2068,47 @@ def _quality_oracle_sql() -> str:
     """
 
 
+def _minhash_oracle_sql(n_hashes: int = 16, bands: int = 4, k: int = 5) -> str:
+    """DuckDB recomputes the md5-mode MinHash+LSH dedup EXACTLY: shingle
+    set = distinct k-token windows of lower().split() tokens joined by
+    \\x1f (docs shorter than k hash their whole token list, empty text
+    hashes ''); signature f = min md5_number_lower('f:'||shingle); band
+    key = FNV fold seeded b+1 over the band's signature values, uint64
+    wraparound done in HUGEINT mod 2^64; a doc survives iff it is the
+    min doc_id of every one of its `bands` buckets."""
+    rpb = n_hashes // bands
+    B, M = 1099511628211, 1 << 64
+    key = "(CAST(b AS HUGEINT) + 1)"
+    for j in range(rpb):
+        key = f"((({key}) * {B} + CAST(s[b*{rpb}+{j + 1}] AS HUGEINT)) % {M}::HUGEINT)"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS t
+          FROM documents),
+        shl AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= {k}
+                      THEN list_distinct(list_transform(
+                             generate_series(1, len(t) - {k - 1}),
+                             i -> array_to_string(t[i:i+{k - 1}], chr(31))))
+                      ELSE [array_to_string(t, chr(31))] END AS shs
+          FROM toks),
+        sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        sigs AS (
+          SELECT doc_id, f,
+                 min(md5_number_lower(CAST(f AS VARCHAR) || ':' || sh)) AS sig
+          FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {n_hashes - 1})) AS f) fs
+          GROUP BY doc_id, f),
+        sigl AS (SELECT doc_id, list(sig ORDER BY f) AS s FROM sigs GROUP BY doc_id),
+        bk AS (
+          SELECT doc_id, {key} AS band_key
+          FROM sigl CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS b) bs),
+        winners AS (SELECT band_key, min(doc_id) AS w FROM bk GROUP BY band_key),
+        wins AS (SELECT w AS doc_id, count(*) AS c FROM winners GROUP BY w)
+        SELECT doc_id FROM wins WHERE c = {bands} ORDER BY doc_id
+    """
+
+
 def _sketch_oracle_sql() -> str:
     """DuckDB recomputes the md5-mode sketches EXACTLY: HLL registers
     (md5_number_lower, rank = 65 - bitlength of the left-justified
@@ -2138,6 +2187,7 @@ def _sketch_oracle_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "minhash_dedup_docs": _minhash_oracle_sql(),
         "sketch_distinct_freq": _sketch_oracle_sql(),
         "doc_rolling_fp": """
             WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),

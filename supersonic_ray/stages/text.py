@@ -435,6 +435,51 @@ class MinHasher:
         return df
 
 
+class Md5MinHasher:
+    """Oracle-mode MinHasher (round-5): shingle = the LITERAL k-token
+    window joined by \\x1f; hash family f = md5_number_lower('f:' ||
+    shingle) via the DuckDB batch kernel — every signature value is
+    reproducible by a SQL oracle verbatim.  Emits the same ``__sig``
+    layout as MinHasher (n_hashes uint64 LE bytes), so the banding /
+    winner-pick / semi-join machinery downstream is IDENTICAL: the
+    driver oracle validates the distributed orchestration, only the
+    hash primitive is swapped for a SQL-computable one.  (MinHasher's
+    SipHash + affine permutations stay the production path — no window
+    strings, pure numpy.)"""
+
+    def __init__(self, text_col: str = "text", n_hashes: int = 64, k: int = 5):
+        self.text_col, self.n, self.k = text_col, n_hashes, k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from supersonic_ray.functions.dhash import md5_u64_multi
+
+        df = df.copy()
+        if not len(df):
+            df["__sig"] = pd.Series([], dtype="object")
+            return df
+        shingle_lists = []
+        for t in df[self.text_col].fillna(""):
+            toks = t.lower().split()
+            if len(toks) >= self.k:
+                ss = {"\x1f".join(toks[i : i + self.k]) for i in range(len(toks) - self.k + 1)}
+            else:
+                ss = {"\x1f".join(toks)}
+            shingle_lists.append(sorted(ss))
+        counts = np.fromiter((len(s) for s in shingle_lists), dtype=np.int64)
+        flat = pa.array([s for lst in shingle_lists for s in lst], pa.string())
+        cols = md5_u64_multi(flat, [f"{f}:" for f in range(self.n)])
+        starts = np.cumsum(counts) - counts
+        sigs = np.empty((len(df), self.n), dtype=np.uint64)
+        for f in range(self.n):
+            h = cols[f]
+            if isinstance(h, pa.ChunkedArray):
+                h = h.combine_chunks()
+            hv = h.to_numpy(zero_copy_only=False).astype(np.uint64)
+            sigs[:, f] = np.minimum.reduceat(hv, starts)
+        df["__sig"] = [row.astype("<u8").tobytes() for row in sigs]
+        return df
+
+
 def minhash_lsh_dedup(
     ds,
     text_col: str,
@@ -443,6 +488,7 @@ def minhash_lsh_dedup(
     bands: int = 16,
     jaccard_threshold: float = 0.8,
     concurrency: int | None = None,
+    hasher: str = "sip",
 ):
     """MinHash + LSH near-dedup.
 
@@ -455,9 +501,10 @@ def minhash_lsh_dedup(
     from .ops import fanout
 
     rows_per_band = n_hashes // bands
+    hash_cls = {"sip": MinHasher, "md5": Md5MinHasher}[hasher]
     signed = fanout(
         ds.map_batches(
-            MinHasher, fn_constructor_kwargs={"text_col": text_col, "n_hashes": n_hashes},
+            hash_cls, fn_constructor_kwargs={"text_col": text_col, "n_hashes": n_hashes},
             batch_format="pandas",
             # autoscaling pool: (1, n) ramps with queued input — a fixed
             # n-actor pool pays full spin-up even for tiny inputs
