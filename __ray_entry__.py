@@ -619,18 +619,30 @@ def minhash_dedup_docs(sf_dir: str):
 
 
 def simhash_dedup_docs(sf_dir: str):
+    """SimHash dedup, oracle mode (round-5): hasher='md5' hashes tokens
+    with md5_number_lower so DuckDB recomputes every bit-plane vote, the
+    63-bit hash, the 4 rotated-prefix buckets and the greedy min-id
+    survivor scan (recursive CTE carrying each bucket's survivor list)
+    verbatim.  The bucket/shuffle/anti-join orchestration is the
+    production path; only the token-hash primitive is swapped."""
     from supersonic_ray.stages.text import simhash_dedup
 
     ds = _ld(sf_dir, "documents", ["doc_id", "text"])
-    out = simhash_dedup(ds, "text", "doc_id").to_pandas()
+    out = simhash_dedup(ds, "text", "doc_id", hasher="md5").to_pandas()
     return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
 def ngram_jaccard_docs(sf_dir: str):
+    """n-gram Jaccard candidate pairs, oracle mode (round-5):
+    hasher='md5' makes the single-band bucket keys (FNV fold of the
+    first 4 md5 signature values) and the per-pair Jaccard (over
+    distinct literal 3-token window strings) fully SQL-computable —
+    the DuckDB oracle recomputes bucket assignment, candidate pairs
+    and every jaccard value verbatim."""
     from supersonic_ray.stages.text import ngram_jaccard_pairs
 
     ds = _ld(sf_dir, "documents", ["doc_id", "text"])
-    out = ngram_jaccard_pairs(ds, "text", "doc_id", k=3, threshold=0.5).to_pandas()
+    out = ngram_jaccard_pairs(ds, "text", "doc_id", k=3, threshold=0.5, hasher="md5").to_pandas()
     out["jaccard"] = out["jaccard"].round(4)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
@@ -646,35 +658,63 @@ def ann_topk_embeddings(sf_dir: str):
 
 
 def ann_lsh_embeddings(sf_dir: str):
+    """LSH-pruned ANN, oracle mode (round-5): plane_mode='md5' derives
+    every hyperplane component from md5_number_lower('seed:j:d') in
+    float64, and k=500 returns the FULL bucket-matched candidate set —
+    candidate membership is then a pure sign/bucket-equality function
+    the DuckDB oracle recomputes verbatim (no float top-k selection in
+    the compared output)."""
     from supersonic_ray.stages.vectors import ann_lsh_topk
 
     emb = _pq(sf_dir, "embeddings")
     queries = np.array(emb.column("embedding").to_pylist()[:3], dtype=np.float32)
     ds = _ld(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = ann_lsh_topk(ds, "embedding", "vec_id", queries, k=5).to_pandas()
+    out = ann_lsh_topk(ds, "embedding", "vec_id", queries, k=500, plane_mode="md5").to_pandas()
     return out[["query_id", "vec_id"]].sort_values(["query_id", "vec_id"]).reset_index(drop=True)
 
 
 def ann_ivf_embeddings(sf_dir: str):
     """IVF-bucketed ANN (the scale path: coarse quantizer + probe-list
-    pruning; pytest pins exactness at nprobe == n_centroids)."""
+    pruning; pytest pins exactness at nprobe == n_centroids).  Oracle
+    mode (round-5): centroid_mode='md5' seeds centroids from the 32
+    smallest md5('c:'||id) rows (no Lloyd iterations), float64
+    assignment/probe arithmetic, and k=500 returns the full probed
+    candidate set — the DuckDB oracle recomputes centroid selection,
+    nearest-centroid assignment and nprobe probe lists verbatim."""
     from supersonic_ray.stages.vectors import ann_ivf_topk
 
     emb = _pq(sf_dir, "embeddings")
     queries = np.array(emb.column("embedding").to_pylist()[:3], dtype=np.float32)
     ds = _ld(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = ann_ivf_topk(ds, "embedding", "vec_id", queries, k=5, n_centroids=32, nprobe=8).to_pandas()
+    out = ann_ivf_topk(
+        ds, "embedding", "vec_id", queries, k=500, n_centroids=32, nprobe=8, centroid_mode="md5"
+    ).to_pandas()
     return out[["query_id", "vec_id"]].sort_values(["query_id", "vec_id"]).reset_index(drop=True)
 
 
 def embedding_neardup(sf_dir: str):
+    """Embedding near-dup with PLANTED duplicates (round-5: the r2 row
+    returned 0 rows and never proved a positive): rows vec_id < 20 are
+    cloned as vec_id+10000 with identical vectors, so 20 exact-dup
+    pairs (cosine 1.0, identical LSH bucket at any precision) must
+    survive; plane_mode='md5' makes bucketing and the float64 pairwise
+    cosine SQL-reproducible.  Natural pair cosines in the fixture top
+    out ≈0.51, far from the 0.92 threshold."""
     from supersonic_ray.stages.vectors import embedding_neardup_pairs
 
-    ds = _ld(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.92).to_pandas()
+    base = _ld(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def planted(b: pa.Table) -> pa.Table:
+        m = b.filter(pc.less(b.column("vec_id"), 20))
+        i = m.schema.get_field_index("vec_id")
+        return m.set_column(i, "vec_id", pc.add(m.column("vec_id"), 10000))
+
+    ds = base.union(base.map_batches(planted, batch_format="pyarrow"))
+    out = embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.92, plane_mode="md5").to_pandas()
     if out.empty or "id_a" not in out.columns:
         out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")})
-    return out[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    out = out[["id_a", "id_b"]].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def multimodal_decode(sf_dir: str):
@@ -2109,6 +2149,247 @@ def _minhash_oracle_sql(n_hashes: int = 16, bands: int = 4, k: int = 5) -> str:
     """
 
 
+def _lsh_planes_cte(n_planes: int, dim: int, seed: int) -> str:
+    """Shared CTE body: hyperplane component (j, d) =
+    md5_number_lower('seed:j:d') / 2^64 * 2 - 1 (float64) — identical
+    to LshBucketer._make_planes in plane_mode='md5'."""
+    return f"""
+        planes AS (
+          SELECT j, d,
+                 md5_number_lower('{seed}:' || CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR))
+                   / 18446744073709551616e0 * 2 - 1 AS p
+          FROM (SELECT unnest(generate_series(0, {n_planes - 1})) AS j) js
+          CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1})) AS d) ds_)"""
+
+
+def _ann_lsh_oracle_sql(n_planes: int = 8, dim: int = 64, seed: int = 11, n_queries: int = 3) -> str:
+    """DuckDB recomputes md5-mode LSH ANN candidates EXACTLY: sign-bit
+    bucket = Σ (Σ_d raw_v[d]·plane(j,d) > 0) << j over RAW float values
+    cast to double; queries = the first n_queries rows (vec_id order);
+    a row is a candidate for a query iff buckets are equal.  The k=500
+    driver query returns the full candidate set, so no float ordering
+    enters the compared output."""
+    return f"""
+        WITH {_lsh_planes_cte(n_planes, dim, seed)},
+        ve AS (
+          SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS v
+          FROM embeddings
+          CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1})) AS d) dd),
+        dots AS (
+          SELECT vec_id, j, sum(v * p) AS dot
+          FROM ve JOIN planes USING (d) GROUP BY vec_id, j),
+        bkt AS (
+          SELECT vec_id, sum(CASE WHEN dot > 0 THEN 1::BIGINT << j ELSE 0 END) AS bucket
+          FROM dots GROUP BY vec_id),
+        qs AS (
+          SELECT vec_id AS qid, row_number() OVER (ORDER BY vec_id) - 1 AS query_id
+          FROM embeddings ORDER BY vec_id LIMIT {n_queries}),
+        qb AS (SELECT q.query_id, b.bucket FROM qs q JOIN bkt b ON b.vec_id = q.qid)
+        SELECT qb.query_id, b.vec_id
+        FROM qb JOIN bkt b ON b.bucket = qb.bucket
+        ORDER BY query_id, vec_id
+    """
+
+
+def _ann_ivf_oracle_sql(
+    n_centroids: int = 32, nprobe: int = 8, dim: int = 64, n_queries: int = 3
+) -> str:
+    """DuckDB recomputes md5-mode IVF candidates EXACTLY: centroids =
+    the n_centroids rows with the smallest md5('c:'||vec_id) (their raw
+    vectors L2-normalized in double, indexed in hash order), every
+    vector assigned to its max-cosine centroid (first-max tie-break =
+    lowest centroid index, matching numpy argmax), per-query probe list
+    = top-nprobe centroids by cosine; candidates = rows assigned to a
+    probed centroid.  k=500 returns them all — no float top-k in the
+    compared output."""
+    return f"""
+        WITH ch AS (
+          SELECT vec_id, embedding,
+                 md5_number_lower('c:' || CAST(vec_id AS VARCHAR)) AS h
+          FROM embeddings),
+        cents AS (
+          SELECT vec_id, embedding, row_number() OVER (ORDER BY h) - 1 AS cidx
+          FROM ch QUALIFY row_number() OVER (ORDER BY h) <= {n_centroids}),
+        dd AS (SELECT unnest(generate_series(0, {dim - 1})) AS d),
+        cn AS (
+          SELECT cidx, d,
+                 CAST(embedding[d + 1] AS DOUBLE) /
+                 CASE WHEN list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) = 0
+                      THEN 1 ELSE sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) END AS cv
+          FROM cents CROSS JOIN dd),
+        vn AS (
+          SELECT vec_id, d,
+                 CAST(embedding[d + 1] AS DOUBLE) /
+                 CASE WHEN list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) = 0
+                      THEN 1 ELSE sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) END AS vv
+          FROM embeddings CROSS JOIN dd),
+        sims AS (
+          SELECT vn.vec_id, cn.cidx, sum(vv * cv) AS sim
+          FROM vn JOIN cn USING (d) GROUP BY vn.vec_id, cn.cidx),
+        assign AS (
+          SELECT vec_id, cidx FROM sims
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cidx) = 1),
+        qs AS (
+          SELECT vec_id AS qid, row_number() OVER (ORDER BY vec_id) - 1 AS query_id
+          FROM embeddings ORDER BY vec_id LIMIT {n_queries}),
+        probe AS (
+          SELECT q.query_id, s.cidx FROM qs q JOIN sims s ON s.vec_id = q.qid
+          QUALIFY row_number() OVER (PARTITION BY q.query_id ORDER BY s.sim DESC, s.cidx) <= {nprobe})
+        SELECT p.query_id, a.vec_id
+        FROM probe p JOIN assign a ON a.cidx = p.cidx
+        ORDER BY query_id, vec_id
+    """
+
+
+def _neardup_oracle_sql(
+    n_planes: int = 10, dim: int = 64, seed: int = 11, threshold: float = 0.92
+) -> str:
+    """DuckDB recomputes the planted-dup near-dup pass EXACTLY: the
+    same vec_id<20 clones at vec_id+10000, md5-derived hyperplane
+    buckets over raw doubles, candidate pairs = same bucket with
+    id_a < id_b, kept iff double-precision cosine ≥ threshold
+    (list_cosine_similarity; planted clones are bit-identical vectors
+    so their cosine is 1.0 at any precision)."""
+    return f"""
+        WITH base AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 20),
+        {_lsh_planes_cte(n_planes, dim, seed).strip()},
+        ve AS (
+          SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS v
+          FROM base CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1})) AS d) dd),
+        dots AS (
+          SELECT vec_id, j, sum(v * p) AS dot
+          FROM ve JOIN planes USING (d) GROUP BY vec_id, j),
+        bkt AS (
+          SELECT vec_id, sum(CASE WHEN dot > 0 THEN 1::BIGINT << j ELSE 0 END) AS bucket
+          FROM dots GROUP BY vec_id),
+        cand AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        cos AS (
+          SELECT c.id_a, c.id_b,
+                 list_cosine_similarity(
+                   list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(eb.embedding, x -> CAST(x AS DOUBLE))) AS cs
+          FROM cand c
+          JOIN base ea ON ea.vec_id = c.id_a
+          JOIN base eb ON eb.vec_id = c.id_b)
+        SELECT id_a, id_b FROM cos WHERE cs >= {threshold}
+        ORDER BY id_a, id_b
+    """
+
+
+def _ngram_jaccard_oracle_sql(k: int = 3, threshold: float = 0.5) -> str:
+    """DuckDB recomputes the md5-mode n-gram Jaccard pass EXACTLY:
+    distinct k-token window shingles per doc (short docs hash their
+    whole token list), single-band bucket = FNV fold (seed 0, mod 2^64
+    in HUGEINT) of signatures f=0..3 where sig_f =
+    min md5_number_lower('f:'||shingle), candidate pairs = same bucket
+    with id_a < id_b, jaccard = |A∩B| / |A∪B| over the literal shingle
+    string sets (identical cardinalities to the engine's md5-hash
+    sets)."""
+    B, M = 1099511628211, 1 << 64
+    key = "CAST(0 AS HUGEINT)"
+    for j in range(4):
+        key = f"((({key}) * {B} + CAST(s[{j + 1}] AS HUGEINT)) % {M}::HUGEINT)"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS t
+          FROM documents),
+        shl AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= {k}
+                      THEN list_distinct(list_transform(
+                             generate_series(1, len(t) - {k - 1}),
+                             i -> array_to_string(t[i:i+{k - 1}], chr(31))))
+                      ELSE [array_to_string(t, chr(31))] END AS shs
+          FROM toks),
+        sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        sigs AS (
+          SELECT doc_id, f,
+                 min(md5_number_lower(CAST(f AS VARCHAR) || ':' || sh)) AS sig
+          FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS f) fs
+          GROUP BY doc_id, f),
+        sigl AS (SELECT doc_id, list(sig ORDER BY f) AS s FROM sigs GROUP BY doc_id),
+        bk AS (SELECT doc_id, {key} AS bucket FROM sigl),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        j AS (
+          SELECT c.id_a, c.id_b,
+                 CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                   / len(list_distinct(sa.shs || sb.shs)) AS jac
+          FROM cand c
+          JOIN shl sa ON sa.doc_id = c.id_a
+          JOIN shl sb ON sb.doc_id = c.id_b)
+        SELECT id_a, id_b, round(jac, 4) AS jaccard
+        FROM j WHERE jac >= {threshold}
+        ORDER BY id_a, id_b
+    """
+
+
+def _simhash_oracle_sql(prefix_bits: int = 16) -> str:
+    """DuckDB recomputes the md5-mode SimHash dedup EXACTLY: token
+    hashes via md5_number_lower (multiset — duplicates vote), bit b of
+    the 64-bit hash set iff 2*ones > n_tokens, stored value = h >> 1
+    (63-bit), four 16-bit-rotated prefix buckets (HUGEINT mod-2^64
+    arithmetic; the two OR operands are bit-disjoint so + == |), and
+    the greedy in-id-order survivor scan per bucket via a recursive CTE
+    that carries each bucket's survivor hash list (a doc loses iff a
+    SURVIVING earlier doc is within hamming distance 3)."""
+    M64, M63 = 1 << 64, 1 << 63
+    arms = []
+    for rot in range(4):
+        mul = 1 << (16 * rot)
+        shr = 63 - 16 * rot
+        arms.append(f"""
+          SELECT doc_id, h,
+                 {rot * (1 << 48)} + CAST((((CAST(h AS HUGEINT) * {mul}) % {M64}::HUGEINT
+                     + (h >> {shr})) % {M63}::HUGEINT) // {1 << (63 - prefix_bits)} AS BIGINT) AS bucket
+          FROM sim""")
+    union = " UNION ALL ".join(arms)
+    return f"""
+        WITH tk AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '\\S+')) AS tok
+          FROM documents),
+        th AS (SELECT doc_id, md5_number_lower(tok) AS hh FROM tk),
+        bits AS (
+          SELECT doc_id, b, sum(CAST((hh >> b) & 1 AS BIGINT)) AS ones, count(*) AS n
+          FROM th CROSS JOIN (SELECT unnest(generate_series(1, 63)) AS b) bs
+          GROUP BY doc_id, b),
+        hv AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN 2 * ones > n THEN 1::UBIGINT << (b - 1)
+                               ELSE 0::UBIGINT END) AS BIGINT) AS h
+          FROM bits GROUP BY doc_id),
+        sim AS (
+          SELECT d.doc_id, coalesce(hv.h, 0) AS h
+          FROM documents d LEFT JOIN hv USING (doc_id)),
+        bks AS ({union}),
+        ranked AS (
+          SELECT bucket, doc_id, h,
+                 row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS r
+          FROM bks),
+        walk AS (
+          WITH RECURSIVE w(bucket, r, surv, doc_id, lost) AS (
+            SELECT bucket, 0, CAST([] AS BIGINT[]), NULL::BIGINT, FALSE
+            FROM (SELECT DISTINCT bucket FROM ranked)
+            UNION ALL
+            SELECT rk.bucket, w.r + 1,
+                   CASE WHEN len(list_filter(w.surv, s -> bit_count(xor(s, rk.h)) <= 3)) > 0
+                        THEN w.surv ELSE list_append(w.surv, rk.h) END,
+                   rk.doc_id,
+                   len(list_filter(w.surv, s -> bit_count(xor(s, rk.h)) <= 3)) > 0
+            FROM w JOIN ranked rk ON rk.bucket = w.bucket AND rk.r = w.r + 1)
+          SELECT doc_id, lost FROM w WHERE doc_id IS NOT NULL),
+        losers AS (SELECT DISTINCT doc_id FROM walk WHERE lost)
+        SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        ORDER BY doc_id
+    """
+
+
 def _sketch_oracle_sql() -> str:
     """DuckDB recomputes the md5-mode sketches EXACTLY: HLL registers
     (md5_number_lower, rank = 65 - bitlength of the left-justified
@@ -2188,6 +2469,11 @@ def _sketch_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "minhash_dedup_docs": _minhash_oracle_sql(),
+        "simhash_dedup_docs": _simhash_oracle_sql(),
+        "ngram_jaccard_docs": _ngram_jaccard_oracle_sql(),
+        "ann_lsh_embeddings": _ann_lsh_oracle_sql(),
+        "ann_ivf_embeddings": _ann_ivf_oracle_sql(),
+        "embedding_neardup": _neardup_oracle_sql(),
         "sketch_distinct_freq": _sketch_oracle_sql(),
         "doc_rolling_fp": """
             WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),

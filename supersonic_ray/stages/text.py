@@ -575,10 +575,27 @@ def _distributed_anti_join(ds, dup_ids, id_col: str):
 
 class SimHasher:
     """SimHash (64-bit) over token features; near-dups share hash up to
-    a few flipped bits.  Dedup: exact match on rotated prefix buckets."""
+    a few flipped bits.  Dedup: exact match on rotated prefix buckets.
 
-    def __init__(self, text_col: str = "text"):
+    ``hasher='md5'`` (oracle mode, round-5) swaps the SipHash token
+    kernel for ``md5_number_lower(token)`` so a DuckDB oracle recomputes
+    every bit-plane vote, the 63-bit hash, the rotated-prefix buckets
+    and the greedy min-id survivor scan verbatim; 'sip' stays the
+    production path (no SQL round-trip per batch)."""
+
+    def __init__(self, text_col: str = "text", hasher: str = "sip"):
         self.text_col = text_col
+        self.hasher = hasher
+
+    def _hash_tokens(self, flat: list[str]) -> np.ndarray:
+        if self.hasher == "md5":
+            from supersonic_ray.functions.dhash import md5_u64
+
+            h = md5_u64(pa.array(flat, pa.string()))
+            if isinstance(h, pa.ChunkedArray):
+                h = h.combine_chunks()
+            return h.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return _token_hashes(flat)
 
     @staticmethod
     def simhash(text: str) -> int:
@@ -607,7 +624,7 @@ class SimHasher:
         if not nz.any():
             return out.astype(np.int64)
         flat = list(chain.from_iterable(tok_lists))
-        th = _token_hashes(flat)
+        th = self._hash_tokens(flat)
         offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lens, out=offs[1:])
         starts = offs[:-1][nz]  # strictly increasing: every nz doc has >=1 token
@@ -649,14 +666,16 @@ def _cap_bucket(g: pd.DataFrame, id_col: str, label: str) -> pd.DataFrame:
     return g.nsmallest(_BUCKET_CAP, id_col)
 
 
-def simhash_dedup(ds, text_col: str, id_col: str, prefix_bits: int = 16):
+def simhash_dedup(ds, text_col: str, id_col: str, prefix_bits: int = 16, hasher: str = "sip"):
     """Bucket by 4 rotated prefixes of the simhash; within a bucket,
-    keep min-id among hashes within hamming distance ≤ 3."""
+    keep min-id among hashes within hamming distance ≤ 3 (greedy scan
+    in id order: a doc eliminated by an earlier survivor does not
+    itself eliminate later docs)."""
     from .ops import fanout
 
     signed = fanout(
         ds.map_batches(
-            SimHasher, fn_constructor_kwargs={"text_col": text_col},
+            SimHasher, fn_constructor_kwargs={"text_col": text_col, "hasher": hasher},
             batch_format="pandas", concurrency=(1, _default_concurrency()),
         ),
         n_consumers=2,
@@ -705,11 +724,43 @@ def simhash_dedup(ds, text_col: str, id_col: str, prefix_bits: int = 16):
     return _distributed_anti_join(signed, dup_ids, id_col)
 
 
-def ngram_jaccard_pairs(ds, text_col: str, id_col: str, k: int = 3, threshold: float = 0.6):
+def _md5_shingle_hash_sets(texts, k: int) -> list[np.ndarray]:
+    """Per-doc DISTINCT shingle hash sets in the md5 oracle mode:
+    literal k-token \\x1f-joined window strings hashed with
+    md5_number_lower, one DuckDB batch pass for the whole input (the
+    SQL oracle recomputes identical sets from the window strings, so
+    intersection/union cardinalities — hence Jaccard — match exactly)."""
+    from supersonic_ray.functions.dhash import md5_u64
+
+    shingle_lists = []
+    for t in texts:
+        toks = (t or "").lower().split()
+        if len(toks) >= k:
+            ss = sorted({"\x1f".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
+        else:
+            ss = ["\x1f".join(toks)]
+        shingle_lists.append(ss)
+    counts = np.fromiter((len(s) for s in shingle_lists), dtype=np.int64, count=len(shingle_lists))
+    flat = pa.array([s for lst in shingle_lists for s in lst], pa.string())
+    h = md5_u64(flat)
+    if isinstance(h, pa.ChunkedArray):
+        h = h.combine_chunks()
+    hv = h.to_numpy(zero_copy_only=False).astype(np.uint64)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    return [hv[offs[i] : offs[i + 1]] for i in range(len(shingle_lists))]
+
+
+def ngram_jaccard_pairs(ds, text_col: str, id_col: str, k: int = 3, threshold: float = 0.6, hasher: str = "sip"):
     """Exact n-gram Jaccard similarity for candidate pairs surfaced by a
-    single LSH band pass — returns (id_a, id_b, jaccard) rows."""
-    hasher = MinHasher(text_col=text_col, n_hashes=16, k=k)
-    signed = ds.map_batches(hasher, batch_format="pandas", concurrency=_default_concurrency())
+    single LSH band pass — returns (id_a, id_b, jaccard) rows.
+
+    ``hasher='md5'`` (oracle mode): signatures come from Md5MinHasher
+    and the shipped shingle sets are md5 hashes of the literal window
+    strings — bucket keys, candidate pairs and every Jaccard value are
+    then recomputed verbatim by the DuckDB oracle."""
+    hash_cls = {"sip": MinHasher, "md5": Md5MinHasher}[hasher]
+    hasher_obj = hash_cls(text_col=text_col, n_hashes=16, k=k)
+    signed = ds.map_batches(hasher_obj, batch_format="pandas", concurrency=_default_concurrency())
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
@@ -723,7 +774,11 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, k: int = 3, threshold: f
         # ship the DEDUPED shingle-hash set (binary), never the document
         # text, through the bucket shuffle — and compute it exactly once
         # per doc here instead of O(n²) times inside the verify loop
-        sh = df[text_col].map(lambda t: np.unique(_shingles(t or "", k)).astype("<u8").tobytes())
+        if hasher == "md5":
+            sets = _md5_shingle_hash_sets(df[text_col], k)
+            sh = pd.Series([s.astype("<u8").tobytes() for s in sets], index=df.index)
+        else:
+            sh = df[text_col].map(lambda t: np.unique(_shingles(t or "", k)).astype("<u8").tobytes())
         return pd.DataFrame({"bucket": bh.view(np.int64), id_col: df[id_col].to_numpy(), "__sh": sh.to_numpy()})
 
     buckets = signed.map_batches(explode, batch_format="pandas")

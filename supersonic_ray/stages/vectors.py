@@ -72,21 +72,45 @@ class LshBucketer:
     generated once per actor from a fixed seed; when ``dim`` is None
     they are generated lazily from the FIRST batch's vector width (so
     callers never probe the dataset driver-side just to learn the dim —
-    every actor derives identical planes from the same seed)."""
+    every actor derives identical planes from the same seed).
 
-    def __init__(self, col: str, dim: int | None = None, n_planes: int = 12, seed: int = 11):
+    ``plane_mode='md5'`` (oracle mode, round-5): plane component
+    (j, d) = md5_number_lower('seed:j:d') / 2^64 * 2 - 1 computed in
+    float64 — a DuckDB oracle regenerates the identical hyperplanes and
+    recomputes every sign bit (uniform components are still a valid
+    angular LSH family; gaussian stays the production default)."""
+
+    def __init__(
+        self, col: str, dim: int | None = None, n_planes: int = 12, seed: int = 11,
+        plane_mode: str = "gauss",
+    ):
         self.n_planes = n_planes
         self.seed = seed
+        self.plane_mode = plane_mode
         self.planes = self._make_planes(dim) if dim else None
         self.col = col
 
     def _make_planes(self, dim: int) -> np.ndarray:
+        if self.plane_mode == "md5":
+            from supersonic_ray.functions.dhash import md5_u64
+
+            keys = pa.array(
+                [f"{self.seed}:{j}:{d}" for j in range(self.n_planes) for d in range(dim)],
+                pa.string(),
+            )
+            h = md5_u64(keys)
+            if isinstance(h, pa.ChunkedArray):
+                h = h.combine_chunks()
+            u = h.to_numpy(zero_copy_only=False).astype(np.float64) / 18446744073709551616.0
+            return (u * 2.0 - 1.0).reshape(self.n_planes, dim).T
         rng = np.random.RandomState(self.seed)
         return rng.randn(dim, self.n_planes).astype(np.float32)
 
     def bucket_of(self, m: np.ndarray) -> np.ndarray:
         if self.planes is None:
             self.planes = self._make_planes(m.shape[1])
+        if self.plane_mode == "md5":
+            m = m.astype(np.float64)  # f64 signs: SQL-double margins
         signs = (m @ self.planes) > 0
         return (signs.astype(np.uint32) << np.arange(self.planes.shape[1], dtype=np.uint32)).sum(axis=1)
 
@@ -96,19 +120,29 @@ class LshBucketer:
         return batch.append_column("__bucket", pa.array(buckets.astype(np.int64)))
 
 
-def ann_lsh_topk(ds, col: str, id_col: str, queries: np.ndarray, k: int = 10, n_planes: int = 8, seed: int = 11):
+def ann_lsh_topk(
+    ds, col: str, id_col: str, queries: np.ndarray, k: int = 10, n_planes: int = 8, seed: int = 11,
+    plane_mode: str = "gauss",
+):
     """Approximate top-k: only rows whose LSH bucket matches a query's
-    bucket are scored.  Same output schema as brute force."""
+    bucket are scored.  Same output schema as brute force.  In
+    ``plane_mode='md5'`` the query bucket is computed from the RAW
+    query vector (sign is scale-invariant; raw matches the SQL oracle
+    verbatim)."""
     import ray
 
-    q = _normalize(np.asarray(queries, dtype=np.float32))
+    q_raw = np.asarray(queries, dtype=np.float32)
+    q = _normalize(q_raw)
     dim = q.shape[1]
-    bucketer = LshBucketer(col, dim, n_planes, seed)
-    q_buckets = bucketer.bucket_of(q)
+    bucketer = LshBucketer(col, dim, n_planes, seed, plane_mode=plane_mode)
+    q_buckets = bucketer.bucket_of(q_raw if plane_mode == "md5" else q)
     q_ref = ray.put((q, q_buckets.astype(np.int64)))
 
     bucketed = ds.map_batches(
-        LshBucketer, fn_constructor_kwargs={"col": col, "dim": dim, "n_planes": n_planes, "seed": seed},
+        LshBucketer,
+        fn_constructor_kwargs={
+            "col": col, "dim": dim, "n_planes": n_planes, "seed": seed, "plane_mode": plane_mode,
+        },
         batch_format="pyarrow", concurrency=(1, _default_concurrency()),
     )
 
@@ -160,9 +194,39 @@ def train_ivf_centroids(
     return cents
 
 
+def _md5_seed_centroids(ds, col: str, id_col: str, n_centroids: int) -> np.ndarray:
+    """Oracle-mode coarse quantizer: centroids = the ``n_centroids``
+    rows with the globally smallest md5_number_lower('c:'||id), raw
+    vectors normalized in float64.  Selection is integer-exact (a SQL
+    ORDER BY the same hash LIMIT n reproduces it verbatim) and the
+    driver holds only n_centroids rows: per-batch partial prune, then
+    one tiny sort+limit."""
+    from supersonic_ray.functions.dhash import md5_u64
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = md5_u64(b.column(id_col), prefix="c:")
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        # hex keeps uint64 hash ORDER through Arrow sort (int64 would
+        # flip the top half); n_centroids rows per batch at most
+        hx = pa.array(
+            [format(int(v), "016x") for v in h.to_numpy(zero_copy_only=False)], pa.string()
+        )
+        t = pa.table({"__h": hx, id_col: b.column(id_col), col: b.column(col)})
+        idx = pc.select_k_unstable(t, k=min(n_centroids, len(t)), sort_keys=[("__h", "ascending")])
+        return t.take(idx)
+
+    top = ds.map_batches(partial, batch_format="pyarrow").sort("__h").limit(n_centroids).to_pandas()
+    m = np.array(top[col].tolist(), dtype=np.float64)
+    return _normalize(m)
+
+
 class IvfAssigner:
     """Actor-pool stage: vector → nearest-centroid id (one matmul per
-    batch against the broadcast centroid matrix)."""
+    batch against the broadcast centroid matrix).  A float64 centroid
+    matrix (oracle mode) switches the whole assignment to float64 so
+    argmax margins match SQL-double arithmetic."""
 
     def __init__(self, col: str, cents_ref):
         import ray
@@ -171,7 +235,10 @@ class IvfAssigner:
         self.cents = ray.get(cents_ref) if isinstance(cents_ref, ray.ObjectRef) else cents_ref
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _normalize(_batch_matrix(batch, self.col))
+        m = _batch_matrix(batch, self.col)
+        if self.cents.dtype == np.float64:
+            m = m.astype(np.float64)
+        m = _normalize(m)
         assign = (m @ self.cents.T).argmax(axis=1) if m.shape[0] else np.array([], dtype=np.int64)
         return batch.append_column("__cent", pa.array(assign.astype(np.int64)))
 
@@ -185,6 +252,7 @@ def ann_ivf_topk(
     n_centroids: int = 64,
     nprobe: int = 8,
     seed: int = 13,
+    centroid_mode: str = "kmeans",
 ):
     """IVF approximate top-k: coarse centroids trained once on a driver
     sample and broadcast; every vector is assigned to its nearest
@@ -192,11 +260,18 @@ def ann_ivf_topk(
     centroid is among its nprobe closest — at scale this skips
     (1 - nprobe/n_centroids) of all distance computations.
     nprobe == n_centroids degenerates to exact brute force (pytest
-    pins that equality)."""
+    pins that equality).  ``centroid_mode='md5'`` (oracle mode) skips
+    Lloyd training and takes the n_centroids rows with the smallest
+    md5('c:'||id) as seed centroids, all arithmetic in float64 — a SQL
+    oracle reproduces assignment and probe lists verbatim."""
     import ray
 
-    cents = train_ivf_centroids(ds, col, n_centroids=n_centroids, seed=seed)
-    q = _normalize(np.asarray(queries, dtype=np.float32))
+    if centroid_mode == "md5":
+        cents = _md5_seed_centroids(ds, col, id_col, n_centroids)
+        q = _normalize(np.asarray(queries, dtype=np.float64))
+    else:
+        cents = train_ivf_centroids(ds, col, n_centroids=n_centroids, seed=seed)
+        q = _normalize(np.asarray(queries, dtype=np.float32))
     nprobe = min(nprobe, len(cents))
     q_probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (n_q, nprobe)
     state_ref = ray.put((q, q_probe, cents))
@@ -240,23 +315,31 @@ def ann_ivf_topk(
     return local.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
 
 
-def embedding_neardup_pairs(ds, col: str, id_col: str, threshold: float = 0.95, n_planes: int = 10, seed: int = 11):
+def embedding_neardup_pairs(
+    ds, col: str, id_col: str, threshold: float = 0.95, n_planes: int = 10, seed: int = 11,
+    plane_mode: str = "gauss",
+):
     """Embedding-cosine near-dup: LSH bucket (shuffle once on bucket id)
     → within-bucket pairwise cosine ≥ threshold → (id_a, id_b, cosine).
     The bucketer derives its planes from the first batch's vector width
-    — no driver-side ``take(1)`` probe (round-4 verdict item)."""
+    — no driver-side ``take(1)`` probe (round-4 verdict item).
+    ``plane_mode='md5'`` also does the pairwise cosine in float64, so
+    a SQL oracle (list_cosine_similarity) reproduces every kept pair."""
     bucketed = ds.map_batches(
-        LshBucketer, fn_constructor_kwargs={"col": col, "n_planes": n_planes, "seed": seed},
+        LshBucketer,
+        fn_constructor_kwargs={"col": col, "n_planes": n_planes, "seed": seed, "plane_mode": plane_mode},
         batch_format="pyarrow", concurrency=(1, _default_concurrency()),
     )
 
     from .text import _cap_bucket
 
+    dtype = np.float64 if plane_mode == "md5" else np.float32
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         g = _cap_bucket(g, id_col, "embedding_neardup_pairs").sort_values(id_col, kind="mergesort")
-        m = _normalize(np.array(g[col].tolist(), dtype=np.float32))
+        m = _normalize(np.array(g[col].tolist(), dtype=dtype))
         sims = m @ m.T
         ids = g[id_col].to_numpy()
         ia, ib = np.triu_indices(len(g), k=1)
