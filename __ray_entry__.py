@@ -1174,6 +1174,54 @@ def rsb_zonemap_scan(sf_dir: str):
     return out
 
 
+def rsb_compact_scan(sf_dir: str):
+    """Compaction under churn through the hard oracle gate (round-5;
+    previously pytest-only): orders encoded into deliberately tiny
+    partitions (the incremental small-file problem), consolidated index
+    built, partitions merged by compact_partitions (crash-safe
+    lineage.replaces protocol), then a RANGE scan prunes the compacted
+    layout from its rebuilt manifests/index before decoding, and the
+    grouped aggregate must hash-match the raw-table oracle — proving
+    compaction preserves data, stats stay metadata-true, and pruning
+    over merged partitions is still conservative-correct."""
+    import tempfile
+
+    from supersonic_ray.pipelines import compact_partitions, decode_partitions, encode_dataset
+    from supersonic_ray.state import build_partition_index
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
+    from supersonic_ray.stages.ops import filter_expr, sort
+
+    lo, hi = 200, 1100
+    with tempfile.TemporaryDirectory() as tmp:
+        ds = sort(
+            _ld(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]),
+            ["o_orderkey"],
+        )
+        encode_dataset(ds, tmp, batch_size=512, concurrency=2).materialize()
+        build_partition_index(tmp)
+        compact_partitions(tmp, target_bytes=1 << 20, concurrency=2)
+        scan = decode_partitions(
+            tmp,
+            columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+            concurrency=2,
+            ranges={"o_orderkey": (lo, hi)},
+        )
+        scan = filter_expr(
+            scan,
+            lambda t: pc.and_(
+                pc.greater_equal(t.column("o_orderkey"), lo),
+                pc.less_equal(t.column("o_orderkey"), hi),
+            ),
+        )
+        out = group_aggregate(
+            scan,
+            ["o_orderpriority"],
+            [AggSpec("count", None, "n"), AggSpec("sum", "o_totalprice", "total")],
+        ).to_pandas()
+    out["total"] = out["total"].round(2)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def rsb_bloom_scan(sf_dir: str):
     """Bloom-filter partition pruning (round-4): documents encoded
     CLUSTERED by lang, then an equality scan (lang = 'de') prunes whole
@@ -1929,6 +1977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rsb_scan_aggregate": rsb_scan_aggregate,
         "rsb_zonemap_scan": rsb_zonemap_scan,
         "rsb_bloom_scan": rsb_bloom_scan,
+        "rsb_compact_scan": rsb_compact_scan,
         "training_pipeline_docs": training_pipeline_docs,
         "dict_enum_lang": dict_enum_lang,
         # -- TPC-H core + plan documents
@@ -3228,6 +3277,12 @@ def oracle_sql() -> dict[str, str]:
         "rsb_bloom_scan": """
             SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents WHERE lang = 'de'
+        """,
+        "rsb_compact_scan": """
+            SELECT o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders WHERE o_orderkey BETWEEN 200 AND 1100
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "training_pipeline_docs": """
             WITH t AS (
