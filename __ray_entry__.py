@@ -1905,6 +1905,35 @@ def plan_window_json(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+PLAN_CI_SORT_JSON = """
+{"steps": [
+  {"op": "scan", "table": "orders", "columns": ["o_orderkey", "o_orderpriority"]},
+  {"op": "compute", "exprs": {"prio_mixed":
+    {"op": "if", "args": [
+      {"op": "is_even", "args": [{"col": "o_orderkey"}]},
+      {"op": "to_upper", "args": [{"col": "o_orderpriority"}]},
+      {"op": "to_lower", "args": [{"col": "o_orderpriority"}]}]}}},
+  {"op": "project", "columns": ["o_orderkey", "prio_mixed"]},
+  {"op": "sort", "keys": ["prio_mixed", "o_orderkey"],
+   "descending": [false, true], "case_insensitive": [true, false]},
+  {"op": "limit", "n": 80}
+]}
+"""
+
+
+def sort_multikey_ci(sf_dir: str):
+    """Per-key case-insensitivity inside a serialized multi-key sort
+    spec (round-5; ExtendedSort's per-key case_sensitivity,
+    proto/specification.proto:12-30), driven through the JSON plan
+    grammar: a deliberately mixed-case key (upper for even keys, lower
+    for odd) sorts CI ascending while the second key sorts CS
+    descending; the limit makes the order visible to the hash compare."""
+    from supersonic_ray.pipelines import run_plan_json
+
+    out = run_plan_json(PLAN_CI_SORT_JSON, sf_dir).to_pandas()
+    return out.reset_index(drop=True)
+
+
 def foreign_filter_rank_q(sf_dir: str):
     """ForeignFilter exact semantics (foreign_filter.h:33-43): semi join
     on sorted unique filter keys AND FK rewritten to the matched key's
@@ -1987,6 +2016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "plan_q1_json": plan_q1_json,
         "plan_q3_json": plan_q3_json,
         "plan_window_json": plan_window_json,
+        "sort_multikey_ci": sort_multikey_ci,
         # -- joins (round-3 Arrow-native probe + adaptive planners)
         "semi_join_customers": semi_join_customers,
         "anti_join_customers": anti_join_customers,
@@ -3277,6 +3307,16 @@ def oracle_sql() -> dict[str, str]:
         "rsb_bloom_scan": """
             SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents WHERE lang = 'de'
+        """,
+        "sort_multikey_ci": """
+            WITH t AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+                          ELSE lower(o_orderpriority) END AS prio_mixed
+              FROM orders)
+            SELECT o_orderkey, prio_mixed FROM t
+            ORDER BY lower(prio_mixed) ASC, o_orderkey DESC
+            LIMIT 80
         """,
         "rsb_compact_scan": """
             SELECT o_orderpriority, count(*) AS n,

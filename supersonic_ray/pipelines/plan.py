@@ -26,7 +26,8 @@ Plan document::
       {"op": "project", "columns": [...]},
       {"op": "group_aggregate", "keys": [...],
        "aggs": [{"fn": "sum", "column": "x", "alias": "s"}, ...]},
-      {"op": "sort", "keys": [...], "descending": [...]},
+      {"op": "sort", "keys": [...], "descending": [...],
+       "nulls_first": true, "case_insensitive": [...]},
       {"op": "limit", "n": 10, "offset": 0},
       {"op": "top_k", "keys": [...], "k": 10, "descending": [...]},
       {"op": "dedup", "keys": [...], "order_by": "c"},
@@ -208,7 +209,13 @@ def build_pipeline(plan: dict, sf_dir: str):
         elif kind == "group_aggregate":
             ds = group_aggregate(ds, step["keys"], [AggSpec(**a) for a in step["aggs"]])
         elif kind == "sort":
-            ds = sort(ds, step["keys"], step.get("descending", False))
+            ds = sort(
+                ds,
+                step["keys"],
+                step.get("descending", False),
+                nulls_first=step.get("nulls_first"),
+                case_insensitive=step.get("case_insensitive", False),
+            )
         elif kind == "limit":
             ds = limit_offset(ds, limit=step["n"], offset=step.get("offset", 0))
         elif kind == "top_k":

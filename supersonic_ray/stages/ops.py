@@ -155,8 +155,22 @@ def limit_offset(ds, limit: int | None = None, offset: int = 0):
     return ds.limit(limit) if limit is not None else ds
 
 
-def sort(ds, keys: list[str], descending: list[bool] | bool = False, nulls_first: bool | None = None, assume_no_nulls: bool = False):
+def sort(
+    ds,
+    keys: list[str],
+    descending: list[bool] | bool = False,
+    nulls_first: bool | None = None,
+    assume_no_nulls: bool = False,
+    case_insensitive: list[bool] | bool = False,
+):
     """Sort (cursor/core/sort.h:89): multi-key, per-key ASC/DESC.
+
+    case_insensitive: per-key (or one bool for all) — a CI key orders
+    by utf8_lower(key) (ExtendedSort's per-key case_sensitivity,
+    proto/specification.proto:12-30); rows equal under lower() are
+    tie-broken only by LATER keys, matching the reference.  CI keys
+    use the indicator plan even under assume_no_nulls (the lowered
+    copy is a computed column either way).
     Ray Data's range-partitioned distributed sort plays the reference's
     external merge sort (spill via object store).
 
@@ -176,15 +190,19 @@ def sort(ds, keys: list[str], descending: list[bool] | bool = False, nulls_first
     ds = decode_dictionary_columns(ds)  # shuffle boundary: ENUM → values
     if isinstance(descending, bool):
         descending = [descending] * len(keys)
-    if assume_no_nulls:
+    if isinstance(case_insensitive, bool):
+        case_insensitive = [case_insensitive] * len(keys)
+    if assume_no_nulls and not any(case_insensitive):
         return ds.sort(keys, descending=descending)
     nulls_last_default = nulls_first is None
     if nulls_last_default:
         nulls_first = False
 
-    def _filled(k):
+    def _filled(k, ci):
         def fn(t: pa.Table):
             col = t.column(k)
+            if ci:
+                col = pc.utf8_lower(col)
             if col.null_count == 0:
                 return col
             return pc.fill_null(col, null_fill_scalar(col.type))
@@ -194,7 +212,7 @@ def sort(ds, keys: list[str], descending: list[bool] | bool = False, nulls_first
     aux_cols = {}
     for i, k in enumerate(keys):
         aux_cols[f"__nul_{i}"] = (lambda kk: lambda t: pc.cast(pc.is_null(t.column(kk)), pa.int8()))(k)
-        aux_cols[f"__key_{i}"] = _filled(k)
+        aux_cols[f"__key_{i}"] = _filled(k, case_insensitive[i])
     tagged = compute(ds, aux_cols)
     sort_keys, sort_desc = [], []
     for i, (k, d) in enumerate(zip(keys, descending)):
@@ -239,12 +257,14 @@ def top_k(
 
 
 def sort_case_insensitive(ds, key: str, k: int | None = None, descending: bool = False):
-    """ExtendedSort case-insensitive key via computed lower-case column."""
-    tagged = compute(ds, {"__ci_key": lambda t: pc.utf8_lower(t.column(key))})
-    out = tagged.sort("__ci_key", descending=descending)
+    """ExtendedSort case-insensitive single key — thin wrapper over the
+    general per-key spec (round-5: also fixes NULL placement; the old
+    direct ``ds.sort`` on a lowered string key hit Ray's None-boundary
+    TypeError on NULL-bearing string keys)."""
+    out = sort(ds, [key], descending=descending, case_insensitive=True)
     if k is not None:
         out = out.limit(k)
-    return out.drop_columns(["__ci_key"])
+    return out
 
 
 def merge_union_all(ds_a, ds_b, keys: list[str], descending: list[bool] | bool = False):
