@@ -1921,6 +1921,28 @@ PLAN_CI_SORT_JSON = """
 """
 
 
+PLAN_DEDUP_JSON = """
+{"steps": [
+  {"op": "scan", "table": "lineitem",
+   "columns": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]},
+  {"op": "dedup", "keys": ["l_suppkey"], "order_by": "l_orderkey"}
+]}
+"""
+
+
+def plan_dedup_json(sf_dir: str):
+    """The JSON plan grammar's `dedup` node over the round-5
+    dedup_by_key rewrite (min-(order_by, row-md5) winner via per-batch
+    combiner + per-shard vectorized pick — no per-key map_groups).  The
+    winner rule is SQL-exact: the row fingerprint is md5 over the
+    \\x1f-joined stringified row, so the oracle recomputes the same
+    deterministic winner per key with a window function."""
+    from supersonic_ray.pipelines import run_plan_json
+
+    out = run_plan_json(PLAN_DEDUP_JSON, sf_dir).to_pandas()
+    return out.sort_values("l_suppkey").reset_index(drop=True)
+
+
 def sort_multikey_ci(sf_dir: str):
     """Per-key case-insensitivity inside a serialized multi-key sort
     spec (round-5; ExtendedSort's per-key case_sensitivity,
@@ -1986,21 +2008,24 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registration ORDER matters: the driver's correctness run
-    evaluates the first 50 entries, so the window front-loads (a)
-    queries NEW this round (agg_distinct_nullkey, plan_window_json,
-    image_decode_jpeg, image_decode_png, video_frame_sample,
-    audio_decode_g711, and rsb_scan_aggregate's switch to the read_rsb
-    Datasource), (b) the round-3 flagships that had no hard driver row
-    yet (tfidf_top_terms_docs, dedup_clusters_docs), and (c) every
-    path REWRITTEN in round 4
-    (NULL-key mixed aggregation, top_k partial prune, MinHash winner
-    pick, scalar arg-extreme FIRST/LAST, group_with_limit dtype
-    normalization).  Every query below #50 has a green driver
-    CORRECTNESS row from round 2 or 3 and its code path is unchanged
-    since that row (rotated-down members are named at the boundary
-    comments)."""
+    evaluates the first 50 entries, so the window front-loads (a) the
+    round-5 oracle closures — the 9 formerly-no_oracle approximate
+    operators (minhash/simhash/ngram_jaccard/ann_lsh/ann_ivf/
+    embedding_neardup/doc_rolling_fp/sample_bernoulli) plus
+    sketch_distinct_freq, which had never had a driver row — (b)
+    queries NEW this round (rsb_compact_scan, plan_dedup_json,
+    sort_multikey_ci), and (c) every path REWRITTEN since the r4
+    driver run: dedup_by_key/distinct + the plan `dedup` node,
+    session/sliding windows (shard-size contract), aggregate type
+    markers (agg_scalar/first_last/distinct_nullkey), decode_blob's
+    fail-open chunk mask (all rsb_* legs), and the sort per-key CI
+    spec (sort_nulls_first, topk_orders).  Every query below #50 has a
+    green driver CORRECTNESS row from a prior round and its code path
+    is unchanged since that row (rotated-down members are named at the
+    boundary comments)."""
     return {
-        # -- flagships: storage round trips, zone maps, composite pipeline
+        # -- flagships: storage round trips, zone maps, compaction,
+        # -- composite pipeline
         "encode_roundtrip_docs": encode_roundtrip_docs,
         "encode_roundtrip_lineitem": encode_roundtrip_lineitem,
         "rsb_scan_aggregate": rsb_scan_aggregate,
@@ -2008,16 +2033,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rsb_bloom_scan": rsb_bloom_scan,
         "rsb_compact_scan": rsb_compact_scan,
         "training_pipeline_docs": training_pipeline_docs,
-        "dict_enum_lang": dict_enum_lang,
-        # -- TPC-H core + plan documents
+        # -- TPC-H core + plan documents (plan_q3_json/plan_window_json
+        # -- rotated down: green r04, join/running grammar untouched;
+        # -- plan_q1_json stays to cover the default-args sort node)
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q5_region_revenue": q5_region_revenue,
         "plan_q1_json": plan_q1_json,
+        "plan_dedup_json": plan_dedup_json,
+        "sort_multikey_ci": sort_multikey_ci,
+        # -- aggregation (type-marker restore touched min/max paths
+        # -- since the r4 run; agg_concat/agg_udaf_* rotated down —
+        # -- green r04, concat/UDAF paths untouched)
+        "agg_scalar": agg_scalar,
+        "agg_distinct": agg_distinct,
+        "agg_distinct_nullkey": agg_distinct_nullkey,
+        "agg_first_last": agg_first_last,
+        "agg_clusters_sorted": agg_clusters_sorted,
+        "group_with_limit": group_with_limit,
+        "group_with_limit_arrival": group_with_limit_arrival,
+        "skew_salted_agg": skew_salted_agg,
+        # -- ordering (ops.sort gained the per-key CI plan this round)
+        "sort_nulls_first": sort_nulls_first,
+        "topk_orders": topk_orders,
+        # -- training-data assembly
+        "pack_sequences_docs": pack_sequences_docs,
+        "vocab_top_words_docs": vocab_top_words_docs,
+        # -- dedup + fingerprints + sketches (round-5 oracle closures)
+        "dedup_exact_docs": dedup_exact_docs,
+        "substring_dedup_docs": substring_dedup_docs,
+        "doc_fingerprints": doc_fingerprints,
+        "doc_rolling_fp": doc_rolling_fp,
+        "exact_quantiles_orders": exact_quantiles_orders,
+        "sketch_distinct_freq": sketch_distinct_freq,
+        "sample_bernoulli": sample_bernoulli,
+        # -- windows (session/sliding rewritten to the shard-size
+        # -- contract since the r4 run)
+        "window_rank_lag": window_rank_lag,
+        "session_windows_events": session_windows_events,
+        "window_sliding": window_sliding,
+        "gopher_rules_docs": gopher_rules_docs,
+        # -- approximate dedup + ANN (round-5 md5 oracle modes)
+        "minhash_dedup_docs": minhash_dedup_docs,
+        "simhash_dedup_docs": simhash_dedup_docs,
+        "ngram_jaccard_docs": ngram_jaccard_docs,
+        "ann_lsh_embeddings": ann_lsh_embeddings,
+        "ann_ivf_embeddings": ann_ivf_embeddings,
+        "embedding_neardup": embedding_neardup,
+        # -- multimodal codecs (round-4 flagships, decode paths live)
+        "image_decode_bmp": image_decode_bmp,
+        "image_decode_jpeg": image_decode_jpeg,
+        "image_decode_png": image_decode_png,
+        "video_frame_sample": video_frame_sample,
+        "audio_decode_g711": audio_decode_g711,
+        "line_dedup_docs": line_dedup_docs,
+        "tfidf_top_terms_docs": tfidf_top_terms_docs,
+        "dedup_clusters_docs": dedup_clusters_docs,
+        # ---- window boundary (#50): everything below has a green driver
+        # ---- CORRECTNESS row from a prior round and its code path is
+        # ---- unchanged since that row.  Rotated down THIS round (all
+        # ---- green r04, paths untouched since that run): dict_enum_lang,
+        # ---- plan_q3_json, plan_window_json, the 8 join queries
+        # ---- (joins.py untouched since r4; semi/anti paths still
+        # ---- exercised in-window via the dedup pipelines' adaptive
+        # ---- joins), agg_concat, agg_udaf_span, agg_udaf_combinable.
+        "dict_enum_lang": dict_enum_lang,
         "plan_q3_json": plan_q3_json,
         "plan_window_json": plan_window_json,
-        "sort_multikey_ci": sort_multikey_ci,
-        # -- joins (round-3 Arrow-native probe + adaptive planners)
         "semi_join_customers": semi_join_customers,
         "anti_join_customers": anti_join_customers,
         "left_outer_join": left_outer_join,
@@ -2026,56 +2108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_parts": range_join_parts,
         "foreign_filter_rank": foreign_filter_rank_q,
         "rowid_merge_orders": rowid_merge_orders,
-        # -- aggregation (round-3 distributed holistic plans)
-        "agg_scalar": agg_scalar,
-        "agg_distinct": agg_distinct,
-        "agg_distinct_nullkey": agg_distinct_nullkey,
         "agg_concat": agg_concat,
-        "agg_first_last": agg_first_last,
-        "agg_clusters_sorted": agg_clusters_sorted,
-        "group_with_limit": group_with_limit,
         "agg_udaf_span": agg_udaf_span,
         "agg_udaf_combinable": agg_udaf_combinable,
-        "skew_salted_agg": skew_salted_agg,
-        # -- ordering / limits / set ops / sampling (sort_multikey +
-        # -- merge_union moved below the boundary — green at r02,
-        # -- untouched — to make window room for the two new flagships)
-        # -- limit_offset_orders + sample_by_hash rotated down (green
-        # -- r02+r03; ops.py limit/sampling paths untouched this round)
-        # -- to make window room for the new video_frame_sample +
-        # -- audio_decode_g711 flagships
-        "sort_nulls_first": sort_nulls_first,
-        "topk_orders": topk_orders,
-        # -- training-data assembly (round-3 flagships)
-        "pack_sequences_docs": pack_sequences_docs,
-        "vocab_top_words_docs": vocab_top_words_docs,
-        # -- dedup + fingerprints (round-3 vectorized hash kernels;
-        # -- substring_dedup_docs NEW this session; parquet_partitioned_sink
-        # -- rotated down — green r03, sinks untouched this round)
-        "dedup_exact_docs": dedup_exact_docs,
-        "substring_dedup_docs": substring_dedup_docs,
-        "doc_fingerprints": doc_fingerprints,
-        # -- round-3 flagship operators (no prior driver row)
-        "exact_quantiles_orders": exact_quantiles_orders,
-        "window_rank_lag": window_rank_lag,
-        "gopher_rules_docs": gopher_rules_docs,
-        "image_decode_bmp": image_decode_bmp,
-        "image_decode_jpeg": image_decode_jpeg,
-        "image_decode_png": image_decode_png,
-        "video_frame_sample": video_frame_sample,
-        "audio_decode_g711": audio_decode_g711,
-        "group_with_limit_arrival": group_with_limit_arrival,
-        "line_dedup_docs": line_dedup_docs,
-        # -- round-3 flagships that had no hard driver row yet (rotated
-        # -- into the window this round per the r03 verdict)
-        "tfidf_top_terms_docs": tfidf_top_terms_docs,
-        "dedup_clusters_docs": dedup_clusters_docs,
-        # ---- window boundary (#50): everything below has a green driver
-        # ---- CORRECTNESS row from a prior round (r02 or r03) and its
-        # ---- code path is unchanged since that row; expr_hyperbolic and
-        # ---- expr_is_normal / expr_date_local / expr_cast_parse /
-        # ---- expr_fingerprint rotated down (green r03, pure expression
-        # ---- paths, frozen this round)
         "limit_offset_orders": limit_offset_orders,
         "sample_by_hash": sample_by_hash,
         "parquet_partitioned_sink": parquet_partitioned_sink,
@@ -2098,31 +2133,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expr_math": expr_math,
         "expr_date": expr_date,
         "expr_null_handling": expr_null_handling,
-        "sketch_distinct_freq": sketch_distinct_freq,
-        "sample_bernoulli": sample_bernoulli,
         "running_sum_events": running_sum_events,
         "stateful_changed": stateful_changed,
         "smudge_events": smudge_events,
         "smudge_if_events": smudge_if_events,
         "running_min_flush_events": running_min_flush_events,
         "window_tumbling": window_tumbling,
-        "session_windows_events": session_windows_events,
-        "window_sliding": window_sliding,
         "token_count_docs": token_count_docs,
         "bpe_token_count_docs": bpe_token_count_docs,
         "quality_docs": quality_docs,
         "lang_id_docs": lang_id_docs,
-        "minhash_dedup_docs": minhash_dedup_docs,
-        "simhash_dedup_docs": simhash_dedup_docs,
-        "ngram_jaccard_docs": ngram_jaccard_docs,
         "ann_topk_embeddings": ann_topk_embeddings,
-        "ann_lsh_embeddings": ann_lsh_embeddings,
-        "ann_ivf_embeddings": ann_ivf_embeddings,
-        "embedding_neardup": embedding_neardup,
         "multimodal_decode": multimodal_decode,
         "generate_sequence": generate_sequence,
         "expr_datetime_parse": expr_datetime_parse,
-        "doc_rolling_fp": doc_rolling_fp,
         "expr_string_extra": expr_string_extra,
         "expr_date_fields": expr_date_fields,
     }
@@ -3307,6 +3331,19 @@ def oracle_sql() -> dict[str, str]:
         "rsb_bloom_scan": """
             SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents WHERE lang = 'de'
+        """,
+        "plan_dedup_json": """
+            WITH t AS (
+              SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                     md5(CAST(l_orderkey AS VARCHAR) || chr(31) ||
+                         CAST(l_partkey AS VARCHAR) || chr(31) ||
+                         CAST(l_suppkey AS VARCHAR) || chr(31) ||
+                         CAST(l_linenumber AS VARCHAR)) AS rk
+              FROM lineitem)
+            SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM t
+            QUALIFY row_number() OVER (PARTITION BY l_suppkey
+                                       ORDER BY l_orderkey, rk) = 1
+            ORDER BY l_suppkey
         """,
         "sort_multikey_ci": """
             WITH t AS (
