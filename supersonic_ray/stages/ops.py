@@ -406,18 +406,36 @@ def bernoulli_sample(ds, p: float, seed: int, key_col: str | None = None):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def fanout(ds, n_consumers: int = 2):
+def fanout(ds, n_consumers: int = 2, mode: str | None = None):
     """Splitter analog (reference cursor/core/splitter.h:44-230): consume
-    ONE dataset from several branches.  Ray Datasets are lazy lineage —
-    each consumer would otherwise re-execute the whole upstream graph —
-    so fanout pins the blocks in the object store (materialize) exactly
-    once and every branch reads the shared blocks.
+    ONE dataset from several branches.  Ray Datasets are lazy lineage,
+    so the two physical strategies are:
 
-    Cost model: materialize = one full pass + object-store footprint
-    (spills to disk under pressure); recompute = n_consumers full
-    upstream executions.  Materialize wins whenever the upstream stage
-    is non-trivial or n_consumers > 1 — which is every dedup pipeline
-    here.  ``n_consumers`` is documentation of intent only."""
+    - ``materialize``: pin the blocks in the object store once; every
+      branch reads the shared blocks.  Cost = one full pass + the full
+      dataset's object-store footprint — at 100 TB that footprint IS a
+      forced spill write of the whole corpus before either consumer
+      reads a row.
+    - ``recompute``: return the lazy dataset; each consumer re-executes
+      the upstream graph.  Cost = n_consumers source reads + upstream
+      compute, ZERO pinned bytes.  Requires a DETERMINISTIC upstream
+      (all our hash/signature stages are).
+
+    Round-5 sf0.1 measurement (BASELINE.md §10): recompute wins where
+    the pinned set is LARGER than the source (substring dedup's W-fold
+    window explode: 21-24 s vs 26-28 s, and the biggest object-store
+    pin in the repo removed); materialize wins where upstream compute
+    dominates (minhash signatures 4.0-4.5 s vs 6.6-7.1 s; exact dedup
+    0.8-1.0 s vs 1.2-1.9 s).  Call sites pass the measured winner;
+    GRAFT_FANOUT_MODE overrides globally (a 100-TB cluster where
+    pinning forces a full spill write should set `recompute` — the
+    storage re-read is sequential and cheap there, the spill is not).
+    ``n_consumers`` is documentation of intent only."""
+    import os
+
+    mode = mode or os.environ.get("GRAFT_FANOUT_MODE", "materialize")
+    if mode == "recompute":
+        return ds
     return ds.materialize()
 
 

@@ -1289,11 +1289,16 @@ def substring_span_dedup(
             }
         )
 
+    # recompute, not materialize: the exploded table is ~window× the
+    # corpus — pinning it is the worst object-store footprint in the
+    # repo, and the round-5 sf0.1 A/B has recompute 15-20 % FASTER
+    # (21-24 s vs 26-28 s) on top of the zero pin (ops.fanout docstring)
     positions = fanout(
         ds.select_columns([id_col, text_col]).map_batches(
             explode_windows, batch_format="pyarrow", batch_size=batch_size
         ),
         n_consumers=2,
+        mode="recompute",
     )
 
     # GLOBAL count-distinct of docs per window key (round-5 fix): the
