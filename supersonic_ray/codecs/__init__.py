@@ -27,4 +27,5 @@ from .rle import RLE  # noqa: F401
 from .fsst import FSST, FsstCodec  # noqa: F401
 from .alp import ALP  # noqa: F401
 from .frontcode import FRONTCODE  # noqa: F401
+from .worddict import WORDDICT  # noqa: F401
 from .selector import ColumnStats, choose_codec, column_stats  # noqa: F401

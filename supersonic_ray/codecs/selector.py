@@ -137,6 +137,15 @@ def _candidates(dtype: pa.DataType, st: ColumnStats) -> list[tuple[str, str]]:
             cands += [("rle", ""), ("rle", "zlib"), ("rle", "brotli")]
         if st.distinct_ratio < 0.3:
             cands += [("dict", ""), ("dict", "zlib"), ("dict", "brotli")]
+        if (
+            (pa.types.is_string(dtype) or pa.types.is_large_string(dtype))
+            and st.avg_len > 30
+            and st.entropy_bits > 2.0
+        ):
+            # natural-text shape: word tokenization + rANS ids reaches
+            # arithmetic precision where byte-level Huffman backends
+            # stall (worddict.py; ~12 % under fsst+bz2 on webpages text)
+            cands.append(("worddict", ""))
         if st.distinct_ratio > 0.05 and st.entropy_bits > 2.0:
             cands += [
                 ("fsst", ""),

@@ -1,0 +1,210 @@
+"""Round-5 additions: rANS coder, worddict codec, md5 oracle modes,
+per-key case-insensitive sort, fanout modes."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+# ------------------------------------------------------------------ rANS
+
+def _zipf_tokens(rng, n, k, s=1.1):
+    p = 1.0 / (np.arange(1, k + 1) ** s)
+    p /= p.sum()
+    return rng.choice(k, size=n, p=p).astype(np.uint32)
+
+
+@pytest.mark.parametrize(
+    "n,k",
+    [(0, 5), (1, 1), (7, 3), (511, 2), (512, 2), (513, 2), (20_000, 114), (5_000, 3000)],
+)
+def test_rans_roundtrip(n, k):
+    from supersonic_ray.codecs import rans
+
+    rng = np.random.RandomState(n + k)
+    toks = _zipf_tokens(rng, n, k) if n else np.zeros(0, dtype=np.uint32)
+    blob = rans.encode(toks, k)
+    assert np.array_equal(rans.decode(blob), toks)
+
+
+def test_rans_near_entropy():
+    from supersonic_ray.codecs import rans
+
+    rng = np.random.RandomState(7)
+    toks = _zipf_tokens(rng, 200_000, 114)
+    blob = rans.encode(toks, 114)
+    cnt = np.bincount(toks, minlength=114)
+    p = cnt[cnt > 0] / len(toks)
+    H = -(p * np.log2(p)).sum()
+    bits = len(blob) * 8 / len(toks)
+    # within 3% of entropy + small fixed table/state overhead
+    assert bits < H * 1.03 + 0.2, (bits, H)
+
+
+def test_rans_deterministic():
+    from supersonic_ray.codecs import rans
+
+    toks = _zipf_tokens(np.random.RandomState(3), 10_000, 50)
+    assert rans.encode(toks, 50) == rans.encode(toks.copy(), 50)
+
+
+# -------------------------------------------------------------- worddict
+
+WEIRD = [
+    "", None, "a  b", " leading", "trailing ", "\x00nul\x00", "solo",
+    None, "многа слов тут", "a" * 5000, "x " * 300, "\n\t mixed ws",
+]
+
+
+@pytest.mark.parametrize("dtype", [pa.string(), pa.large_string()])
+def test_worddict_roundtrip_weird(dtype):
+    from supersonic_ray.codecs import encode_array
+    from supersonic_ray.codecs.base import decode_array
+
+    arr = pa.array(WEIRD, dtype)
+    blob = encode_array(arr, "worddict", "")
+    back = decode_array(blob, dtype, expect_rows=len(arr))
+    assert back.equals(arr)
+
+
+def test_worddict_beats_fsst_bz2_on_text():
+    from supersonic_ray.codecs import encode_array
+    from supersonic_ray.fixtures import generate_webpages
+
+    text = generate_webpages(4096).column("text").combine_chunks()
+    wd = len(encode_array(text, "worddict", ""))
+    fb = len(encode_array(text, "fsst", "bz2"))
+    assert wd < fb, (wd, fb)
+
+
+def test_selector_picks_worddict_for_text():
+    from supersonic_ray.codecs.selector import choose_codec
+    from supersonic_ray.fixtures import generate_webpages
+
+    t = generate_webpages(4096)
+    codec, _ = choose_codec(t.column("text").combine_chunks())
+    assert codec == "worddict"
+    # urls stay on frontcode/fsst — token explosion disqualifies worddict
+    codec_u, _ = choose_codec(t.column("url").combine_chunks())
+    assert codec_u != "worddict"
+
+
+# ---------------------------------------------------- md5 oracle modes
+
+def test_md5_minhasher_signature_matches_reference():
+    from supersonic_ray.functions.dhash import md5_u64
+    from supersonic_ray.stages.text import Md5MinHasher
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": ["a b c d e f", "a b", None]})
+    out = Md5MinHasher("text", n_hashes=4, k=5)(df.copy())
+    # doc 0: shingles = {'a b c d e','b c d e f'} joined by \x1f
+    sh0 = ["\x1f".join("a b c d e".split()), "\x1f".join("b c d e f".split())]
+    for f in range(4):
+        h = md5_u64(pa.array(sh0, pa.string()), prefix=f"{f}:")
+        expect = min(h.to_pylist())
+        got = np.frombuffer(out["__sig"][0], dtype="<u8")[f]
+        assert int(got) == expect
+
+
+def test_simhasher_md5_batch_matches_scalar_rule():
+    from supersonic_ray.functions.dhash import md5_u64
+    from supersonic_ray.stages.text import SimHasher
+
+    texts = pd.Series(["hello world hello", "", "one two three four"])
+    got = SimHasher("text", hasher="md5")._batch_simhash(texts)
+    for i, t in enumerate(texts):
+        toks = (t or "").lower().split()
+        if not toks:
+            assert got[i] == 0
+            continue
+        hs = md5_u64(pa.array(toks, pa.string())).to_pylist()
+        hv = np.array(hs, dtype=np.uint64)
+        bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        h = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum() >> np.uint64(1))
+        assert int(got[i]) == h
+
+
+def test_lsh_md5_planes_deterministic_and_lazy_dim():
+    from supersonic_ray.stages.vectors import LshBucketer
+
+    a = LshBucketer("v", dim=16, n_planes=6, seed=11, plane_mode="md5")
+    b = LshBucketer("v", n_planes=6, seed=11, plane_mode="md5")  # lazy dim
+    m = np.random.RandomState(0).randn(32, 16).astype(np.float32)
+    assert np.array_equal(a.bucket_of(m), b.bucket_of(m))
+    assert a.planes.dtype == np.float64
+
+
+def test_md5_seed_centroids_selection(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from supersonic_ray.stages.vectors import _md5_seed_centroids
+
+    rng = np.random.RandomState(1)
+    tbl = pa.table(
+        {"vec_id": pa.array(range(100), pa.int64()),
+         "embedding": pa.array([rng.randn(8).astype(np.float32).tolist() for _ in range(100)],
+                               pa.list_(pa.float32()))}
+    )
+    cents = _md5_seed_centroids(rd.from_arrow(tbl), "embedding", "vec_id", 5)
+    con = duckdb.connect()
+    con.register("e", tbl)
+    ids = [r[0] for r in con.execute(
+        "SELECT vec_id FROM e ORDER BY md5_number_lower('c:' || CAST(vec_id AS VARCHAR)) LIMIT 5"
+    ).fetchall()]
+    # centroids are the hash-selected rows' vectors, L2-normalized in f64
+    m = np.array([tbl.column("embedding")[i].as_py() for i in ids], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    assert np.allclose(cents, m)
+
+
+# ------------------------------------------------------- CI multi-key sort
+
+def test_sort_per_key_case_insensitive(ray_session):
+    import ray.data as rd
+
+    from supersonic_ray.stages.ops import sort
+
+    t = pa.table(
+        {"s": ["b", "A", "a", "B", None, "aa"], "k": [1, 2, 3, 4, 5, 6]}
+    )
+    out = sort(rd.from_arrow(t), ["s", "k"], [False, True], case_insensitive=[True, False]).to_pandas()
+    # CI groups {A,a} then {aa} then {b,B}; within group k DESC; NULLs last
+    assert out["k"].tolist() == [3, 2, 6, 4, 1, 5]
+
+
+def test_sort_ci_spec_via_plan(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from supersonic_ray.pipelines import run_plan_json
+
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array(range(6), pa.int64()),
+                  "o_orderpriority": ["Mid", "low", "HIGH", "mid", "LOW", "high"]}),
+        str(tmp_path / "orders.parquet"),
+    )
+    plan = """
+    {"steps": [
+      {"op": "scan", "table": "orders", "columns": ["o_orderkey", "o_orderpriority"]},
+      {"op": "sort", "keys": ["o_orderpriority", "o_orderkey"],
+       "descending": [false, false], "case_insensitive": [true, false]},
+      {"op": "limit", "n": 6}
+    ]}"""
+    out = run_plan_json(plan, str(tmp_path)).to_pandas()
+    assert out["o_orderpriority"].tolist() == ["HIGH", "high", "low", "LOW", "Mid", "mid"]
+
+
+# ------------------------------------------------------------ fanout modes
+
+def test_fanout_modes(ray_session):
+    import ray.data as rd
+
+    from supersonic_ray.stages.ops import fanout
+
+    ds = rd.range(100)
+    lazy = fanout(ds, mode="recompute")
+    assert lazy is ds  # zero pinned bytes: same lazy lineage
+    mat = fanout(ds, mode="materialize")
+    assert mat is not ds and mat.count() == 100
