@@ -226,6 +226,12 @@ def run_bench(ncpu: int) -> dict:
             "topk_orders",
             "dedup_exact_docs",
             "minhash_dedup_docs",
+            # round-5: the newly-oracled approximate ops get bench walls
+            # so regressions become visible round-over-round
+            "simhash_dedup_docs",
+            "substring_dedup_docs",
+            "ann_ivf_embeddings",
+            "sketch_distinct_freq",
         ):
             if name in q:
                 t0 = time.monotonic()
