@@ -45,6 +45,12 @@ def quantize_freqs(counts: np.ndarray, scale_bits: int = SCALE_BITS) -> np.ndarr
     total = counts.sum()
     if total == 0:
         raise ValueError("rans: empty frequency table")
+    if int((counts > 0).sum()) > M:
+        # every observed symbol needs freq ≥ 1; more symbols than table
+        # slots cannot quantize (the old path spun forever here)
+        raise ValueError(
+            f"rans: {int((counts > 0).sum())} symbols exceed table size {M}"
+        )
     f = np.floor(counts * M / total).astype(np.int64)
     f[(counts > 0) & (f == 0)] = 1
     diff = M - int(f.sum())
@@ -74,10 +80,18 @@ def _lanes_for(n_tokens: int) -> int:
     return int(min(512, max(1, n_tokens // 32)))
 
 
-def encode(tokens: np.ndarray, n_syms: int, scale_bits: int = SCALE_BITS) -> bytes:
+def encode(tokens: np.ndarray, n_syms: int, scale_bits: int | None = None) -> bytes:
     """Encode a uint token-id stream (values < n_syms) with a static
-    table built from the stream itself."""
+    table built from the stream itself.  scale_bits defaults to 14 and
+    widens to 15 when the alphabet needs more table slots (every
+    observed symbol must get freq ≥ 1; freqs stay u16-safe at M=2^15);
+    alphabets beyond 2^15 raise — callers fall back to a byte-level
+    codec there."""
     tokens = np.ascontiguousarray(tokens, dtype=np.uint32)
+    if scale_bits is None:
+        scale_bits = SCALE_BITS if n_syms <= (1 << 12) else 15
+    if n_syms > (1 << 15):
+        raise ValueError(f"rans: alphabet {n_syms} exceeds 2^15")
     n = len(tokens)
     counts = np.bincount(tokens, minlength=n_syms).astype(np.int64)
     header = struct.pack("<IHBB", n, 0, scale_bits, 0)  # lanes patched below

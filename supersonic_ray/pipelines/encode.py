@@ -1195,6 +1195,23 @@ def decode_partitions(
         paths = pruned_partition_paths(out_dir, ranges, equals)
     else:
         paths = _live_rsb_paths(out_dir)
+    if not paths:
+        # pruning eliminated EVERY partition: return a TYPED empty
+        # dataset (schema from any live file's header — a bytes-range
+        # read, no chunk decompression) so downstream aggregates/joins
+        # keep their column identity instead of a schemaless zero-block
+        # dataset (round-5: a fully-pruned range scan used to KeyError
+        # in the consumer)
+        live = _live_rsb_paths(out_dir)
+        if live:
+            with open(live[0], "rb") as f:
+                head = f.read(8)
+                assert head[:4] == MAGIC, "not an RSB file"
+                (schema_len,) = struct.unpack("<I", head[4:8])
+                schema = pa.ipc.read_schema(pa.py_buffer(f.read(schema_len)))
+            if columns is not None:
+                schema = pa.schema([schema.field(c) for c in columns])
+            return rd.from_arrow(schema.empty_table())
     # repartition so every partition file is its own block: task-pool
     # map_batches then schedules one decode task per file across all
     # CPUs (from_items packs items into few blocks otherwise)

@@ -139,12 +139,17 @@ def filter_expr(ds, pred: Callable[[pa.Table], pa.Array]):
 
 def coalesce_zip(ds_a, ds_b):
     """Coalesce(children) (cursor/core/coalesce.h:33-40): zip columns of
-    equal-length streams into one wide stream; duplicate names error."""
-    a_names = set(ds_a.schema().names)
-    b_names = set(ds_b.schema().names)
-    dup = a_names & b_names
-    if dup:
-        raise ValueError(f"Coalesce: duplicate attribute names {sorted(dup)}")
+    equal-length streams into one wide stream; duplicate names error.
+
+    The bind-time name check is METADATA-ONLY (fetch_if_missing=False —
+    probing a derived dataset's schema would partially execute it); if
+    lineage metadata can't answer, Ray's zip still errors at run time."""
+    sa = ds_a.schema(fetch_if_missing=False)
+    sb = ds_b.schema(fetch_if_missing=False)
+    if sa is not None and sb is not None:
+        dup = set(sa.names) & set(sb.names)
+        if dup:
+            raise ValueError(f"Coalesce: duplicate attribute names {sorted(dup)}")
     return ds_a.zip(ds_b)
 
 
@@ -271,8 +276,11 @@ def merge_union_all(ds_a, ds_b, keys: list[str], descending: list[bool] | bool =
     """MergeUnionAll (cursor/core/merge_union_all.h:39-45): deterministic
     merge of same-schema sorted streams.  Ray Data union does not
     interleave, so the merged order is re-established by a sort — same
-    output, shuffle instead of the reference's single-thread heap."""
-    if set(ds_a.schema().names) != set(ds_b.schema().names):
+    output, shuffle instead of the reference's single-thread heap.
+    Bind-time schema check is metadata-only (see coalesce_zip)."""
+    sa = ds_a.schema(fetch_if_missing=False)
+    sb = ds_b.schema(fetch_if_missing=False)
+    if sa is not None and sb is not None and set(sa.names) != set(sb.names):
         raise ValueError("MergeUnionAll: schemas differ")
     return sort(ds_a.union(ds_b), keys, descending)
 

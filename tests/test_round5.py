@@ -208,3 +208,19 @@ def test_fanout_modes(ray_session):
     assert lazy is ds  # zero pinned bytes: same lazy lineage
     mat = fanout(ds, mode="materialize")
     assert mat is not ds and mat.count() == 100
+
+
+# ------------------------------------------------ fully-pruned decode schema
+
+def test_decode_partitions_pruned_to_nothing_keeps_schema(ray_session, tmp_path):
+    import ray.data as rd
+
+    from supersonic_ray.pipelines import decode_partitions, encode_dataset
+
+    ds = rd.from_arrow(pa.table({"a": list(range(100)), "b": ["x"] * 100}))
+    encode_dataset(ds, str(tmp_path), batch_size=50, concurrency=2).materialize()
+    scan = decode_partitions(str(tmp_path), ranges={"a": (5000, 6000)})
+    assert scan.count() == 0
+    assert scan.schema().names == ["a", "b"]  # typed empty, not schemaless
+    scan2 = decode_partitions(str(tmp_path), columns=["a"], ranges={"a": (5000, 6000)})
+    assert scan2.schema().names == ["a"]
