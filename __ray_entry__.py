@@ -89,7 +89,12 @@ def q3_top_orders(sf_dir: str):
     li_f = compute(li_f, {"revenue": lambda t: pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))})
     rev = group_aggregate(li_f, ["l_orderkey"], [AggSpec("sum", "revenue", "revenue")])
     rev = compute(rev, {"revenue": lambda t: pc.round(t.column("revenue"), 2)})
-    out = rev.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10).to_pandas()
+    # top_k partial prune (round-5): each block forwards its own 10
+    # best rows — the old full range-partitioned sort shuffled every
+    # grouped row to emit 10
+    from supersonic_ray.stages.ops import top_k
+
+    out = top_k(rev, ["revenue", "l_orderkey"], 10, descending=[True, False]).to_pandas()
     return out[["l_orderkey", "revenue"]].reset_index(drop=True)
 
 
