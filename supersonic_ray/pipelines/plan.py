@@ -219,7 +219,14 @@ def build_pipeline(plan: dict, sf_dir: str):
         elif kind == "limit":
             ds = limit_offset(ds, limit=step["n"], offset=step.get("offset", 0))
         elif kind == "top_k":
-            ds = top_k(ds, step["keys"], step["k"], step.get("descending", True))
+            ds = top_k(
+                ds,
+                step["keys"],
+                step["k"],
+                step.get("descending", True),
+                nulls_first=step.get("nulls_first"),
+                case_insensitive=step.get("case_insensitive", False),
+            )
         elif kind == "dedup":
             ds = dedup_by_key(ds, step["keys"], step.get("order_by"))
         elif kind == "join":

@@ -232,6 +232,7 @@ def top_k(
     k: int,
     descending: list[bool] | bool = True,
     nulls_first: bool | None = None,
+    case_insensitive: list[bool] | bool = False,
 ):
     """ExtendedSort with limit (sort.h:103, proto/specification.proto:12-30).
 
@@ -241,9 +242,18 @@ def top_k(
     (at sf0.1 the old shape range-shuffled 150k rows to emit 15).  Rows
     with a NULL in any sort key are always forwarded (their placement
     is the final sort's decision, so the prune never second-guesses
-    nulls_first)."""
+    nulls_first).  case_insensitive (per key or one bool, round-5):
+    CI keys prune and sort on utf8_lower — the partial uses lowered
+    aux columns so its local top-k agrees with the final CI order."""
     desc = [descending] * len(keys) if isinstance(descending, bool) else list(descending)
-    order = [(c, "descending" if d else "ascending") for c, d in zip(keys, desc)]
+    ci = (
+        [case_insensitive] * len(keys)
+        if isinstance(case_insensitive, bool)
+        else list(case_insensitive)
+    )
+    order = []
+    for c, d, f in zip(keys, desc, ci):
+        order.append((f"__ci_{c}" if f else c, "descending" if d else "ascending"))
 
     def partial(b: pa.Table) -> pa.Table:
         if b.num_rows <= k:
@@ -254,11 +264,19 @@ def top_k(
             isn = pc.is_null(b.column(c))
             mask = isn if mask is None else pc.or_(mask, isn)
         nulls = b.filter(mask)
-        top = b.filter(pc.invert(mask)).sort_by(order).slice(0, k)
+        top = b.filter(pc.invert(mask))
+        if any(ci):
+            aux = top
+            for c, f in zip(keys, ci):
+                if f:
+                    aux = aux.append_column(f"__ci_{c}", pc.utf8_lower(aux.column(c)))
+            top = aux.sort_by(order).slice(0, k).select(b.column_names)
+        else:
+            top = top.sort_by(order).slice(0, k)
         return pa.concat_tables([top, nulls]) if nulls.num_rows else top
 
     pruned = ds.map_batches(partial, batch_format="pyarrow")
-    return sort(pruned, keys, descending, nulls_first).limit(k)
+    return sort(pruned, keys, descending, nulls_first, case_insensitive=ci).limit(k)
 
 
 def sort_case_insensitive(ds, key: str, k: int | None = None, descending: bool = False):

@@ -224,3 +224,17 @@ def test_decode_partitions_pruned_to_nothing_keeps_schema(ray_session, tmp_path)
     assert scan.schema().names == ["a", "b"]  # typed empty, not schemaless
     scan2 = decode_partitions(str(tmp_path), columns=["a"], ranges={"a": (5000, 6000)})
     assert scan2.schema().names == ["a"]
+
+
+def test_top_k_case_insensitive(ray_session):
+    import ray.data as rd
+
+    from supersonic_ray.stages.ops import top_k
+
+    t = pa.table({"s": ["b", "A", "a", "B", "aa", "C"], "k": [1, 2, 3, 4, 5, 6]})
+    out = top_k(
+        rd.from_arrow(t).repartition(3), ["s", "k"], 3,
+        descending=[False, False], case_insensitive=[True, False],
+    ).to_pandas()
+    # CI ascending: A(2), a(3), aa(5) — a CS sort would rank B/C before a/aa
+    assert out["k"].tolist() == [2, 3, 5]
