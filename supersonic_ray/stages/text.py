@@ -1301,25 +1301,39 @@ def substring_span_dedup(
         mode="recompute",
     )
 
-    # GLOBAL count-distinct of docs per window key (round-5 fix): the
-    # old per-batch distinct assumed a doc never spans blocks, but Ray
-    # splits task outputs at target_max_block_size, so one doc's
-    # exploded windows CAN straddle blocks — a per-batch distinct then
-    # double-counts that doc and windows repeated only WITHIN it would
-    # be removed.  group_aggregate's distinct plan dedups (key, doc)
-    # globally (per-batch local dedup partials, then one exact hash
-    # dedup) before counting, so '≥ 2' means ≥ 2 DOCUMENTS at any block
-    # layout.  The exchanges still carry only (key, id) pairs.
-    pair_counts = group_aggregate(
-        positions.select_columns(key_cols + [id_col]),
-        key_cols,
-        [AggSpec("count", id_col, "__n_docs", distinct=True)],
+    # GLOBAL count-distinct of docs per window key in ONE exchange
+    # (round-5, second pass): the correctness fix (global, not
+    # per-batch, (key, doc) dedup — a doc's exploded windows CAN
+    # straddle blocks at target_max_block_size) first shipped as
+    # group_aggregate's distinct plan, which costs two all-to-alls;
+    # each Ray exchange has ~3-6 s fixed overhead at bench scale, so
+    # collapse to the shard-contract shape instead: per-batch local
+    # (key, doc) dedup (pure shrink, always safe), hash-shard by KEY
+    # ONLY, then one vectorized per-shard dedup+count — all of a key's
+    # rows land in one shard, so per-shard distinct IS global distinct.
+    # Exchanges carry 24-byte pairs; Python task count = num_shards
+    # (the dedup_by_key/windows.py contract, never the key count).
+    n_shards = _default_concurrency() * 4
+
+    def local_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(key_cols + [id_col])
+        h = pd.util.hash_pandas_object(df[key_cols], index=False).to_numpy()
+        out = df[key_cols + [id_col]].copy()
+        out["__shard"] = (h % np.uint64(n_shards)).astype("int64")
+        return out
+
+    def shard_candidates(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = g.drop_duplicates(key_cols + [id_col])
+        counts = pairs.groupby(key_cols, sort=False)[id_col].size()
+        dups = counts[counts >= 2].reset_index()[key_cols]
+        return dups
+
+    candidates = (
+        positions.select_columns(key_cols + [id_col])
+        .map_batches(local_dedup, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(shard_candidates, batch_format="pandas")
     )
-
-    def only_dups(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater_equal(batch.column("__n_docs"), 2)).select(key_cols)
-
-    candidates = pair_counts.map_batches(only_dups, batch_format="pyarrow")
 
     dup_pos = semi_join_auto(positions, candidates, key_cols)
     spans = group_aggregate(
