@@ -1353,7 +1353,13 @@ def substring_span_dedup(
     def cut(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        span_col = batch.column("__spans").to_pylist()
+        # a corpus with NO cross-doc duplicate spans yields an EMPTY
+        # span table whose schema the outer join can't recover — treat
+        # the missing column as all-NULL (nothing to cut)
+        if "__spans" in batch.column_names:
+            span_col = batch.column("__spans").to_pylist()
+        else:
+            span_col = [None] * len(batch)
         n_toks, dropped, kept_txt = [], [], []
         for t, sp in zip(texts, span_col):
             toks = (t or "").split()

@@ -238,3 +238,29 @@ def test_top_k_case_insensitive(ray_session):
     ).to_pandas()
     # CI ascending: A(2), a(3), aa(5) — a CS sort would rank B/C before a/aa
     assert out["k"].tolist() == [2, 3, 5]
+
+
+def test_substring_dedup_within_doc_repeat_not_removed(ray_session):
+    """The '>= 2 DOCUMENTS' contract: a window repeated only WITHIN one
+    document survives (the one-exchange shard derivation must count
+    distinct docs, not raw pair rows, at any block layout)."""
+    import ray.data as rd
+
+    from supersonic_ray.stages.text import substring_span_dedup
+
+    span = " ".join(f"w{i}" for i in range(16))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": [span + " mid " + span, "other words " + " ".join(f"u{i}" for i in range(20))],
+        }
+    )
+    for mode in ("rolling", "md5"):
+        out = (
+            substring_span_dedup(rd.from_arrow(docs), window=16, key_mode=mode, batch_size=1)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["dropped_tokens"].tolist() == [0, 0], mode
+        assert out["kept_text"][0] == span + " mid " + span
