@@ -348,4 +348,6 @@ def embedding_neardup_pairs(
             {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": np.round(sims[ia[keep], ib[keep]], 6)}
         )
 
-    return bucketed.groupby("__bucket").map_groups(pairs, batch_format="pandas")
+    from .text import _shard_buckets
+
+    return _shard_buckets(bucketed, "__bucket", pairs)
