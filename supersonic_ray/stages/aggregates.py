@@ -479,6 +479,39 @@ def _first_last_components(ds, keys: list[str], group: list[AggSpec]):
     return outs
 
 
+def _sharded_key_merge(partials, keys: list[str], merge, n_shards: int | None = None):
+    """Per-key merge of tiny partial rows with a BOUNDED task count
+    (round-5): ``groupby(keys).map_groups(merge)`` spawns one pandas
+    task per DISTINCT key — a scheduler killer at billion-key scale.
+    Hash-shard on the key tuple (a key's partials land in one shard),
+    then merge the shard's keys inside one task via a C-level pandas
+    groupby.  Callers guarantee keys are null-FILLED before this point
+    (the mixed plan's indicator machinery), so pandas grouping needs no
+    NULL special-casing; dropna=False is belt-and-braces."""
+    import numpy as np
+
+    from ._pool import default_pool_size
+
+    n_shards = n_shards or default_pool_size() * 4
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+        df["__shard"] = (h % np.uint64(n_shards)).astype("int64")
+        return df
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__shard"])
+        outs = [merge(sub) for _, sub in g.groupby(keys, dropna=False, sort=False)]
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        partials.map_batches(add_shard, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+
+
 def _combinable_component(ds, keys: list[str], spec: AggSpec):
     """CombinableUDAF as a mixed-plan component: per-batch partial state
     per key (ONE state row per key per batch crosses the exchange),
@@ -508,7 +541,7 @@ def _combinable_component(ds, keys: list[str], spec: AggSpec):
         row[spec.alias] = [u.finalize(u.merge(g["__st"]))]
         return pd.DataFrame(row)
 
-    return partials.groupby(keys).map_groups(merge, batch_format="pandas")
+    return _sharded_key_merge(partials, keys, merge)
 
 
 def _concat_component(ds, keys: list[str], spec: AggSpec):
@@ -563,7 +596,7 @@ def _concat_component(ds, keys: list[str], spec: AggSpec):
         row[spec.alias] = [sep.join(g["__part"])]
         return pd.DataFrame(row)
 
-    return partials.groupby(keys).map_groups(merge, batch_format="pandas")
+    return _sharded_key_merge(partials, keys, merge)
 
 
 def _group_aggregate_mixed(ds, keys: list[str], specs: list[AggSpec]):
