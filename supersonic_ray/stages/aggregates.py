@@ -212,9 +212,13 @@ def _is_distributive(s: AggSpec) -> bool:
 
 
 def _group_aggregate_holistic(ds, keys: list[str], specs: list[AggSpec]):
-    """Whole-group fallback (UDAFs, null group keys): ships each group
-    to one task — bounded-cardinality keys only; every built-in spec
-    family has a distributed plan and never routes here by default."""
+    """Whole-group fallback (UDAFs, null group keys): a group's rows
+    land in one task — bounded-cardinality GROUPS only; every built-in
+    spec family has a distributed plan and never routes here by
+    default.  Round-5: hash-sharded (one task per shard, a C-level
+    pandas groupby inside, dropna=False keeps null-key groups exactly
+    like Ray's groupby did) instead of one Python task per distinct
+    key."""
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         row = {k: [g[k].iloc[0]] for k in keys}
@@ -222,7 +226,7 @@ def _group_aggregate_holistic(ds, keys: list[str], specs: list[AggSpec]):
             row[s.alias] = [_apply_one(g, s)]
         return pd.DataFrame(row)
 
-    return ds.groupby(keys).map_groups(per_group, batch_format="pandas")
+    return _sharded_key_merge(ds, keys, per_group)
 
 
 def _null_fill_scalar(tp: pa.DataType) -> pa.Scalar:
