@@ -2085,12 +2085,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_embeddings": ann_lsh_embeddings,
         "ann_ivf_embeddings": ann_ivf_embeddings,
         "embedding_neardup": embedding_neardup,
-        # -- multimodal codecs (round-4 flagships, decode paths live)
-        "image_decode_bmp": image_decode_bmp,
+        # -- stateful running expressions (apply_running rewritten to the
+        # -- shard contract this round; window_rank_lag shares the path)
+        "running_sum_events": running_sum_events,
+        "smudge_if_events": smudge_if_events,
+        # -- multimodal codecs (image_decode_bmp + audio_decode_g711
+        # -- rotated down: green r04, BMP/G.711 paths untouched since)
         "image_decode_jpeg": image_decode_jpeg,
         "image_decode_png": image_decode_png,
         "video_frame_sample": video_frame_sample,
-        "audio_decode_g711": audio_decode_g711,
         "line_dedup_docs": line_dedup_docs,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "dedup_clusters_docs": dedup_clusters_docs,
@@ -2102,6 +2105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- (joins.py untouched since r4; semi/anti paths still
         # ---- exercised in-window via the dedup pipelines' adaptive
         # ---- joins), agg_concat, agg_udaf_span, agg_udaf_combinable.
+        "image_decode_bmp": image_decode_bmp,
+        "audio_decode_g711": audio_decode_g711,
         "dict_enum_lang": dict_enum_lang,
         "plan_q3_json": plan_q3_json,
         "plan_window_json": plan_window_json,
@@ -2138,10 +2143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expr_math": expr_math,
         "expr_date": expr_date,
         "expr_null_handling": expr_null_handling,
-        "running_sum_events": running_sum_events,
         "stateful_changed": stateful_changed,
         "smudge_events": smudge_events,
-        "smudge_if_events": smudge_if_events,
         "running_min_flush_events": running_min_flush_events,
         "window_tumbling": window_tumbling,
         "token_count_docs": token_count_docs,

@@ -91,7 +91,13 @@ def apply_running(
         return g
 
     if partition_keys:
-        return ds.groupby(partition_keys).map_groups(per_group, batch_format="pandas")
+        # round-5: hash-sharded (one task per shard, each key's ordered
+        # stream processed whole inside it) instead of one Python task
+        # per DISTINCT key — the billion-user scheduler killer.  Same
+        # per-key ordering contract; null keys stay a group either way.
+        from .aggregates import _sharded_key_merge
+
+        return _sharded_key_merge(ds, partition_keys, per_group)
     # single global ordered stream: serialize
     return ds.repartition(1).map_batches(
         lambda df: per_group(df), batch_format="pandas", batch_size=None
