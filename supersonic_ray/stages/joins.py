@@ -731,7 +731,12 @@ def asof_join_partitioned(
             part[c] = r[c].to_numpy()[idx[keep]]
         return part[out_cols]
 
-    return both.groupby("__k").map_groups(per_key, batch_format="pandas")
+    # round-5: task count = num_shards, not distinct by-keys (a key's
+    # combined rows still land whole in one shard task — the documented
+    # partitioning assumption above is unchanged)
+    from .aggregates import _sharded_key_merge
+
+    return _sharded_key_merge(both, ["__k"], per_key)
 
 
 def asof_join_auto(

@@ -1060,7 +1060,12 @@ def pack_sequences(
         g["bin_id"] = bins
         return g
 
-    return narrow.groupby(key_col).map_groups(pack, batch_format="pandas")
+    # round-5: task count = num_shards, not distinct pack keys (each
+    # key's rows still land whole in one shard; the serial greedy scan
+    # runs per key INSIDE the shard task)
+    from .aggregates import _sharded_key_merge
+
+    return _sharded_key_merge(narrow, [key_col], pack)
 
 
 def vocab_top_words(ds, text_col: str = "text", k: int = 100):
