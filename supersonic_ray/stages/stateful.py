@@ -7,10 +7,11 @@ Changed (true on first row or value != previous), RunningSum, Smudge
 
 Ordering contract (documented loudly, as the reference does per
 operator): Ray Data gives no global order across blocks, so running
-expressions are computed per PARTITION KEY with an explicit sort key
-inside ``groupby(key).map_groups`` — each group is one ordered stream.
-For a single global stream use ``repartition(1)`` upstream and
-partition_keys=None (serial; only for small data).
+expressions are computed per PARTITION KEY with an explicit sort key —
+each key's rows land whole (ordered) in one hash-shard task
+(round-5 `_sharded_key_merge`: task count = num_shards, never the key
+count).  For a single global stream use ``repartition(1)`` upstream
+and partition_keys=None (serial; only for small data).
 """
 
 from __future__ import annotations
