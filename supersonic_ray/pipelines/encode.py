@@ -82,20 +82,49 @@ METRICS_SCHEMA = pa.schema(
 
 
 def resolve_column_plans(
-    table: pa.Table, overrides: dict[str, tuple[str, str]] | None = None
+    table: pa.Table,
+    overrides: dict[str, tuple[str, str]] | None = None,
+    parallel: bool = False,
 ) -> dict[str, tuple[Any, int]]:
     """Bind-time codec resolution: per column pick (codec_instance,
-    backend_id) from a sample; FSST gets a pretrained symbol table."""
+    backend_id) from a sample; FSST gets a pretrained symbol table.
+
+    ``parallel=True`` (the GLOBAL plan_scope call site only — never the
+    per-shard fallback inside an actor) fans the per-column trial
+    encodes out as Ray tasks: the driver-serial trials cost ~4 s of a
+    ~15 s bench encode (html alone races ~10 backend stacks over a
+    ≥1.3 MB sample)."""
     plans: dict[str, tuple[Any, int]] = {}
     sample = table.slice(0, min(table.num_rows, CHUNK_ROWS))
-    for name in table.column_names:
+
+    def _prep(name: str):
         col = sample.column(name).combine_chunks()
         if pa.types.is_dictionary(col.type):
             # ENUM columns: plan/train on the value type (encode_array
             # casts the same way; decode restores the dictionary type)
             col = col.cast(col.type.value_type)
+        return col
+
+    picks: dict[str, tuple[str, str]] = {}
+    to_pick = [n for n in table.column_names if not (overrides and n in overrides)]
+    if parallel and len(to_pick) > 1:
+        import ray
+
+        if ray.is_initialized():
+            @ray.remote(num_cpus=1)
+            def _pick(arr):
+                from supersonic_ray.codecs.selector import choose_codec as _cc
+
+                return _cc(arr)
+
+            futs = {n: _pick.remote(_prep(n)) for n in to_pick}
+            picks = {n: ray.get(f) for n, f in futs.items()}
+    for name in table.column_names:
+        col = _prep(name)
         if overrides and name in overrides:
             codec_name, backend = overrides[name]
+        elif name in picks:
+            codec_name, backend = picks[name]
         else:
             codec_name, backend = choose_codec(col)
         backend_id = BACKEND_IDS[backend] if backend else 0
@@ -537,7 +566,7 @@ def encode_parquet(
         if s0.get("row_slice") is not None:
             s0["row_slice"] = [s0["row_slice"][0], min(s0["row_slice"][1], 4 * CHUNK_ROWS)]
         sample = read_shard_table(pq.ParquetFile(s0["path"]), s0)
-        plans = resolve_column_plans(sample, overrides)
+        plans = resolve_column_plans(sample, overrides, parallel=True)
     return ds.map_batches(
         ShardEncoder,
         fn_constructor_kwargs={
