@@ -697,6 +697,23 @@ def ann_ivf_embeddings(sf_dir: str):
     return out[["query_id", "vec_id"]].sort_values(["query_id", "vec_id"]).reset_index(drop=True)
 
 
+def ann_pq_embeddings(sf_dir: str):
+    """Product-quantization ANN (Jégou et al. 2011 — the memory-bounded
+    billion-vector scan: 8 uint8 codes per vector, query scoring = m
+    LUT gathers).  Oracle mode: md5-seed codebooks (the 16 smallest
+    md5('pq:'||id) rows donate subvectors), float64 assignment and
+    scoring, scores rounded to 9 decimals before the (score DESC, id)
+    top-k — the result is an exact function of (codebooks, codes) the
+    DuckDB oracle recomputes verbatim."""
+    from supersonic_ray.stages.vectors import ann_pq_topk
+
+    emb = _pq(sf_dir, "embeddings")
+    queries = np.array(emb.column("embedding").to_pylist()[:3], dtype=np.float32)
+    ds = _ld(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann_pq_topk(ds, "embedding", "vec_id", queries, k=10).to_pandas()
+    return out[["query_id", "vec_id", "score"]].sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
 def embedding_neardup(sf_dir: str):
     """Embedding near-dup with PLANTED duplicates (round-5: the r2 row
     returned 0 rows and never proved a positive): rows vec_id < 20 are
@@ -2067,7 +2084,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- dedup + fingerprints + sketches (round-5 oracle closures)
         "dedup_exact_docs": dedup_exact_docs,
         "substring_dedup_docs": substring_dedup_docs,
-        "doc_fingerprints": doc_fingerprints,
         "doc_rolling_fp": doc_rolling_fp,
         "exact_quantiles_orders": exact_quantiles_orders,
         "sketch_distinct_freq": sketch_distinct_freq,
@@ -2084,6 +2100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "ann_lsh_embeddings": ann_lsh_embeddings,
         "ann_ivf_embeddings": ann_ivf_embeddings,
+        "ann_pq_embeddings": ann_pq_embeddings,
         "embedding_neardup": embedding_neardup,
         # -- stateful running expressions (apply_running rewritten to the
         # -- shard contract this round; window_rank_lag shares the path)
@@ -2107,6 +2124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- joins), agg_concat, agg_udaf_span, agg_udaf_combinable.
         "image_decode_bmp": image_decode_bmp,
         "audio_decode_g711": audio_decode_g711,
+        "doc_fingerprints": doc_fingerprints,
         "dict_enum_lang": dict_enum_lang,
         "plan_q3_json": plan_q3_json,
         "plan_window_json": plan_window_json,
@@ -2352,6 +2370,60 @@ def _ann_ivf_oracle_sql(
     """
 
 
+def _ann_pq_oracle_sql(
+    m: int = 8, ksub: int = 16, dim: int = 64, k: int = 10, n_queries: int = 3
+) -> str:
+    """DuckDB recomputes md5-mode PQ ANN EXACTLY: codebooks = the ksub
+    rows with the smallest md5('pq:'||vec_id) (subvector of each row
+    per subspace, hash-order codeword index), per-vector per-subspace
+    code = argmin Σ(v−c)² (tie → lowest codeword index, matching numpy
+    argmin), query LUT = inner products against every codeword, score =
+    Σ_s LUT[s][code_s] rounded to 9 decimals, top-k by (score DESC,
+    vec_id)."""
+    dsub = dim // m
+    return f"""
+        WITH ch AS (
+          SELECT vec_id, embedding,
+                 md5_number_lower('pq:' || CAST(vec_id AS VARCHAR)) AS h
+          FROM embeddings),
+        books AS (
+          SELECT vec_id, embedding, row_number() OVER (ORDER BY h) - 1 AS j
+          FROM ch QUALIFY row_number() OVER (ORDER BY h) <= {ksub}),
+        dims AS (SELECT unnest(generate_series(0, {dim - 1})) AS d),
+        cw AS (
+          SELECT j, d // {dsub} AS s, d % {dsub} AS dd,
+                 CAST(embedding[d + 1] AS DOUBLE) AS c
+          FROM books CROSS JOIN dims),
+        ve AS (
+          SELECT vec_id, d // {dsub} AS s, d % {dsub} AS dd,
+                 CAST(embedding[d + 1] AS DOUBLE) AS v
+          FROM embeddings CROSS JOIN dims),
+        dist AS (
+          SELECT ve.vec_id, ve.s, cw.j, sum((v - c) * (v - c)) AS d2
+          FROM ve JOIN cw ON cw.s = ve.s AND cw.dd = ve.dd
+          GROUP BY ve.vec_id, ve.s, cw.j),
+        codes AS (
+          SELECT vec_id, s, j FROM dist
+          QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) = 1),
+        qs AS (
+          SELECT vec_id AS qid, row_number() OVER (ORDER BY vec_id) - 1 AS query_id
+          FROM embeddings ORDER BY vec_id LIMIT {n_queries}),
+        lut AS (
+          SELECT q.query_id, cw.s, cw.j, sum(ve.v * cw.c) AS ip
+          FROM qs q
+          JOIN ve ON ve.vec_id = q.qid
+          JOIN cw ON cw.s = ve.s AND cw.dd = ve.dd
+          GROUP BY q.query_id, cw.s, cw.j),
+        scores AS (
+          SELECT l.query_id, c.vec_id, round(sum(l.ip), 9) AS score
+          FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.j
+          GROUP BY l.query_id, c.vec_id)
+        SELECT query_id, vec_id, score FROM scores
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) <= {k}
+        ORDER BY query_id, vec_id
+    """
+
+
 def _neardup_oracle_sql(
     n_planes: int = 10, dim: int = 64, seed: int = 11, threshold: float = 0.92
 ) -> str:
@@ -2584,6 +2656,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_docs": _ngram_jaccard_oracle_sql(),
         "ann_lsh_embeddings": _ann_lsh_oracle_sql(),
         "ann_ivf_embeddings": _ann_ivf_oracle_sql(),
+        "ann_pq_embeddings": _ann_pq_oracle_sql(),
         "embedding_neardup": _neardup_oracle_sql(),
         "sketch_distinct_freq": _sketch_oracle_sql(),
         "doc_rolling_fp": """

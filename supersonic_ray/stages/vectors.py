@@ -351,3 +351,141 @@ def embedding_neardup_pairs(
     from .text import _shard_buckets
 
     return _shard_buckets(bucketed, "__bucket", pairs)
+
+
+# ------------------------------------------------- product quantization
+
+def _md5_pq_codebooks(ds, col: str, id_col: str, m: int, ksub: int) -> np.ndarray:
+    """PQ codebooks, oracle mode: the ``ksub`` rows with the smallest
+    md5_number_lower('pq:'||id) donate their subvectors as codewords
+    for EVERY subspace (selection is integer-exact; a SQL ORDER BY the
+    same hash LIMIT ksub reproduces it verbatim).  Returns
+    (m, ksub, dsub) float64.  A Lloyd-trained codebook (per-subspace
+    k-means on a bounded sample, like train_ivf_centroids) is the
+    production upgrade path — the distributed encode/scan below is
+    identical either way."""
+    from supersonic_ray.functions.dhash import md5_u64
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = md5_u64(b.column(id_col), prefix="pq:")
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        hx = pa.array(
+            [format(int(v), "016x") for v in h.to_numpy(zero_copy_only=False)], pa.string()
+        )
+        t = pa.table({"__h": hx, id_col: b.column(id_col), col: b.column(col)})
+        idx = pc.select_k_unstable(t, k=min(ksub, len(t)), sort_keys=[("__h", "ascending")])
+        return t.take(idx)
+
+    top = ds.map_batches(partial, batch_format="pyarrow").sort("__h").limit(ksub).to_pandas()
+    mvecs = np.array(top[col].tolist(), dtype=np.float64)
+    dim = mvecs.shape[1]
+    dsub = dim // m
+    return mvecs.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()
+
+
+class PqEncoder:
+    """Actor-pool stage: vector → m uint8 PQ codes (nearest codeword
+    per subspace by L2, float64 — one (n × ksub) distance matrix per
+    subspace per batch).  Codes ship as a FixedSizeBinary(m) column:
+    at 10^12 vectors the code table is ~m bytes/vector — the
+    memory-bounded representation PQ exists for."""
+
+    def __init__(self, col: str, books_ref):
+        import ray
+
+        self.col = col
+        self.books = ray.get(books_ref) if isinstance(books_ref, ray.ObjectRef) else books_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m, ksub, dsub = self.books.shape
+        v = _batch_matrix(batch, self.col).astype(np.float64)
+        n = v.shape[0]
+        codes = np.zeros((n, m), dtype=np.uint8)
+        for s in range(m):
+            sub = v[:, s * dsub : (s + 1) * dsub]
+            # direct Σ(v−c)² (not the |x|²−2x·c+|c|² expansion): same
+            # elementary operations as the SQL oracle's sum of squared
+            # differences, so argmin margins agree to the last ulp class
+            diff = sub[:, None, :] - self.books[s][None, :, :]
+            d = (diff * diff).sum(axis=2)
+            codes[:, s] = d.argmin(axis=1)
+        return batch.append_column(
+            "__pq", pa.array(list(codes.tobytes()[i * m : (i + 1) * m] for i in range(n)), pa.binary(m))
+        )
+
+
+def ann_pq_topk(
+    ds,
+    col: str,
+    id_col: str,
+    queries: np.ndarray,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    codebook_mode: str = "md5",
+):
+    """PQ asymmetric-distance ANN (Jégou et al. 2011, 'Product
+    Quantization for Nearest Neighbor Search'): vectors compress to m
+    uint8 codes; each query builds an (m × ksub) inner-product lookup
+    table against the codebooks, and scanning a batch is a pure uint8
+    gather + sum — no float per-dimension work per vector.  The 100-TB
+    story: codes are ~m bytes/vector, so the scan side is 30×+ smaller
+    than raw float32 and CPU cost per vector is m table lookups.
+
+    Scores are rounded to 9 decimals BEFORE top-k (ties broken by id):
+    vectors sharing a code tuple have identical lookup sums whose
+    summation-order ulps must not reorder across engines — this makes
+    the result an exact function of (codebooks, codes), which the SQL
+    oracle recomputes verbatim in md5 codebook mode."""
+    import ray
+
+    if codebook_mode != "md5":
+        raise NotImplementedError("kmeans codebooks: train per subspace, then identical flow")
+    books = _md5_pq_codebooks(ds, col, id_col, m, ksub)
+    q = np.asarray(queries, dtype=np.float64)
+    dsub = books.shape[2]
+    # LUT[qi, s, j] = q_sub · codeword
+    lut = np.einsum("qsd,sjd->qsj", q.reshape(q.shape[0], m, dsub), books)
+    state = ray.put((lut,))
+
+    coded = ds.map_batches(
+        PqEncoder,
+        fn_constructor_kwargs={"col": col, "books_ref": ray.put(books)},
+        batch_format="pyarrow",
+        concurrency=(1, _default_concurrency()),
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        (lut_,) = ray.get(state)
+        n = batch.num_rows
+        ids = np.asarray(batch.column(id_col))
+        codes = np.frombuffer(b"".join(batch.column("__pq").to_pylist()), dtype=np.uint8).reshape(n, m)
+        out = {"query_id": [], id_col: [], "score": []}
+        for qi in range(lut_.shape[0]):
+            # score = Σ_s LUT[qi, s, code_s] — one gather per subspace
+            sc = np.zeros(n, dtype=np.float64)
+            for s in range(m):
+                sc += lut_[qi, s][codes[:, s]]
+            sc = np.round(sc, 9)
+            kk = min(k, n)
+            # exact top-k on (rounded score DESC, id ASC)
+            order = np.lexsort((ids, -sc))[:kk]
+            out["query_id"].extend([qi] * kk)
+            out[id_col].extend(ids[order].tolist())
+            out["score"].extend(sc[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                id_col: pa.array(out[id_col], pa.int64()),
+                "score": pa.array(out["score"], pa.float64()),
+            }
+        )
+
+    local = coded.map_batches(local_topk, batch_format="pyarrow")
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", id_col], ascending=[False, True], kind="mergesort").head(k)
+
+    return local.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")

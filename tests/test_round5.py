@@ -264,3 +264,53 @@ def test_substring_dedup_within_doc_repeat_not_removed(ray_session):
         )
         assert out["dropped_tokens"].tolist() == [0, 0], mode
         assert out["kept_text"][0] == span + " mid " + span
+
+
+def test_pq_codes_and_topk_recall(ray_session):
+    """PQ ADC top-k: codes round-trip deterministically and the
+    approximate top-k overlaps the exact brute-force top-k (coarse
+    16-codeword books on random data still rank near neighbours high)."""
+    import ray.data as rd
+
+    from supersonic_ray.stages.vectors import ann_brute_force_topk, ann_pq_topk
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(200, 64).astype(np.float32)
+    # plant near-duplicates of the queries so recall is meaningful
+    base[50] = base[0] * 1.01
+    base[51] = base[1] * 0.99
+    tbl = pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in base], pa.list_(pa.float32())),
+    })
+    q = base[:2]
+    ds = rd.from_arrow(tbl)
+    approx = ann_pq_topk(ds, "embedding", "vec_id", q, k=10).to_pandas()
+    exact = ann_brute_force_topk(ds, "embedding", "vec_id", q, k=10).to_pandas()
+    for qi in (0, 1):
+        a = set(approx[approx.query_id == qi]["vec_id"])
+        e = set(exact[exact.query_id == qi]["vec_id"])
+        assert len(a) == 10
+        # planted near-dup + self must surface even through 8x16 codes
+        assert qi in a and (50 + qi) in a
+        assert len(a & e) >= 3, (qi, a, e)
+
+
+def test_pq_encoder_deterministic(ray_session):
+    import ray
+    import ray.data as rd
+
+    from supersonic_ray.stages.vectors import PqEncoder, _md5_pq_codebooks
+
+    rng = np.random.RandomState(5)
+    tbl = pa.table({
+        "vec_id": pa.array(range(64), pa.int64()),
+        "embedding": pa.array([rng.randn(16).astype(np.float32).tolist() for _ in range(64)],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl)
+    books = _md5_pq_codebooks(ds, "embedding", "vec_id", m=4, ksub=8)
+    assert books.shape == (4, 8, 4) and books.dtype == np.float64
+    e1 = PqEncoder("embedding", books)(tbl).column("__pq").to_pylist()
+    e2 = PqEncoder("embedding", books)(tbl).column("__pq").to_pylist()
+    assert e1 == e2 and len(e1[0]) == 4
