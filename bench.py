@@ -231,6 +231,7 @@ def run_bench(ncpu: int) -> dict:
             "simhash_dedup_docs",
             "substring_dedup_docs",
             "ann_ivf_embeddings",
+            "ann_pq_embeddings",
             "sketch_distinct_freq",
         ):
             if name in q:
