@@ -1111,6 +1111,37 @@ def json_source_roundtrip(sf_dir: str):
     return out.sort_values("r_regionkey").reset_index(drop=True)
 
 
+def orc_source_roundtrip(sf_dir: str):
+    """Multi-format ingest (round-5): supplier re-staged as ORC, read
+    back through sources.read_orc (one decode task per file, column
+    pruning in the stripe reader) — oracle on the original parquet."""
+    import tempfile
+
+    from supersonic_ray.sources import read_orc, write_orc
+
+    supplier = _pq(sf_dir, "supplier")
+    with tempfile.TemporaryDirectory() as tmp:
+        write_orc(supplier, f"{tmp}/supplier.orc")
+        out = read_orc(tmp, columns=["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+def feather_source_roundtrip(sf_dir: str):
+    """Multi-format ingest (round-5): part re-staged as Feather V2
+    (Arrow IPC), read back through sources.read_feather — oracle on the
+    original parquet."""
+    import tempfile
+
+    from supersonic_ray.sources import read_feather, write_feather
+
+    part = _pq(sf_dir, "part")
+    with tempfile.TemporaryDirectory() as tmp:
+        write_feather(part, f"{tmp}/part.feather")
+        out = read_feather(tmp, columns=["p_partkey", "p_name", "p_retailprice"]).to_pandas()
+    out["p_retailprice"] = out["p_retailprice"].round(2)
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
 def parquet_partitioned_sink(sf_dir: str):
     """Resumable partitioned output (the scale brief's sink contract:
     one directory per key so a failed run skips finished partitions):
@@ -2112,8 +2143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode_png": image_decode_png,
         "video_frame_sample": video_frame_sample,
         "line_dedup_docs": line_dedup_docs,
-        "tfidf_top_terms_docs": tfidf_top_terms_docs,
-        "dedup_clusters_docs": dedup_clusters_docs,
+        "orc_source_roundtrip": orc_source_roundtrip,
+        "feather_source_roundtrip": feather_source_roundtrip,
         # ---- window boundary (#50): everything below has a green driver
         # ---- CORRECTNESS row from a prior round and its code path is
         # ---- unchanged since that row.  Rotated down THIS round (all
@@ -2125,6 +2156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode_bmp": image_decode_bmp,
         "audio_decode_g711": audio_decode_g711,
         "doc_fingerprints": doc_fingerprints,
+        "tfidf_top_terms_docs": tfidf_top_terms_docs,
+        "dedup_clusters_docs": dedup_clusters_docs,
         "dict_enum_lang": dict_enum_lang,
         "plan_q3_json": plan_q3_json,
         "plan_window_json": plan_window_json,
@@ -3435,6 +3468,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, prio_mixed FROM t
             ORDER BY lower(prio_mixed) ASC, o_orderkey DESC
             LIMIT 80
+        """,
+        "orc_source_roundtrip": """
+            SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey
+        """,
+        "feather_source_roundtrip": """
+            SELECT p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice
+            FROM part ORDER BY p_partkey
         """,
         "rsb_compact_scan": """
             SELECT o_orderpriority, count(*) AS n,
