@@ -2106,6 +2106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_with_limit": group_with_limit,
         "group_with_limit_arrival": group_with_limit_arrival,
         "skew_salted_agg": skew_salted_agg,
+        "agg_udaf_span": agg_udaf_span,
+        "agg_udaf_combinable": agg_udaf_combinable,
+        "asof_join_events": asof_join_events,
         # -- ordering (ops.sort gained the per-key CI plan this round)
         "sort_nulls_first": sort_nulls_first,
         "topk_orders": topk_orders,
@@ -2116,15 +2119,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": dedup_exact_docs,
         "substring_dedup_docs": substring_dedup_docs,
         "doc_rolling_fp": doc_rolling_fp,
-        "exact_quantiles_orders": exact_quantiles_orders,
         "sketch_distinct_freq": sketch_distinct_freq,
         "sample_bernoulli": sample_bernoulli,
         # -- windows (session/sliding rewritten to the shard-size
         # -- contract since the r4 run)
-        "window_rank_lag": window_rank_lag,
         "session_windows_events": session_windows_events,
         "window_sliding": window_sliding,
-        "gopher_rules_docs": gopher_rules_docs,
         # -- approximate dedup + ANN (round-5 md5 oracle modes)
         "minhash_dedup_docs": minhash_dedup_docs,
         "simhash_dedup_docs": simhash_dedup_docs,
@@ -2146,16 +2146,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_source_roundtrip": orc_source_roundtrip,
         "feather_source_roundtrip": feather_source_roundtrip,
         # ---- window boundary (#50): everything below has a green driver
-        # ---- CORRECTNESS row from a prior round and its code path is
-        # ---- unchanged since that row.  Rotated down THIS round (all
-        # ---- green r04, paths untouched since that run): dict_enum_lang,
-        # ---- plan_q3_json, plan_window_json, the 8 join queries
-        # ---- (joins.py untouched since r4; semi/anti paths still
-        # ---- exercised in-window via the dedup pipelines' adaptive
-        # ---- joins), agg_concat, agg_udaf_span, agg_udaf_combinable.
+        # ---- CORRECTNESS row from a prior round (or a green LOCAL gate
+        # ---- row this round) and its code path is unchanged since.
+        # ---- Rotated down this round (green r04, functions untouched):
+        # ---- dict_enum_lang, plan_q3/window_json, 7 join queries
+        # ---- (asof stays IN — its merge rewrote today; semi/anti also
+        # ---- exercised in-window via the dedup pipelines), agg_concat
+        # ---- (its rewritten concat merge is in-window via substring/
+        # ---- line dedup's span concat), image_decode_bmp,
+        # ---- audio_decode_g711, doc_fingerprints, tfidf, dedup_clusters,
+        # ---- gopher_rules, exact_quantiles (sort+split-at-rank path
+        # ---- untouched; sketches covered in-window), window_rank_lag
+        # ---- (apply_running has 2 in-window reps).
         "image_decode_bmp": image_decode_bmp,
         "audio_decode_g711": audio_decode_g711,
         "doc_fingerprints": doc_fingerprints,
+        "gopher_rules_docs": gopher_rules_docs,
+        "exact_quantiles_orders": exact_quantiles_orders,
+        "window_rank_lag": window_rank_lag,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "dedup_clusters_docs": dedup_clusters_docs,
         "dict_enum_lang": dict_enum_lang,
@@ -2165,13 +2173,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_customers": anti_join_customers,
         "left_outer_join": left_outer_join,
         "full_outer_join": full_outer_join,
-        "asof_join_events": asof_join_events,
         "range_join_parts": range_join_parts,
         "foreign_filter_rank": foreign_filter_rank_q,
         "rowid_merge_orders": rowid_merge_orders,
         "agg_concat": agg_concat,
-        "agg_udaf_span": agg_udaf_span,
-        "agg_udaf_combinable": agg_udaf_combinable,
         "limit_offset_orders": limit_offset_orders,
         "sample_by_hash": sample_by_hash,
         "parquet_partitioned_sink": parquet_partitioned_sink,
