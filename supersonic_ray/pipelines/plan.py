@@ -31,6 +31,8 @@ Plan document::
       {"op": "limit", "n": 10, "offset": 0},
       {"op": "top_k", "keys": [...], "k": 10, "descending": [...]},
       {"op": "dedup", "keys": [...], "order_by": "c"},
+      {"op": "sample", "p": 0.1, "seed": 0, "key": "k"}        key-hash
+      {"op": "sample", "p": 0.1, "seed": 42, "key_col": "id"}  keyed Bernoulli,
       {"op": "join", "left_keys": [...], "right_keys": [...],
        "join_type": "inner", "right": [<steps of the build side>]},
       {"op": "semi_join" | "anti_join", "left_keys": [...],
@@ -229,6 +231,18 @@ def build_pipeline(plan: dict, sf_dir: str):
             )
         elif kind == "dedup":
             ds = dedup_by_key(ds, step["keys"], step.get("order_by"))
+        elif kind == "sample":
+            from supersonic_ray.stages.ops import bernoulli_sample, hash_sample
+
+            if "key" in step:
+                ds = hash_sample(
+                    ds, step["key"], step["p"], step.get("seed", 0),
+                    hasher=step.get("hasher", "sip"),
+                )
+            else:
+                ds = bernoulli_sample(
+                    ds, step["p"], step.get("seed", 0), key_col=step.get("key_col")
+                )
         elif kind == "join":
             right = build_pipeline({"steps": step["right"]}, sf_dir)
             ds = hash_join_auto(

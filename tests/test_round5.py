@@ -314,3 +314,34 @@ def test_pq_encoder_deterministic(ray_session):
     e1 = PqEncoder("embedding", books)(tbl).column("__pq").to_pylist()
     e2 = PqEncoder("embedding", books)(tbl).column("__pq").to_pylist()
     assert e1 == e2 and len(e1[0]) == 4
+
+
+def test_plan_sample_nodes(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from supersonic_ray.pipelines import run_plan_json
+    from supersonic_ray.stages.ops import bernoulli_sample, hash_sample
+    import ray.data as rd
+
+    t = pa.table({"o_orderkey": pa.array(range(500), pa.int64())})
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    plan_keyed = """
+    {"steps": [
+      {"op": "scan", "table": "orders", "columns": ["o_orderkey"]},
+      {"op": "sample", "p": 0.2, "seed": 42, "key_col": "o_orderkey"}
+    ]}"""
+    got = sorted(run_plan_json(plan_keyed, str(tmp_path)).to_pandas()["o_orderkey"])
+    expect = sorted(
+        bernoulli_sample(rd.from_arrow(t), 0.2, 42, key_col="o_orderkey").to_pandas()["o_orderkey"]
+    )
+    assert got == expect and 40 < len(got) < 160
+    plan_hash = """
+    {"steps": [
+      {"op": "scan", "table": "orders", "columns": ["o_orderkey"]},
+      {"op": "sample", "p": 0.3, "seed": 7, "key": "o_orderkey", "hasher": "md5"}
+    ]}"""
+    got2 = sorted(run_plan_json(plan_hash, str(tmp_path)).to_pandas()["o_orderkey"])
+    expect2 = sorted(
+        hash_sample(rd.from_arrow(t), "o_orderkey", 0.3, 7, hasher="md5").to_pandas()["o_orderkey"]
+    )
+    assert got2 == expect2 and len(got2) > 50
