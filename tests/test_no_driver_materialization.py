@@ -20,7 +20,7 @@ AUDITED = {
     "stages/aggregates.py": 11,  # per-batch worker conversions (2: clusters run-partial, mixed null-key probe take_all; group partial + distinct-pair dedup are pure Arrow now), 1-row/batch partial collect, distinct-sum 1-row/block combine, scalar arg-extreme 1-row/batch partials (round-4, replaced the limit(1) take_all sort), scalar CombinableUDAF 1-state/batch collect (round-4), GUARDED limit(SCALAR_COLLECT_LIMIT) holistic fallback, limit(K) heads x2 (sort-order + arrival-order), 1-row overflow, combinable partial per-batch pandas groupby (worker-side; the inner per-column to_pandas was folded into batch_format="pandas" in the round-4 review fixes)
     "stages/joins.py": 7,  # asof broadcast RHS build (once/actor), asof per-batch Arrow take, rowid gather, indexed-broadcast gather x2, range-join per-batch take + band-boundary take (all worker-side Arrow takes; hash-join + asof probes are Arrow-native)
     "stages/skew.py": 1,  # sampled hot-key histogram (bounded by sample)
-    "stages/vectors.py": 3,  # IVF training sample (limit N), dim probe take(1), md5 seed-centroid pick (sort+limit(n_centroids) — bounded by the centroid count, round-5 oracle mode)
+    "stages/vectors.py": 5,  # IVF training sample (limit N), md5 seed-centroid pick (worker-side partial take + driver sort+limit(n_centroids) — bounded by the centroid count), PQ codebook pick (same shape, bounded by ksub)
     "stages/text.py": 3,  # tfidf: per-batch worker Arrow take (parent indices), GUARDED to_pandas of the DF table (TFIDF_VOCAB_LIMIT, vocabulary-sized not corpus-sized), per-batch worker tf.to_pandas
     "stages/graph.py": 0,  # label sums are scalar aggregates; labels stay a Dataset
     "stages/ops.py": 0,
