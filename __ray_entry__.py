@@ -697,6 +697,21 @@ def ann_ivf_embeddings(sf_dir: str):
     return out[["query_id", "vec_id"]].sort_values(["query_id", "vec_id"]).reset_index(drop=True)
 
 
+def topk_per_group_docs(sf_dir: str):
+    """Top-k ROWS per group (round-5; beyond the reference's
+    BoundGroupAggregateWithLimit, which bounds GROUP count): the 5
+    longest docs per language — per-batch combiner prunes to ≤k rows
+    per key per block, one shard exchange, vectorized per-shard
+    groupby().head(k)."""
+    from supersonic_ray.stages.ops import top_k_per_group
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = top_k_per_group(
+        ds, ["lang"], ["n_chars", "doc_id"], k=5, descending=[True, False]
+    ).to_pandas()
+    return out[["lang", "doc_id", "n_chars"]].sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
 def ann_pq_embeddings(sf_dir: str):
     """Product-quantization ANN (Jégou et al. 2011 — the memory-bounded
     billion-vector scan: 8 uint8 codes per vector, query scoring = m
@@ -2112,6 +2127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- ordering (ops.sort gained the per-key CI plan this round)
         "sort_nulls_first": sort_nulls_first,
         "topk_orders": topk_orders,
+        "topk_per_group_docs": topk_per_group_docs,
         # -- training-data assembly
         "pack_sequences_docs": pack_sequences_docs,
         "vocab_top_words_docs": vocab_top_words_docs,
@@ -2141,7 +2157,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- rotated down: green r04, BMP/G.711 paths untouched since)
         "image_decode_jpeg": image_decode_jpeg,
         "image_decode_png": image_decode_png,
-        "video_frame_sample": video_frame_sample,
         "line_dedup_docs": line_dedup_docs,
         "orc_source_roundtrip": orc_source_roundtrip,
         "feather_source_roundtrip": feather_source_roundtrip,
@@ -2159,6 +2174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- untouched; sketches covered in-window), window_rank_lag
         # ---- (apply_running has 2 in-window reps).
         "image_decode_bmp": image_decode_bmp,
+        "video_frame_sample": video_frame_sample,
         "audio_decode_g711": audio_decode_g711,
         "doc_fingerprints": doc_fingerprints,
         "gopher_rules_docs": gopher_rules_docs,
@@ -3463,6 +3479,12 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY l_suppkey
                                        ORDER BY l_orderkey, rk) = 1
             ORDER BY l_suppkey
+        """,
+        "topk_per_group_docs": """
+            SELECT lang, doc_id, n_chars FROM documents
+            QUALIFY row_number() OVER (PARTITION BY lang
+                                       ORDER BY n_chars DESC, doc_id) <= 5
+            ORDER BY lang, doc_id
         """,
         "sort_multikey_ci": """
             WITH t AS (

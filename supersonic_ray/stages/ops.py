@@ -556,3 +556,36 @@ def spy(ds, listener: Callable[[pa.Table], None], label: str = "spy"):
         return batch
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def top_k_per_group(
+    ds,
+    keys: list[str],
+    sort_keys: list[str],
+    k: int,
+    descending: list[bool] | bool = True,
+):
+    """Top-k ROWS per group (beyond the reference's
+    BoundGroupAggregateWithLimit, which bounds the number of GROUPS):
+    keep each key's k best rows by ``sort_keys`` — the 'top 10 docs per
+    host' shape every corpus pipeline needs.
+
+    Scale shape: a per-batch combiner prunes every block to ≤ k rows
+    per key it contains (pure shrink), then ONE hash exchange on the
+    key shard and a vectorized per-shard groupby().head(k) — task count
+    = num_shards (the _sharded_key_merge contract).  Deterministic when
+    (sort_keys) is a total order within a key; callers add a unique
+    tiebreak column otherwise (same latitude as SQL row_number)."""
+    import pandas as pd
+
+    from .aggregates import _sharded_key_merge
+
+    desc = [descending] * len(sort_keys) if isinstance(descending, bool) else list(descending)
+    asc = [not d for d in desc]
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_keys, ascending=asc, kind="mergesort")
+        return df.groupby(keys, dropna=False, sort=False).head(k)
+
+    pruned = decode_dictionary_columns(ds).map_batches(prune, batch_format="pandas")
+    return _sharded_key_merge(pruned, keys, prune)

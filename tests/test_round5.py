@@ -345,3 +345,22 @@ def test_plan_sample_nodes(ray_session, tmp_path):
         hash_sample(rd.from_arrow(t), "o_orderkey", 0.3, 7, hasher="md5").to_pandas()["o_orderkey"]
     )
     assert got2 == expect2 and len(got2) > 50
+
+
+def test_top_k_per_group(ray_session):
+    import ray.data as rd
+
+    from supersonic_ray.stages.ops import top_k_per_group
+
+    t = pa.table({
+        "g": ["a"] * 5 + ["b"] * 3 + [None] * 2,
+        "v": [5, 3, 9, 1, 7, 2, 8, 4, 6, 0],
+        "id": list(range(10)),
+    })
+    out = top_k_per_group(
+        rd.from_arrow(t).repartition(4), ["g"], ["v", "id"], k=2, descending=[True, False]
+    ).to_pandas()
+    got = {g: sorted(sub["id"]) for g, sub in out.groupby("g", dropna=False)}
+    assert got["a"] == [2, 4]          # v=9,7
+    assert got["b"] == [6, 7]          # v=8,4
+    assert got[[k for k in got if not isinstance(k, str)][0]] == [8, 9]  # null group kept
