@@ -697,6 +697,29 @@ def ann_ivf_embeddings(sf_dir: str):
     return out[["query_id", "vec_id"]].sort_values(["query_id", "vec_id"]).reset_index(drop=True)
 
 
+def agg_median_quantile(sf_dir: str):
+    """Exact per-group MEDIAN and P90 (round-5; the holistic built-ins
+    the sketch module approximates): routed through the sharded
+    whole-group path — a group's rows land in one shard task, task
+    count = num_shards.  pandas linear interpolation == DuckDB
+    quantile_cont; values are 3-decimal-exact (interpolants of
+    2-decimal money values), so round(…, 3) is boundary-safe."""
+    from supersonic_ray.stages.aggregates import AggSpec, group_aggregate
+
+    ds = _ld(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    out = group_aggregate(
+        ds,
+        ["o_orderpriority"],
+        [
+            AggSpec("median", "o_totalprice", "med_price"),
+            AggSpec("quantile", "o_totalprice", "p90_price", q=0.9),
+            AggSpec("count", None, "n"),
+        ],
+    ).to_pandas()
+    out[["med_price", "p90_price"]] = out[["med_price", "p90_price"]].round(3)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def topk_per_group_docs(sf_dir: str):
     """Top-k ROWS per group (round-5; beyond the reference's
     BoundGroupAggregateWithLimit, which bounds GROUP count): the 5
@@ -2128,6 +2151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_nulls_first": sort_nulls_first,
         "topk_orders": topk_orders,
         "topk_per_group_docs": topk_per_group_docs,
+        "agg_median_quantile": agg_median_quantile,
         # -- training-data assembly
         "pack_sequences_docs": pack_sequences_docs,
         "vocab_top_words_docs": vocab_top_words_docs,
@@ -2156,7 +2180,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- multimodal codecs (image_decode_bmp + audio_decode_g711
         # -- rotated down: green r04, BMP/G.711 paths untouched since)
         "image_decode_jpeg": image_decode_jpeg,
-        "image_decode_png": image_decode_png,
         "line_dedup_docs": line_dedup_docs,
         "orc_source_roundtrip": orc_source_roundtrip,
         "feather_source_roundtrip": feather_source_roundtrip,
@@ -2174,6 +2197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- untouched; sketches covered in-window), window_rank_lag
         # ---- (apply_running has 2 in-window reps).
         "image_decode_bmp": image_decode_bmp,
+        "image_decode_png": image_decode_png,
         "video_frame_sample": video_frame_sample,
         "audio_decode_g711": audio_decode_g711,
         "doc_fingerprints": doc_fingerprints,
@@ -3479,6 +3503,13 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY l_suppkey
                                        ORDER BY l_orderkey, rk) = 1
             ORDER BY l_suppkey
+        """,
+        "agg_median_quantile": """
+            SELECT o_orderpriority,
+                   round(median(o_totalprice), 3) AS med_price,
+                   round(quantile_cont(o_totalprice, 0.9), 3) AS p90_price,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "topk_per_group_docs": """
             SELECT lang, doc_id, n_chars FROM documents

@@ -37,9 +37,15 @@ class AggSpec:
     order_by: str | None = None  # makes FIRST/LAST/CONCAT deterministic
     separator: str = ","
     udaf: object = None  # resolved UDAF callable (ships inside the task closure)
+    q: float = 0.5  # quantile point for fn="quantile"
 
 
 _UDAFS: dict = {}
+
+# inherently-holistic built-ins: exact per-group evaluation via the
+# sharded whole-group path (a group's rows land in one shard task);
+# the sketch module has the mergeable approximate alternatives
+_HOLISTIC_FNS = frozenset({"median", "quantile"})
 
 # rows the driver may collect for inherently-holistic scalar specs
 # (CONCAT output is O(input) by definition); beyond this the call fails
@@ -138,6 +144,11 @@ def _apply_one(g: pd.DataFrame, spec: AggSpec):
         return col.max() if col.notna().any() else None
     if fn == "mean":
         return col.mean() if col.notna().any() else None
+    if fn == "median":
+        return col.median() if col.notna().any() else None
+    if fn == "quantile":
+        # linear interpolation == DuckDB quantile_cont
+        return col.quantile(spec.q, interpolation="linear") if col.notna().any() else None
     if fn in ("first", "last", "concat"):
         if spec.distinct and spec.order_by:
             # engine convention (shared with the distributed plans): each
@@ -192,8 +203,11 @@ def group_aggregate(ds, keys: list[str], specs: list[AggSpec]):
     # would aggregate duplicate values) — it takes the holistic path,
     # whose _apply_one dedupes before calling the UDAF.
     if any(
-        s.udaf is not None
-        and (not isinstance(s.udaf, CombinableUDAF) or s.distinct)
+        (
+            s.udaf is not None
+            and (not isinstance(s.udaf, CombinableUDAF) or s.distinct)
+        )
+        or s.fn in _HOLISTIC_FNS
         for s in specs
     ):
         from .ops import decode_dictionary_columns
