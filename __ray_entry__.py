@@ -697,6 +697,20 @@ def ann_ivf_embeddings(sf_dir: str):
     return out[["query_id", "vec_id"]].sort_values(["query_id", "vec_id"]).reset_index(drop=True)
 
 
+def unnest_embeddings(sf_dir: str):
+    """UNNEST over a list<float> column (round-5 first-class explode
+    operator): the first 10 embedding rows explode to one row per
+    element — SQL unnest semantics (empty/NULL lists drop; parent
+    columns repeat), pure Arrow list_parent_indices + take."""
+    from supersonic_ray.stages.ops import filter_expr, unnest
+
+    ds = _ld(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = filter_expr(ds, lambda t: pc.less(t.column("vec_id"), 10))
+    out = unnest(ds, "embedding", alias="e").to_pandas()
+    out["e"] = out["e"].astype("float64").round(6)
+    return out.sort_values(["vec_id", "e"]).reset_index(drop=True)
+
+
 def agg_median_quantile(sf_dir: str):
     """Exact per-group MEDIAN and P90 (round-5; the holistic built-ins
     the sketch module approximates): routed through the sharded
@@ -2142,8 +2156,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_first_last": agg_first_last,
         "agg_clusters_sorted": agg_clusters_sorted,
         "group_with_limit": group_with_limit,
-        "group_with_limit_arrival": group_with_limit_arrival,
-        "skew_salted_agg": skew_salted_agg,
         "agg_udaf_span": agg_udaf_span,
         "agg_udaf_combinable": agg_udaf_combinable,
         "asof_join_events": asof_join_events,
@@ -2152,6 +2164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": topk_orders,
         "topk_per_group_docs": topk_per_group_docs,
         "agg_median_quantile": agg_median_quantile,
+        "unnest_embeddings": unnest_embeddings,
         # -- training-data assembly
         "pack_sequences_docs": pack_sequences_docs,
         "vocab_top_words_docs": vocab_top_words_docs,
@@ -2180,6 +2193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- multimodal codecs (image_decode_bmp + audio_decode_g711
         # -- rotated down: green r04, BMP/G.711 paths untouched since)
         "image_decode_jpeg": image_decode_jpeg,
+        "video_frame_sample": video_frame_sample,
         "line_dedup_docs": line_dedup_docs,
         "orc_source_roundtrip": orc_source_roundtrip,
         "feather_source_roundtrip": feather_source_roundtrip,
@@ -2195,11 +2209,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- audio_decode_g711, doc_fingerprints, tfidf, dedup_clusters,
         # ---- gopher_rules, exact_quantiles (sort+split-at-rank path
         # ---- untouched; sketches covered in-window), window_rank_lag
-        # ---- (apply_running has 2 in-window reps).
+        # ---- (apply_running has 2 in-window reps), image_decode_bmp/png,
+        # ---- audio_decode_g711 (codec paths untouched; jpeg + video
+        # ---- stay IN for live multimodal coverage),
+        # ---- group_with_limit_arrival + skew_salted_agg (BoundGroup /
+        # ---- salting paths untouched; group_with_limit stays in).
         "image_decode_bmp": image_decode_bmp,
         "image_decode_png": image_decode_png,
-        "video_frame_sample": video_frame_sample,
         "audio_decode_g711": audio_decode_g711,
+        "group_with_limit_arrival": group_with_limit_arrival,
+        "skew_salted_agg": skew_salted_agg,
         "doc_fingerprints": doc_fingerprints,
         "gopher_rules_docs": gopher_rules_docs,
         "exact_quantiles_orders": exact_quantiles_orders,
@@ -3503,6 +3522,11 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY l_suppkey
                                        ORDER BY l_orderkey, rk) = 1
             ORDER BY l_suppkey
+        """,
+        "unnest_embeddings": """
+            SELECT vec_id, round(CAST(unnest(embedding) AS DOUBLE), 6) AS e
+            FROM embeddings WHERE vec_id < 10
+            ORDER BY vec_id, e
         """,
         "agg_median_quantile": """
             SELECT o_orderpriority,

@@ -589,3 +589,22 @@ def top_k_per_group(
 
     pruned = decode_dictionary_columns(ds).map_batches(prune, batch_format="pandas")
     return _sharded_key_merge(pruned, keys, prune)
+
+
+def unnest(ds, list_col: str, alias: str | None = None):
+    """UNNEST a list column to one row per element (SQL semantics:
+    NULL/empty lists produce no rows; other columns repeat).  Pure
+    Arrow kernels — list_parent_indices drives one take per batch, no
+    Python per row; the flat_map analog every explode stage in text.py
+    hand-rolls, exposed as a first-class operator."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t.column(list_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        idx = pc.list_parent_indices(col)
+        flat = pc.list_flatten(col)
+        base = t.drop_columns([list_col]).take(idx)
+        return base.append_column(alias or list_col, flat)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
