@@ -749,6 +749,32 @@ def topk_per_group_docs(sf_dir: str):
     return out[["lang", "doc_id", "n_chars"]].sort_values(["lang", "doc_id"]).reset_index(drop=True)
 
 
+def sample_k_per_group_docs(sf_dir: str):
+    """Deterministic uniform k-per-group sample (round-5 training-data
+    op: "at most k docs per source/host"): rank inside each group by
+    md5_number_lower(seed:id), keep the k smallest — the
+    top_k_per_group shard contract (per-batch prune, one exchange, no
+    per-key tasks), fully SQL-replayable."""
+    from supersonic_ray.stages.ops import sample_k_per_group
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "lang", "source"])
+    out = sample_k_per_group(ds, ["lang"], k=7, id_col="doc_id", seed=3).to_pandas()
+    return out[["lang", "doc_id", "source"]].sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
+def weighted_mix_docs(sf_dir: str):
+    """Weighted dataset mixing (round-5 training-data op: the "x % per
+    source" recipe step): per-row keep decision = seeded keyed uniform
+    u < rate[source], one map-only stage with a vectorized per-source
+    threshold lookup; sources outside the recipe drop."""
+    from supersonic_ray.stages.ops import weighted_source_mix
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "source"])
+    rates = {"src0": 0.9, "src1": 0.5, "src2": 0.25, "src3": 0.05}
+    out = weighted_source_mix(ds, "source", rates, seed=11, key_col="doc_id").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def ann_pq_embeddings(sf_dir: str):
     """Product-quantization ANN (Jégou et al. 2011 — the memory-bounded
     billion-vector scan: 8 uint8 codes per vector, query scoring = m
@@ -2165,6 +2191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group_docs": topk_per_group_docs,
         "agg_median_quantile": agg_median_quantile,
         "unnest_embeddings": unnest_embeddings,
+        "sample_k_per_group_docs": sample_k_per_group_docs,
+        "weighted_mix_docs": weighted_mix_docs,
         # -- training-data assembly
         "pack_sequences_docs": pack_sequences_docs,
         "vocab_top_words_docs": vocab_top_words_docs,
@@ -3522,6 +3550,27 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY l_suppkey
                                        ORDER BY l_orderkey, rk) = 1
             ORDER BY l_suppkey
+        """,
+        "sample_k_per_group_docs": """
+            SELECT lang, doc_id, source FROM (
+                SELECT lang, doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5_number_lower('3:' || CAST(doc_id AS VARCHAR)),
+                                    doc_id) AS rk
+                FROM documents) t
+            WHERE rk <= 7
+            ORDER BY lang, doc_id
+        """,
+        "weighted_mix_docs": """
+            SELECT doc_id, source FROM documents
+            WHERE source IN ('src0', 'src1', 'src2', 'src3')
+              AND doc_id IS NOT NULL
+              AND md5_number_lower('11:' || CAST(doc_id AS VARCHAR))
+                  / 18446744073709551616e0
+                  < CASE source WHEN 'src0' THEN 0.9e0 WHEN 'src1' THEN 0.5e0
+                                WHEN 'src2' THEN 0.25e0 ELSE 0.05e0 END
+            ORDER BY doc_id
         """,
         "unnest_embeddings": """
             SELECT vec_id, round(CAST(unnest(embedding) AS DOUBLE), 6) AS e

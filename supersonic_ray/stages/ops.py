@@ -591,6 +591,70 @@ def top_k_per_group(
     return _sharded_key_merge(pruned, keys, prune)
 
 
+def sample_k_per_group(ds, keys: list[str], k: int, id_col: str, seed: int = 0):
+    """Uniform-without-replacement sample of k rows PER GROUP,
+    deterministic under any partitioning: rank rows inside each group
+    by ``md5_number_lower(seed:id)`` and keep the k smallest — the
+    per-source subsample a corpus-mixing pipeline runs before
+    training-set assembly ("at most k docs per host/source").  A keyed
+    Bernoulli (bernoulli_sample) cannot bound the per-group count; a
+    full sort is a corpus-wide shuffle.  This reuses the
+    top_k_per_group shard contract instead: per-batch prune to ≤k rows
+    per key it contains, ONE hash exchange, vectorized per-shard head —
+    task count = num_shards, exchange carries ≤ k rows per distinct
+    key.  ``id_col`` ties break on the id itself, so the result is a
+    total function of (seed, group, id) and a SQL oracle replays it
+    verbatim."""
+    from supersonic_ray.functions.dhash import md5_u64
+
+    def add_h(t: pa.Table) -> pa.Table:
+        h = md5_u64(t.column(id_col), prefix=f"{int(seed)}:")
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        return t.append_column("__smp", h)
+
+    ranked = ds.map_batches(add_h, batch_format="pyarrow")
+    out = top_k_per_group(ranked, keys, ["__smp", id_col], k, descending=False)
+    return out.drop_columns(["__smp"])
+
+
+def weighted_source_mix(ds, source_col: str, rates: dict[str, float], seed: int, key_col: str):
+    """Weighted dataset mixing: keep each row with its SOURCE's rate
+    (sources absent from ``rates`` drop entirely) — the "20 % web,
+    80 % books" recipe step of training-data assembly, as one map-only
+    stage.  The keep decision is the same seeded keyed uniform the
+    sampling family uses (u = md5_number_lower(seed:key) / 2^64 —
+    reproducible under any partitioning, SQL-verifiable verbatim), with
+    a vectorized per-source threshold lookup (pc.index_in against the
+    broadcast rate table) instead of one global p.  NULL keys and NULL
+    sources never sample."""
+    import numpy as np
+
+    from supersonic_ray.functions.dhash import md5_u64
+
+    srcs = list(rates.keys())
+    thresholds = np.array([float(rates[s]) for s in srcs], dtype=np.float64)
+    value_set = pa.array(srcs, pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = md5_u64(batch.column(key_col), prefix=f"{int(seed)}:")
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        valid = pc.is_valid(h).to_numpy(zero_copy_only=False)
+        hv = pc.fill_null(h, 0).to_numpy(zero_copy_only=False).astype(np.uint64)
+        u = hv.astype(np.float64) / 18446744073709551616.0
+        src = batch.column(source_col)
+        if pa.types.is_dictionary(src.type):
+            src = pc.cast(src, src.type.value_type)
+        idx = pc.index_in(src, value_set)  # NULL for unknown/missing source
+        known = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        iv = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False)
+        thr = np.where(known, thresholds[iv], 0.0)
+        return batch.filter(pa.array((u < thr) & valid & known))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def unnest(ds, list_col: str, alias: str | None = None):
     """UNNEST a list column to one row per element (SQL semantics:
     NULL/empty lists produce no rows; other columns repeat).  Pure

@@ -23,7 +23,7 @@ AUDITED = {
     "stages/vectors.py": 5,  # IVF training sample (limit N), md5 seed-centroid pick (worker-side partial take + driver sort+limit(n_centroids) — bounded by the centroid count), PQ codebook pick (same shape, bounded by ksub)
     "stages/text.py": 3,  # tfidf: per-batch worker Arrow take (parent indices), GUARDED to_pandas of the DF table (TFIDF_VOCAB_LIMIT, vocabulary-sized not corpus-sized), per-batch worker tf.to_pandas
     "stages/graph.py": 0,  # label sums are scalar aggregates; labels stay a Dataset
-    "stages/ops.py": 0,
+    "stages/ops.py": 1,  # unnest: per-batch worker-side Arrow take (parent indices) — bounded by the batch
     "stages/stateful.py": 0,
     "stages/windows.py": 0,
     "stages/multimodal.py": 0,

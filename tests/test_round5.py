@@ -364,3 +364,48 @@ def test_top_k_per_group(ray_session):
     assert got["a"] == [2, 4]          # v=9,7
     assert got["b"] == [6, 7]          # v=8,4
     assert got[[k for k in got if not isinstance(k, str)][0]] == [8, 9]  # null group kept
+
+
+def test_sample_k_per_group(ray_session):
+    import ray.data as rd
+
+    from supersonic_ray.stages.ops import sample_k_per_group
+
+    t = pa.table({
+        "g": ["a"] * 20 + ["b"] * 3,
+        "id": list(range(23)),
+    })
+    out = sample_k_per_group(rd.from_arrow(t).repartition(4), ["g"], k=5, id_col="id", seed=9)
+    df = out.to_pandas()
+    # exactly min(k, group size) per group; small groups survive whole
+    sizes = df.groupby("g").size().to_dict()
+    assert sizes == {"a": 5, "b": 3}
+    assert "__smp" not in df.columns
+    # deterministic: same seed -> same sample regardless of partitioning
+    df2 = sample_k_per_group(rd.from_arrow(t).repartition(2), ["g"], k=5, id_col="id", seed=9).to_pandas()
+    assert sorted(df["id"]) == sorted(df2["id"])
+    # different seed -> (almost surely) different sample of group a
+    df3 = sample_k_per_group(rd.from_arrow(t), ["g"], k=5, id_col="id", seed=10).to_pandas()
+    assert sorted(df3[df3.g == "a"]["id"]) != sorted(df[df.g == "a"]["id"])
+
+
+def test_weighted_source_mix(ray_session):
+    import ray.data as rd
+
+    from supersonic_ray.stages.ops import weighted_source_mix
+
+    n = 400
+    t = pa.table({
+        "id": list(range(n)),
+        "src": (["web"] * (n // 2) + ["books"] * (n // 4) + ["other"] * (n // 4)),
+    })
+    rates = {"web": 1.0, "books": 0.5}
+    out = weighted_source_mix(rd.from_arrow(t).repartition(4), "src", rates, seed=5, key_col="id").to_pandas()
+    # rate 1.0 keeps every web row; unknown source drops entirely
+    assert (out.src == "other").sum() == 0
+    assert (out.src == "web").sum() == n // 2
+    kept_books = (out.src == "books").sum()
+    assert 0 < kept_books < n // 4
+    # deterministic under re-partitioning
+    out2 = weighted_source_mix(rd.from_arrow(t).repartition(2), "src", rates, seed=5, key_col="id").to_pandas()
+    assert sorted(out.id) == sorted(out2.id)
