@@ -18,9 +18,9 @@ partition decodes standalone.
 Two pipeline shapes:
 
 - ``encode_parquet``: shard-planned — the driver lists row groups from
-  parquet metadata only, builds a Dataset of shard descriptors, and an
-  actor pool (``map_batches(ShardEncoder, concurrency=N)``) reads,
-  encodes and writes each shard independently with a lineage manifest.
+  parquet metadata only, builds a Dataset of shard descriptors, and
+  ``map_batches(ShardEncoder(...), concurrency=N)`` tasks read, encode
+  and write each shard independently with a lineage manifest.
   Deterministic part ids → checkpoint resume (a re-run skips shards
   whose manifest matches) and idempotent retries.  This is the shape
   that scales to 10^12 docs: no driver-side data movement, no shuffle,
@@ -432,10 +432,13 @@ def read_shard_table(pf: pq.ParquetFile, shard: dict[str, Any]) -> pa.Table:
 
 
 class ShardEncoder:
-    """Actor-pool encode stage: reads its shard's row groups, encodes
-    with per-partition bind-time codec plans, writes data + manifest
-    atomically, and emits one metrics row.  Stateful setup (none heavy
-    here beyond imports) happens once per actor; FSST tables are per
+    """Encode stage: reads its shard's row groups, encodes with
+    per-partition bind-time codec plans, writes data + manifest
+    atomically, and emits one metrics row.  Shipped as a plain callable
+    to Ray TASKS by default (state = the resolved plans, a few KB that
+    deserialize once per worker process — nothing an actor would
+    amortize, and a fresh actor pool pays a ~4 s spawn+import ramp per
+    call; see encode_parquet(compute=...)).  FSST tables are per
     partition by design (embedded in blobs)."""
 
     def __init__(
@@ -538,18 +541,31 @@ def encode_parquet(
     plan_scope: str = "global",
     quota_bytes: int | None = 4 << 30,
     target_bytes: int = SHARD_TARGET_BYTES,
+    compute: str = "tasks",
 ):
     """Shard-planned encode: returns the (lazy) Dataset of per-partition
     metrics rows; consume it (e.g. ``.to_pandas()``) to run the job.
 
     plan_scope="global" (default): codec selection + FSST symbol-table
     training run ONCE on the driver against a sample shard, and the
-    resolved plans ship to every encoder actor — selector/training cost
-    is O(1) instead of O(actors), and output bytes are deterministic
-    under retries regardless of shard→actor assignment.  Right for
+    resolved plans ship to every encoder — selector/training cost is
+    O(1) instead of O(workers), and output bytes are deterministic
+    under retries regardless of shard→worker assignment.  Right for
     homogeneous corpora (a web crawl).  plan_scope="partition" resolves
-    per partition inside the actors for heterogeneous inputs; manifests
-    record the choice either way.
+    per partition inside the workers for heterogeneous inputs;
+    manifests record the choice either way.
+
+    compute="tasks" (default, round-5): the encoder is a plain callable
+    shipped to Ray TASKS in the shared worker pool.  The per-shard
+    state (resolved plans, a few KB incl. the FSST symbol table)
+    deserializes once per worker process, so there is nothing an actor
+    would amortize — and a fresh actor pool pays a ~4 s ramp (process
+    spawn + package import per actor) on EVERY call that tasks on warm
+    workers skip entirely.  Measured at sf0.1 / 32 CPUs: tasks
+    8.3-10.0 s vs actors 12.7-12.8 s wall, identical output bytes
+    (BASELINE.md §10f).  compute="actors" keeps the actor-pool shape
+    (right when a cluster is cold and one job will reuse the pool for
+    many inputs back-to-back).
     """
     import ray.data as rd
 
@@ -567,15 +583,24 @@ def encode_parquet(
             s0["row_slice"] = [s0["row_slice"][0], min(s0["row_slice"][1], 4 * CHUNK_ROWS)]
         sample = read_shard_table(pq.ParquetFile(s0["path"]), s0)
         plans = resolve_column_plans(sample, overrides, parallel=True)
+    kwargs = {
+        "out_dir": out_dir,
+        "chunk_rows": chunk_rows,
+        "overrides": overrides,
+        "plans": plans,
+        "quota_bytes": quota_bytes,
+    }
+    if compute == "tasks":
+        return ds.map_batches(
+            ShardEncoder(**kwargs),
+            batch_size=1,
+            concurrency=concurrency,
+            num_cpus=1,
+            batch_format="pyarrow",
+        )
     return ds.map_batches(
         ShardEncoder,
-        fn_constructor_kwargs={
-            "out_dir": out_dir,
-            "chunk_rows": chunk_rows,
-            "overrides": overrides,
-            "plans": plans,
-            "quota_bytes": quota_bytes,
-        },
+        fn_constructor_kwargs=kwargs,
         batch_size=1,
         concurrency=concurrency,
         num_cpus=1,
