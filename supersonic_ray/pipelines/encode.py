@@ -755,14 +755,18 @@ def encode_dataset(ds, out_dir: str, batch_size: int = 4 * CHUNK_ROWS, concurren
         import ray
 
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    # plain TASKS, not an actor pool (same reasoning as encode_parquet
+    # compute="tasks", BASELINE.md §10f): the per-worker `seen` ordinal
+    # counter has the identical documented byte-identical-batch
+    # ambiguity across tasks as across actors, and tasks skip the
+    # per-call pool ramp on warm workers
     return ds.map_batches(
-        BatchEncoder,
-        fn_constructor_kwargs={
-            "out_dir": out_dir,
-            "chunk_rows": chunk_rows,
-            "run_id": uuid.uuid4().hex[:8],
-            "target_bytes": target_bytes,
-        },
+        BatchEncoder(
+            out_dir=out_dir,
+            chunk_rows=chunk_rows,
+            run_id=uuid.uuid4().hex[:8],
+            target_bytes=target_bytes,
+        ),
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
