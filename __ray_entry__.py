@@ -2052,6 +2052,30 @@ PLAN_CI_SORT_JSON = """
 """
 
 
+PLAN_ASSEMBLY_JSON = """
+{"steps": [
+  {"op": "scan", "table": "documents", "columns": ["doc_id", "lang", "source"]},
+  {"op": "mix", "source_col": "source",
+   "rates": {"src0": 0.9, "src1": 0.5, "src2": 0.25, "src3": 0.05},
+   "seed": 11, "key_col": "doc_id"},
+  {"op": "sample_per_group", "keys": ["lang"], "k": 4,
+   "id_col": "doc_id", "seed": 3}
+]}
+"""
+
+
+def plan_assembly_json(sf_dir: str):
+    """Corpus-assembly recipe as one JSON plan document (round-5):
+    weighted source mixing (`mix` node) feeding a deterministic
+    k-per-group sample (`sample_per_group` node) — both stages are
+    seeded md5 decisions, so the whole two-stage recipe replays in
+    SQL verbatim."""
+    from supersonic_ray.pipelines import run_plan_json
+
+    out = run_plan_json(PLAN_ASSEMBLY_JSON, sf_dir).to_pandas()
+    return out[["lang", "doc_id", "source"]].sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
 PLAN_DEDUP_JSON = """
 {"steps": [
   {"op": "scan", "table": "lineitem",
@@ -2172,6 +2196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_region_revenue": q5_region_revenue,
         "plan_q1_json": plan_q1_json,
         "plan_dedup_json": plan_dedup_json,
+        "plan_assembly_json": plan_assembly_json,
         "sort_multikey_ci": sort_multikey_ci,
         # -- aggregation (type-marker restore touched min/max paths
         # -- since the r4 run; agg_concat/agg_udaf_* rotated down —
@@ -3537,6 +3562,25 @@ def oracle_sql() -> dict[str, str]:
         "rsb_bloom_scan": """
             SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents WHERE lang = 'de'
+        """,
+        "plan_assembly_json": """
+            WITH mixed AS (
+                SELECT doc_id, lang, source FROM documents
+                WHERE source IN ('src0', 'src1', 'src2', 'src3')
+                  AND doc_id IS NOT NULL
+                  AND md5_number_lower('11:' || CAST(doc_id AS VARCHAR))
+                      / 18446744073709551616e0
+                      < CASE source WHEN 'src0' THEN 0.9e0 WHEN 'src1' THEN 0.5e0
+                                    WHEN 'src2' THEN 0.25e0 ELSE 0.05e0 END)
+            SELECT lang, doc_id, source FROM (
+                SELECT lang, doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5_number_lower('3:' || CAST(doc_id AS VARCHAR)),
+                                    doc_id) AS rk
+                FROM mixed) t
+            WHERE rk <= 4
+            ORDER BY lang, doc_id
         """,
         "plan_dedup_json": """
             WITH t AS (

@@ -50,6 +50,13 @@ Plan document::
       {"op": "asof_join", "right": [<steps>], "left_by": ...,
        "right_by": ..., "left_on": ..., "right_on": ...,
        "payload_cols": [...]},
+      {"op": "unnest", "column": "c", "alias": "e"},
+      {"op": "top_k_per_group", "keys": [...], "sort_keys": [...],
+       "k": 5, "descending": [...]},
+      {"op": "sample_per_group", "keys": [...], "k": 5,
+       "id_col": "id", "seed": 0},
+      {"op": "mix", "source_col": "src", "rates": {"web": 0.5},
+       "seed": 0, "key_col": "id"},
       {"op": "range_join", "right": [<steps>], "value_col": ...,
        "lo_col": "lo", "hi_col": "hi", "keep_bounds": false}
     ]}
@@ -319,6 +326,36 @@ def build_pipeline(plan: dict, sf_dir: str):
                 lo_col=step.get("lo_col", "lo"),
                 hi_col=step.get("hi_col", "hi"),
                 keep_bounds=step.get("keep_bounds", False),
+            )
+        elif kind == "unnest":
+            from supersonic_ray.stages.ops import unnest
+
+            ds = unnest(ds, step["column"], alias=step.get("alias"))
+        elif kind == "top_k_per_group":
+            from supersonic_ray.stages.ops import top_k_per_group
+
+            ds = top_k_per_group(
+                ds,
+                step["keys"],
+                step["sort_keys"],
+                step["k"],
+                step.get("descending", True),
+            )
+        elif kind == "sample_per_group":
+            from supersonic_ray.stages.ops import sample_k_per_group
+
+            ds = sample_k_per_group(
+                ds, step["keys"], step["k"], step["id_col"], seed=step.get("seed", 0)
+            )
+        elif kind == "mix":
+            from supersonic_ray.stages.ops import weighted_source_mix
+
+            ds = weighted_source_mix(
+                ds,
+                step["source_col"],
+                {str(k): float(v) for k, v in step["rates"].items()},
+                seed=step.get("seed", 0),
+                key_col=step["key_col"],
             )
         else:
             raise ValueError(f"unknown plan op {kind!r}")

@@ -666,6 +666,16 @@ def unnest(ds, list_col: str, alias: str | None = None):
         col = t.column(list_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if isinstance(col.type, pa.ExtensionType):
+            # a pandas stage upstream turns list columns into Ray's
+            # tensor extension type; unwrap to the plain list storage
+            # (variable-shaped: struct<data: large_list, shape>; fixed:
+            # fixed_size_list)
+            col = col.storage
+            if pa.types.is_struct(col.type):
+                col = col.field("data")
+        if pa.types.is_fixed_size_list(col.type):
+            col = col.cast(pa.list_(col.type.value_type))
         idx = pc.list_parent_indices(col)
         flat = pc.list_flatten(col)
         base = t.drop_columns([list_col]).take(idx)

@@ -409,3 +409,47 @@ def test_weighted_source_mix(ray_session):
     # deterministic under re-partitioning
     out2 = weighted_source_mix(rd.from_arrow(t).repartition(2), "src", rates, seed=5, key_col="id").to_pandas()
     assert sorted(out.id) == sorted(out2.id)
+
+
+def test_plan_round5_nodes(ray_session, tmp_path):
+    """unnest / top_k_per_group / sample_per_group / mix plan nodes
+    match their direct-operator results."""
+    import pyarrow.parquet as pq
+
+    from supersonic_ray.pipelines import run_plan_json
+    from supersonic_ray.stages.ops import (
+        sample_k_per_group,
+        top_k_per_group,
+        unnest,
+        weighted_source_mix,
+    )
+    import ray.data as rd
+
+    t = pa.table({
+        "id": list(range(60)),
+        "g": (["a", "b", "c"] * 20),
+        "v": [i * 7 % 23 for i in range(60)],
+        "src": (["web", "books"] * 30),
+        "xs": [[i, i + 1] if i % 5 else [] for i in range(60)],
+    })
+    pq.write_table(t, str(tmp_path / "docs.parquet"))
+    ds = rd.from_arrow(t)
+
+    plan = """
+    {"steps": [
+      {"op": "scan", "table": "docs", "columns": ["id", "g", "v", "src", "xs"]},
+      {"op": "mix", "source_col": "src", "rates": {"web": 1.0, "books": 0.4},
+       "seed": 2, "key_col": "id"},
+      {"op": "sample_per_group", "keys": ["g"], "k": 6, "id_col": "id", "seed": 5},
+      {"op": "top_k_per_group", "keys": ["g"], "sort_keys": ["v", "id"], "k": 3,
+       "descending": [true, false]},
+      {"op": "unnest", "column": "xs", "alias": "x"}
+    ]}"""
+    got = run_plan_json(plan, str(tmp_path)).to_pandas()
+    exp_ds = weighted_source_mix(ds, "src", {"web": 1.0, "books": 0.4}, seed=2, key_col="id")
+    exp_ds = sample_k_per_group(exp_ds, ["g"], k=6, id_col="id", seed=5)
+    exp_ds = top_k_per_group(exp_ds, ["g"], ["v", "id"], 3, descending=[True, False])
+    exp = unnest(exp_ds, "xs", alias="x").to_pandas()
+    key = ["g", "id", "x"]
+    assert sorted(map(tuple, got[key].values.tolist())) == sorted(map(tuple, exp[key].values.tolist()))
+    assert len(got) > 0 and "xs" not in got.columns
