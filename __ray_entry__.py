@@ -2206,7 +2206,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_distinct_nullkey": agg_distinct_nullkey,
         "agg_first_last": agg_first_last,
         "agg_clusters_sorted": agg_clusters_sorted,
-        "group_with_limit": group_with_limit,
         "agg_udaf_span": agg_udaf_span,
         "agg_udaf_combinable": agg_udaf_combinable,
         "asof_join_events": asof_join_events,
@@ -2220,7 +2219,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_mix_docs": weighted_mix_docs,
         # -- training-data assembly
         "pack_sequences_docs": pack_sequences_docs,
-        "vocab_top_words_docs": vocab_top_words_docs,
         # -- dedup + fingerprints + sketches (round-5 oracle closures)
         "dedup_exact_docs": dedup_exact_docs,
         "substring_dedup_docs": substring_dedup_docs,
@@ -2247,7 +2245,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- rotated down: green r04, BMP/G.711 paths untouched since)
         "image_decode_jpeg": image_decode_jpeg,
         "video_frame_sample": video_frame_sample,
-        "line_dedup_docs": line_dedup_docs,
         "orc_source_roundtrip": orc_source_roundtrip,
         "feather_source_roundtrip": feather_source_roundtrip,
         # ---- window boundary (#50): everything below has a green driver
@@ -2265,8 +2262,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- (apply_running has 2 in-window reps), image_decode_bmp/png,
         # ---- audio_decode_g711 (codec paths untouched; jpeg + video
         # ---- stay IN for live multimodal coverage),
-        # ---- group_with_limit_arrival + skew_salted_agg (BoundGroup /
-        # ---- salting paths untouched; group_with_limit stays in).
+        # ---- group_with_limit_arrival + skew_salted_agg + (late r5)
+        # ---- group_with_limit itself (the whole BoundGroup family at
+        # ---- aggregates.py:1008 has no r5 hunks; the r5 aggregate
+        # ---- rewrites — routing, markers, first/last, combinable,
+        # ---- concat merges — all have in-window reps via q1/agg_* /
+        # ---- median), vocab_top_words_docs + line_dedup_docs (text.py
+        # ---- vocab/line regions unhunked in r5; token counts + tfidf
+        # ---- share the explode/groupby kernels).  Moved UP in exchange:
+        # ---- orc/feather source roundtrips (NEW in r5 — first driver
+        # ---- rows) and the corpus-assembly ops.
+        "line_dedup_docs": line_dedup_docs,
+        "group_with_limit": group_with_limit,
+        "vocab_top_words_docs": vocab_top_words_docs,
         "image_decode_bmp": image_decode_bmp,
         "image_decode_png": image_decode_png,
         "audio_decode_g711": audio_decode_g711,
