@@ -643,20 +643,28 @@ def asof_join(
         # covers the schema-LOST empty table (zero-block datasets)
         return ds_left.limit(0)
     right_ref = ray.put(right_table)
-
-    def make_actor():
-        return _AsofJoiner(right_ref, right_by, right_on, payload_cols)
-
-    class _Stage:
-        def __init__(self):
-            self.joiner = make_actor()
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            return self.joiner.probe_batch(batch, left_by, left_on)
-
-    return ds_left.map_batches(
-        _Stage, batch_format="pyarrow", concurrency=(1, concurrency or _pool_size())
+    ck = (
+        right_ref.hex() if hasattr(right_ref, "hex") else str(id(right_ref)),
+        right_by,
+        right_on,
+        tuple(payload_cols),
+        "asof",
     )
+
+    # plain tasks with the per-process build cache (the broadcast-join
+    # _cached_joiner pattern): the sorted RHS index builds once per
+    # worker process instead of once per actor, and tasks skip the
+    # actor-pool ramp on warm workers
+    def probe(batch: pa.Table) -> pa.Table:
+        j = _BROADCAST_JOINER_CACHE.get(ck)
+        if j is None:
+            j = _AsofJoiner(right_ref, right_by, right_on, payload_cols)
+            if len(_BROADCAST_JOINER_CACHE) >= 4:
+                _BROADCAST_JOINER_CACHE.pop(next(iter(_BROADCAST_JOINER_CACHE)))
+            _BROADCAST_JOINER_CACHE[ck] = j
+        return j.probe_batch(batch, left_by, left_on)
+
+    return ds_left.map_batches(probe, batch_format="pyarrow", concurrency=concurrency)
 
 
 def _ord_i64(s: pd.Series):

@@ -504,11 +504,14 @@ def minhash_lsh_dedup(
     hash_cls = {"sip": MinHasher, "md5": Md5MinHasher}[hasher]
     signed = fanout(
         ds.map_batches(
-            hash_cls, fn_constructor_kwargs={"text_col": text_col, "n_hashes": n_hashes},
+            # INSTANCE → plain tasks on warm workers.  The hasher's
+            # state (seeded permutation tables, a few KB) ships once in
+            # the serialized fn; an actor pool amortizes nothing and
+            # pays its ramp per call (A/B at sf0.1/32cpu: tasks 1.0-1.3 s
+            # vs autoscaling pool 4.7-4.8 s for the md5 signature pass)
+            hash_cls(text_col=text_col, n_hashes=n_hashes),
             batch_format="pandas",
-            # autoscaling pool: (1, n) ramps with queued input — a fixed
-            # n-actor pool pays full spin-up even for tiny inputs
-            concurrency=concurrency or (1, _default_concurrency()),
+            concurrency=concurrency,
         ),
         n_consumers=2,  # bucket pass + anti-join probe
     )
@@ -708,9 +711,10 @@ def simhash_dedup(ds, text_col: str, id_col: str, prefix_bits: int = 16, hasher:
     from .ops import fanout
 
     signed = fanout(
+        # instance → tasks (see minhash_lsh_dedup: the hasher state is
+        # a few KB, actor pools only add ramp)
         ds.map_batches(
-            SimHasher, fn_constructor_kwargs={"text_col": text_col, "hasher": hasher},
-            batch_format="pandas", concurrency=(1, _default_concurrency()),
+            SimHasher(text_col=text_col, hasher=hasher), batch_format="pandas"
         ),
         n_consumers=2,
     )
