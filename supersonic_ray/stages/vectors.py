@@ -16,12 +16,6 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _default_concurrency() -> int:
-    from ._pool import default_pool_size
-
-    return default_pool_size()
-
-
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch.column(col).combine_chunks()
     flat = np.asarray(arr.flatten(), dtype=np.float32)
