@@ -833,10 +833,10 @@ def multimodal_decode(sf_dir: str):
         return b.rename_columns(["media_id", "blob"])
 
     ds = ds.map_batches(rename, batch_format="pyarrow")
-    from supersonic_ray.stages.vectors import _default_concurrency
+    from supersonic_ray.stages._pool import default_pool_size
 
     out = decode_images(
-        ds, "blob", "media_id", decoder="fake", concurrency=(1, _default_concurrency())
+        ds, "blob", "media_id", decoder="fake", concurrency=(1, default_pool_size())
     ).to_pandas()
     return out[["media_id", "width", "height", "channels"]].sort_values("media_id").reset_index(drop=True)
 
@@ -1141,6 +1141,19 @@ def sketch_distinct_freq(sf_dir: str):
             ],
         }
     )
+
+
+def hll_distinct_by_lang(sf_dir: str):
+    """Per-GROUP approximate COUNT(DISTINCT) — grouped HLL (round-5
+    late): registers partition by (lang, idx), the exchange carries at
+    most groups × 2^p register rows (never values), per-group exact-
+    arithmetic estimates replay verbatim in SQL (md5 register family +
+    integer register sums, the sketch_distinct_freq machinery grouped)."""
+    from supersonic_ray.stages.sketches import approx_count_distinct_by
+
+    docs = _ld(sf_dir, "documents", ["doc_id", "lang"])
+    out = approx_count_distinct_by(docs, ["lang"], "doc_id", p=12, hasher="md5").to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
 
 
 def exact_quantiles_orders(sf_dir: str):
@@ -2205,7 +2218,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_distinct": agg_distinct,
         "agg_distinct_nullkey": agg_distinct_nullkey,
         "agg_first_last": agg_first_last,
-        "agg_clusters_sorted": agg_clusters_sorted,
         "agg_udaf_span": agg_udaf_span,
         "agg_udaf_combinable": agg_udaf_combinable,
         "asof_join_events": asof_join_events,
@@ -2224,6 +2236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup_docs": substring_dedup_docs,
         "doc_rolling_fp": doc_rolling_fp,
         "sketch_distinct_freq": sketch_distinct_freq,
+        "hll_distinct_by_lang": hll_distinct_by_lang,
         "sample_bernoulli": sample_bernoulli,
         # -- windows (session/sliding rewritten to the shard-size
         # -- contract since the r4 run)
@@ -2275,6 +2288,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_docs": line_dedup_docs,
         "group_with_limit": group_with_limit,
         "vocab_top_words_docs": vocab_top_words_docs,
+        # ---- agg_clusters_sorted (late r5): run-detection partials at
+        # ---- aggregates.py:887+ have no r5 hunks; green r04; the r5
+        # ---- aggregate rewrites keep in-window reps via q1/agg_*.
+        "agg_clusters_sorted": agg_clusters_sorted,
         "image_decode_bmp": image_decode_bmp,
         "image_decode_png": image_decode_png,
         "audio_decode_g711": audio_decode_g711,
@@ -2807,6 +2824,45 @@ def _sketch_oracle_sql() -> str:
     """
 
 
+def _hll_by_oracle_sql() -> str:
+    """Grouped form of the _sketch_oracle_sql HLL block: registers
+    GROUP BY (lang, idx); the exact integer register sum folds the m -
+    n_present absent registers in as (m - count(*)) * 2^64 HUGEINT —
+    no register enumeration, identical arithmetic to
+    hll_estimate_exact_sparse."""
+    p, m = 12, 4096
+    alpha = repr(0.7213 / (1 + 1.079 / 4096)) + "e0"
+    u64 = "18446744073709551616"
+    return f"""
+        WITH h AS (
+          SELECT lang, md5_number_lower(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents WHERE doc_id IS NOT NULL),
+        r AS (
+          SELECT lang, CAST(h >> (64 - {p}) AS BIGINT) AS idx,
+                 (h::HUGEINT * {m}) % {u64} AS rem
+          FROM h),
+        rk AS (
+          SELECT lang, idx, max(CASE WHEN rem = 0 THEN 65
+                          ELSE 65 - length(bin(CAST(rem AS UBIGINT))) END) AS reg
+          FROM r GROUP BY lang, idx),
+        s AS (
+          SELECT lang,
+                 sum(CASE WHEN reg >= 64 THEN 1::HUGEINT
+                          ELSE (1::UBIGINT << (64 - reg))::HUGEINT END)
+                 + ({m} - count(*))::HUGEINT * {u64}::HUGEINT AS S,
+                 ({m} - count(*)) AS zeros
+          FROM rk GROUP BY lang)
+        SELECT lang,
+               CAST(floor(CASE
+                 WHEN ({alpha} * {m} * {m} * {u64}e0 / CAST(S AS DOUBLE)) <= 2.5 * {m}
+                      AND zeros > 0
+                 THEN {m} * ln({m} / CAST(zeros AS DOUBLE))
+                 ELSE {alpha} * {m} * {m} * {u64}e0 / CAST(S AS DOUBLE)
+               END + 0.5) AS DOUBLE) AS approx_distinct
+        FROM s ORDER BY lang
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "minhash_dedup_docs": _minhash_oracle_sql(),
@@ -2817,6 +2873,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_embeddings": _ann_pq_oracle_sql(),
         "embedding_neardup": _neardup_oracle_sql(),
         "sketch_distinct_freq": _sketch_oracle_sql(),
+        "hll_distinct_by_lang": _hll_by_oracle_sql(),
         "doc_rolling_fp": """
             WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
             e AS (SELECT doc_id, text, unnest(generate_series(1, L - 15)) AS s

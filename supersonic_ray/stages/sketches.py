@@ -129,6 +129,88 @@ def approx_count_distinct(ds, col: str, p: int = 12, hasher: str = "sip") -> int
     return int(round(hll_estimate(regs)))
 
 
+def hll_estimate_exact_sparse(present_regs: np.ndarray, m: int) -> int:
+    """hll_estimate_exact over a SPARSE register set: ``present_regs``
+    holds only the registers that saw a hash (all ≥ 1 by construction —
+    rank = clz+1); the other m - len(present_regs) registers are 0 and
+    contribute 2^64 each to the exact integer sum.  Same 1:1 mapping
+    onto the SQL oracle expression as the dense form."""
+    import math
+
+    m_ = m
+    alpha = 0.7213 / (1 + 1.079 / m_) if m_ >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m_, 0.7213 / (1 + 1.079 / m_))
+    zeros = m_ - len(present_regs)
+    s_int = sum(1 << (64 - int(r)) for r in present_regs) + zeros * (1 << 64)
+    est = alpha * m_ * m_ * 18446744073709551616.0 / float(s_int)
+    if est <= 2.5 * m_ and zeros:
+        est = m_ * math.log(m_ / zeros)
+    return int(math.floor(est + 0.5))
+
+
+def approx_count_distinct_by(ds, keys: list[str], col: str, p: int = 12, hasher: str = "sip"):
+    """Per-GROUP approximate COUNT(DISTINCT ``col``) — the grouped form
+    of approx_count_distinct, and the shape that matters at 100 TB: the
+    exchange carries at most (distinct groups × 2^p) tiny
+    (keys, idx, reg) rows — never a raw value — so a 10^12-row corpus
+    ships the same bytes per group as a 10^6-row one.
+
+    Shape: per-batch vectorized register maxima per (group, idx) →
+    ONE group_aggregate max exchange → per-group estimator inside the
+    sharded key-merge contract (task count = num_shards, never the
+    group count).  ``hasher="md5"`` uses the SQL-reproducible family:
+    every register and the exact-arithmetic estimate replay verbatim
+    in a DuckDB oracle (see __ray_entry__ hll_distinct_by oracle).
+    NULL ``col`` values never count; NULL keys group together."""
+    from .aggregates import AggSpec, _sharded_key_merge, group_aggregate
+
+    m = 1 << p
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[col].notna()]
+        if not len(df):
+            out = df[keys].copy()
+            out["__idx"] = pd.Series([], dtype="int64")
+            out["__reg"] = pd.Series([], dtype="int64")
+            return out
+        if hasher == "md5":
+            from supersonic_ray.functions.dhash import md5_u64
+
+            h = md5_u64(pa.Array.from_pandas(df[col]))
+            if isinstance(h, pa.ChunkedArray):
+                h = h.combine_chunks()
+            hv = h.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            hv = _stable_hash(df[col].tolist(), _HLL_KEY)
+        idx = (hv >> np.uint64(64 - p)).astype(np.int64)
+        rem = (hv << np.uint64(p)).astype(np.uint64)
+        rank = (64 - _bit_length_u64(rem) + 1).astype(np.int64)
+        out = df[keys].copy()
+        out["__idx"] = idx
+        out["__reg"] = rank
+        return (
+            out.groupby([*keys, "__idx"], dropna=False, sort=False)["__reg"]
+            .max()
+            .reset_index()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    merged = group_aggregate(partials, [*keys, "__idx"], [AggSpec("max", "__reg", "__reg")])
+
+    def est_one(g: pd.DataFrame) -> pd.DataFrame:
+        regs = g["__reg"].to_numpy()
+        if hasher == "md5":
+            v = float(hll_estimate_exact_sparse(regs, m))
+        else:
+            dense = np.zeros(m, dtype=np.uint8)
+            dense[g["__idx"].to_numpy()] = regs.astype(np.uint8)
+            v = float(int(round(hll_estimate(dense))))
+        out = g.iloc[:1][keys].copy().reset_index(drop=True)
+        out["approx_distinct"] = v
+        return out
+
+    return _sharded_key_merge(merged, keys, est_one)
+
+
 def cms_counts(vals, depth: int = 4, width: int = 2048) -> np.ndarray:
     cm = np.zeros((depth, width), dtype=np.int64)
     if len(vals) == 0:

@@ -85,3 +85,32 @@ def test_exact_quantile_matches_duckdb(ray_session, sf_dir):
             f"SELECT quantile_disc(o_totalprice, {q}) FROM read_parquet('{sf_dir}/orders.parquet')"
         ).fetchone()[0]
         assert got == want, (q, got, want)
+
+
+def test_approx_count_distinct_by(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from supersonic_ray.stages.sketches import approx_count_distinct_by
+
+    # groups with very different cardinalities + a null-value column
+    ids, gs = [], []
+    for g, n in (("a", 500), ("b", 50), ("c", 3)):
+        ids.extend(range(n))
+        gs.extend([g] * n)
+    t = pa.table({"g": gs, "v": ids})
+    for hasher in ("sip", "md5"):
+        out = approx_count_distinct_by(rd.from_arrow(t).repartition(5), ["g"], "v",
+                                       p=12, hasher=hasher).to_pandas()
+        got = dict(zip(out.g, out.approx_distinct))
+        for g, n in (("a", 500), ("b", 50), ("c", 3)):
+            assert abs(got[g] - n) <= max(2, 0.1 * n), (hasher, g, got[g])
+        # deterministic under re-partitioning
+        out2 = approx_count_distinct_by(rd.from_arrow(t).repartition(2), ["g"], "v",
+                                        p=12, hasher=hasher).to_pandas()
+        assert dict(zip(out2.g, out2.approx_distinct)) == got
+    # NULL values never count
+    t2 = pa.table({"g": ["a", "a", "a"], "v": pa.array([1, None, None], pa.int64())})
+    out3 = approx_count_distinct_by(rd.from_arrow(t2), ["g"], "v", p=12, hasher="md5").to_pandas()
+    assert list(out3.approx_distinct) == [1.0]
