@@ -877,6 +877,50 @@ def image_decode_bmp(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def image_resize_bmp(sf_dir: str):
+    """REAL image resize end-to-end (round-5 late; the brief's resize
+    stage): solid-color BMPs synthesized from table formulas decode,
+    resize to an 8×8 RGB24 thumbnail (pure-numpy nearest gather —
+    resize_rgb), and the thumbnail BYTES must recover the exact color
+    channels the SQL oracle computes — proving the decoded-pixel →
+    geometry → packed-thumbnail plumbing, not just dimensions."""
+    import struct
+
+    import numpy as np
+
+    from supersonic_ray.stages.multimodal import resize_images
+
+    def make_bmp(w: int, h: int, red: int) -> bytes:
+        row = (bytes([0, 0, red]) * w) + b"\x00" * ((4 - (w * 3) % 4) % 4)
+        px = row * h
+        header = b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0)
+        return header + info + px
+
+    ds = _ld(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def to_bmp(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        ncs = batch.column("n_chars").to_pylist()
+        blobs = [
+            make_bmp(4 + int(i) % 29, 3 + int(i) % 13, int(nc or 0) % 256)
+            for i, nc in zip(ids, ncs)
+        ]
+        return pa.table(
+            {"media_id": pa.array(ids, pa.int64()), "blob": pa.array(blobs, pa.binary())}
+        )
+
+    ds = ds.map_batches(to_bmp, batch_format="pyarrow")
+    out = resize_images(ds, decoder="bmp", out_w=8, out_h=8, mode="nearest").to_pandas()
+    px = np.frombuffer(b"".join(out["thumb"]), dtype=np.uint8).reshape(len(out), 8 * 8, 3)
+    assert (px == px[:, :1, :]).all(), "solid input must resize to a solid thumbnail"
+    out["r"] = px[:, 0, 0].astype("int64")
+    out["g"] = px[:, 0, 1].astype("int64")
+    out["b"] = px[:, 0, 2].astype("int64")
+    out = out[["media_id", "width", "height", "r", "g", "b"]]
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def image_decode_jpeg(sf_dir: str):
     """REAL JPEG decode end-to-end (round-4; codecs/jpeg.py — pure
     Python/numpy JFIF: Huffman entropy decode, dequant, IDCT,
@@ -2251,9 +2295,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_embeddings": ann_pq_embeddings,
         "embedding_neardup": embedding_neardup,
         # -- stateful running expressions (apply_running rewritten to the
-        # -- shard contract this round; window_rank_lag shares the path)
+        # -- shard contract this round; window_rank_lag + smudge_if share
+        # -- the path — one live rep suffices, smudge_if rotated down:
+        # -- its EXPRESSION kernel (stateful.py) has no r5 hunks)
         "running_sum_events": running_sum_events,
-        "smudge_if_events": smudge_if_events,
+        "image_resize_bmp": image_resize_bmp,
         # -- multimodal codecs (image_decode_bmp + audio_decode_g711
         # -- rotated down: green r04, BMP/G.711 paths untouched since)
         "image_decode_jpeg": image_decode_jpeg,
@@ -2292,6 +2338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- aggregates.py:887+ have no r5 hunks; green r04; the r5
         # ---- aggregate rewrites keep in-window reps via q1/agg_*.
         "agg_clusters_sorted": agg_clusters_sorted,
+        "smudge_if_events": smudge_if_events,
         "image_decode_bmp": image_decode_bmp,
         "image_decode_png": image_decode_png,
         "audio_decode_g711": audio_decode_g711,
@@ -3448,6 +3495,15 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             SELECT query_id, vec_id FROM r WHERE rn <= 5
             ORDER BY query_id, vec_id
+        """,
+        "image_resize_bmp": """
+            SELECT doc_id AS media_id,
+                   CAST(4 + doc_id % 29 AS INT) AS width,
+                   CAST(3 + doc_id % 13 AS INT) AS height,
+                   n_chars % 256 AS r,
+                   CAST(0 AS BIGINT) AS g,
+                   CAST(0 AS BIGINT) AS b
+            FROM documents ORDER BY media_id
         """,
         "image_decode_bmp": """
             SELECT doc_id AS media_id,

@@ -453,3 +453,55 @@ def test_plan_round5_nodes(ray_session, tmp_path):
     key = ["g", "id", "x"]
     assert sorted(map(tuple, got[key].values.tolist())) == sorted(map(tuple, exp[key].values.tolist()))
     assert len(got) > 0 and "xs" not in got.columns
+
+
+def test_resize_rgb_kernels():
+    import numpy as np
+
+    from supersonic_ray.stages.multimodal import resize_rgb
+
+    # nearest on a gradient == direct index gather
+    h, w = 13, 29
+    px = (np.arange(h * w * 3, dtype=np.float32).reshape(h, w, 3)) / (h * w * 3)
+    out = resize_rgb(px, 8, 5, mode="nearest")
+    yi = (np.arange(5) * h) // 5
+    xi = (np.arange(8) * w) // 8
+    assert out.shape == (5, 8, 3)
+    assert np.array_equal(out, px[np.ix_(yi, xi)])
+    # area on integer-factor downscale: exact box means
+    px2 = np.zeros((4, 4, 3), dtype=np.float64)
+    px2[:2, :2] = 1.0  # top-left quadrant white
+    out2 = resize_rgb(px2, 2, 2, mode="area")
+    assert np.allclose(out2[0, 0], 1.0) and np.allclose(out2[1, 1], 0.0)
+    assert np.allclose(out2[0, 1], 0.0) and np.allclose(out2[1, 0], 0.0)
+    # non-integer-factor area: means still partition the image (total
+    # energy conserved when weighted by box sizes)
+    ys = (np.arange(5) * h) // 5
+    xs = (np.arange(8) * w) // 8
+    out3 = resize_rgb(px, 8, 5, mode="area")
+    ycnt = np.diff(np.append(ys, h)).astype(np.float64)
+    xcnt = np.diff(np.append(xs, w)).astype(np.float64)
+    total = (out3 * (ycnt[:, None, None] * xcnt[None, :, None])).sum()
+    assert np.isclose(total, px.sum(), rtol=1e-6)
+    # upscale falls back to nearest (no zero-width boxes)
+    up = resize_rgb(px2, 8, 8, mode="area")
+    assert up.shape == (8, 8, 3) and np.allclose(up[:4, :4], 1.0)
+
+
+def test_resize_images_stage(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from supersonic_ray.stages.multimodal import resize_images
+
+    blobs = [b"img-%d" % i for i in range(20)]  # fake decoder: hash gradient
+    t = pa.table({"media_id": pa.array(range(20), pa.int64()),
+                  "blob": pa.array(blobs, pa.binary())})
+    out = resize_images(rd.from_arrow(t), decoder="fake", out_w=4, out_h=4,
+                        mode="area").to_pandas()
+    assert len(out) == 20
+    assert all(len(b) == 4 * 4 * 3 for b in out["thumb"])
+    # deterministic: same blob -> same thumbnail
+    out2 = resize_images(rd.from_arrow(t), decoder="fake", out_w=4, out_h=4,
+                         mode="area").to_pandas()
+    assert list(out.sort_values("media_id")["thumb"]) == list(out2.sort_values("media_id")["thumb"])
