@@ -358,53 +358,19 @@ class ImageDecoder:
         return np.pad(feat, (0, max(0, self.feat_dim - feat.size)))[: self.feat_dim]
 
     def _decode(self, blob: bytes) -> tuple[int, int, int, np.ndarray]:
-        if self.decoder == "bmp":
-            w, h, c, px = decode_bmp(blob)
-            return w, h, c, self._pool_feature(px)
-        if self.decoder == "ppm":
-            w, h, c, px = decode_ppm(blob)
-            return w, h, c, self._pool_feature(px)
-        if self.decoder == "jpeg":
-            # real baseline JFIF decode (codecs/jpeg.py — pure
-            # Python/numpy Huffman + IDCT; libjpeg plugs in via "pil"
-            # for production throughput)
-            from supersonic_ray.codecs.jpeg import decode_jpeg
-
-            w, h, c, px = decode_jpeg(blob)
-            if c == 1:
-                px = np.repeat(px, 3, axis=2)
-            return w, h, c, self._pool_feature(px)
-        if self.decoder == "png":
-            # real lossless PNG decode (codecs/png.py — stdlib zlib +
-            # numpy unfilter, all five filter types)
-            from supersonic_ray.codecs.png import decode_png
-
-            w, h, c, px = decode_png(blob)
-            if c == 1:
-                px = np.repeat(px, 3, axis=2)
-            elif c == 2:  # gray+alpha: feature sees the gray plane
-                px = np.repeat(px[..., :1], 3, axis=2)
-            return w, h, c, self._pool_feature(px)
-        if self.decoder == "gif":
-            # real GIF decode (codecs/gif.py — LZW + palette + interlace);
-            # an animated GIF's FIRST frame is the image surface here,
-            # frame sampling is FrameSampler(demuxer="gif")
-            from supersonic_ray.codecs.gif import decode_gif
-
-            g = decode_gif(blob)
-            f = g["frames"][0]
-            px = f["rgb"].astype(np.float64) / 255.0
-            return f["w"], f["h"], 3, self._pool_feature(px)
-        if self.decoder == "pil":
-            raise NotImplementedError(
-                "PIL not available in this container; plug Image.open(io.BytesIO(blob)) here"
-            )
-        # deterministic fake: dims + feature derived from content hash
-        h = hashlib.sha256(blob).digest()
-        w = 64 + h[0]
-        hgt = 64 + h[1]
-        feat = (np.frombuffer(h[: self.feat_dim * 2], dtype=np.uint8).astype(np.float32)[: self.feat_dim] / 255.0)
-        return w, hgt, 3, feat
+        if self.decoder == "fake":
+            # deterministic fake: dims + feature derived from content
+            # hash (kept verbatim — feature values are fixture contracts)
+            h = hashlib.sha256(blob).digest()
+            w = 64 + h[0]
+            hgt = 64 + h[1]
+            feat = (np.frombuffer(h[: self.feat_dim * 2], dtype=np.uint8).astype(np.float32)[: self.feat_dim] / 255.0)
+            return w, hgt, 3, feat
+        # real codecs (jpeg = pure Python/numpy Huffman + IDCT, png =
+        # zlib + numpy unfilter, gif = LZW + palette + interlace; libjpeg
+        # plugs in via "pil"): shared registry with ImageResizer
+        w, h, c, px = decode_pixels(blob, self.decoder)
+        return w, h, c, self._pool_feature(px)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, ws, hs, cs, feats = [], [], [], [], []
