@@ -363,6 +363,78 @@ def decode_array(blob: bytes, dtype: pa.DataType, expect_rows: int | None = None
     return values
 
 
+def peek_codec_id(blob: bytes) -> int:
+    """Codec id from the framing header — no decompression (decode_blob
+    uses it to spot cross-column codecs before scheduling the chunk)."""
+    return HEADER.unpack_from(blob, 0)[0]
+
+
+def encode_array_ctx(
+    arr: pa.Array, codec, backend: int | str, ctx: dict[str, pa.Array]
+) -> bytes:
+    """encode_array for cross-column codecs (XrefCodec): identical
+    framing/validity/backend wrap, the codec additionally sees the
+    sibling columns of the SAME chunk."""
+    if isinstance(backend, str):
+        backend = BACKEND_IDS[backend]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_dictionary(arr.type):
+        arr = arr.cast(arr.type.value_type)
+    validity = pack_validity(arr)
+    flags = 1 if validity is not None else 0
+    body = b""
+    if validity is not None:
+        body += struct.pack("<I", len(validity)) + validity
+    body += codec.encode_values_ctx(canonicalize_nulls(arr), ctx)
+    body = _BACKEND_COMPRESS[backend](body)
+    return HEADER.pack(codec.codec_id, backend, flags, 0, len(arr)) + body
+
+
+def decode_array_ctx(
+    blob: bytes, dtype: pa.DataType, ctx: dict[str, pa.Array], expect_rows: int | None = None
+) -> pa.Array:
+    """decode_array for cross-column codecs; ``ctx`` holds the DECODED
+    sibling columns the payload's ctx_names() asked for."""
+    import supersonic_ray.codecs  # noqa: F401
+
+    codec_id, backend, flags, _, n = HEADER.unpack_from(blob, 0)
+    if expect_rows is not None and n != expect_rows:
+        raise ValueError(
+            f"corrupt column blob: header says {n} rows, chunk header says {expect_rows}"
+        )
+    body = _BACKEND_DECOMPRESS[backend](blob[HEADER.size :])
+    pos = 0
+    validity = None
+    if flags & 1:
+        (vlen,) = struct.unpack_from("<I", body, pos)
+        pos += 4
+        validity = body[pos : pos + vlen]
+        pos += vlen
+    target = dtype.value_type if pa.types.is_dictionary(dtype) else dtype
+    values = _REGISTRY[codec_id].decode_values_ctx(body[pos:], target, n, ctx)
+    values = apply_validity(values, validity)
+    if pa.types.is_dictionary(dtype):
+        import pyarrow.compute as pc
+
+        values = pc.dictionary_encode(values).cast(dtype)
+    return values
+
+
+def xref_ctx_names(blob: bytes) -> list[str]:
+    """Ctx column names an xref blob depends on (decompresses the body
+    — the work is needed for the decode anyway)."""
+    from .xref import XrefCodec
+
+    _codec_id, backend, flags, _, _n = HEADER.unpack_from(blob, 0)
+    body = _BACKEND_DECOMPRESS[backend](blob[HEADER.size :])
+    pos = 0
+    if flags & 1:
+        (vlen,) = struct.unpack_from("<I", body, pos)
+        pos += 4 + vlen
+    return XrefCodec.ctx_names(body[pos:])
+
+
 def blob_info(blob: bytes) -> dict:
     codec_id, backend, flags, _, n = HEADER.unpack_from(blob, 0)
     return {

@@ -131,12 +131,105 @@ def resolve_column_plans(
         if codec_name == "fsst":
             _, data = codec_base.var_len_to_buffers(codec_base.canonicalize_nulls(col))
             codec: Any = FsstCodec(pretrained=train_symbols(data))
+        elif codec_name == "xref":
+            # explicit override: ctx = containment-passing siblings
+            from supersonic_ray.codecs import XrefCodec
+
+            codec = XrefCodec(_xref_ctx_candidates(sample, name))
         else:
             from supersonic_ray.codecs import by_name
 
             codec = by_name(codec_name)
         plans[name] = (codec, backend_id)
+    _maybe_xref_upgrade(sample, plans, overrides)
     return plans
+
+
+def _is_texty(dtype: pa.DataType) -> bool:
+    return (
+        pa.types.is_string(dtype)
+        or pa.types.is_large_string(dtype)
+        or pa.types.is_binary(dtype)
+        or pa.types.is_large_binary(dtype)
+    )
+
+
+def _xref_ctx_candidates(sample: pa.Table, target: str, probe_rows: int = 64) -> list[str]:
+    """Sibling string/binary columns whose values are VERBATIM inside
+    the target column's values (sampled containment ≥ 0.5) — the
+    raw-document-vs-extracted-field signature XrefCodec exploits.
+    Candidates order short→long so the most redundant (longest) value
+    sits nearest the deflate window's end."""
+    import pyarrow.compute as pc
+
+    tgt = sample.column(target).combine_chunks()
+    rows = min(probe_rows, len(tgt))
+    tvals = [
+        v if isinstance(v, bytes) else (v or "").encode("utf-8")
+        for v in tgt.slice(0, rows).to_pylist()
+    ]
+    cands: list[tuple[int, str]] = []
+    for f in sample.schema:
+        if f.name == target or not _is_texty(f.type):
+            continue
+        cv = sample.column(f.name).combine_chunks().slice(0, rows).to_pylist()
+        hits = total = 0
+        lens = 0
+        for t, c in zip(tvals, cv):
+            if t is None or c is None or not t:
+                continue
+            cb = c if isinstance(c, bytes) else str(c).encode("utf-8")
+            if not cb:
+                continue
+            total += 1
+            lens += len(cb)
+            if cb in t:
+                hits += 1
+        if total >= 8 and hits / total >= 0.5:
+            cands.append((lens // max(1, total), f.name))
+    return [n for _, n in sorted(cands)]
+
+
+def _maybe_xref_upgrade(
+    sample: pa.Table,
+    plans: dict[str, tuple[Any, int]],
+    overrides: dict[str, tuple[str, str]] | None,
+) -> None:
+    """Cross-column pass after the per-column picks: for each large
+    text/binary column whose sibling columns are measurably embedded in
+    it, trial-encode XrefCodec(ctx)+zstd on the sample chunk and keep
+    it only if it beats the per-column winner's bytes.  Corpora without
+    the raw-vs-extracted redundancy fail the containment gate (or the
+    size race) and keep their per-column codec — the upgrade is
+    evidence-driven, never assumed."""
+    from supersonic_ray.codecs import XrefCodec, encode_array
+
+    for name in sample.column_names:
+        if overrides and name in overrides:
+            continue  # explicit choice wins
+        codec, backend_id = plans[name]
+        if getattr(codec, "name", "") == "xref":
+            continue
+        f = sample.schema.field(name)
+        if not _is_texty(f.type):
+            continue
+        col = sample.column(name).combine_chunks()
+        if pa.types.is_dictionary(col.type):
+            continue
+        if col.nbytes < 256 * max(1, len(col)):  # avg < 256 B: not a raw-doc column
+            continue
+        ctx = _xref_ctx_candidates(sample, name)
+        # a ctx column must stay plainly decodable (no nested xref)
+        ctx = [c for c in ctx if getattr(plans[c][0], "name", "") != "xref"]
+        if not ctx:
+            continue
+        incumbent = len(encode_array(col, codec, backend_id))
+        xc = XrefCodec(ctx)
+        xref_blob = codec_base.encode_array_ctx(
+            col, xc, BACKEND_IDS["zstd"], {c: sample.column(c).combine_chunks() for c in ctx}
+        )
+        if len(xref_blob) < incumbent:
+            plans[name] = (xc, BACKEND_IDS["zstd"])
 
 
 def _zone_stats(col: pa.ChunkedArray | pa.Array) -> dict[str, Any]:
@@ -228,7 +321,13 @@ def encode_table_to_blob(
         for name in table.column_names:
             col = chunk.column(name).combine_chunks()
             codec, backend_id = plans[name]
-            blob = encode_array(col, codec, backend_id)
+            if getattr(codec, "name", "") == "xref":
+                # cross-column codec: gets the SAME CHUNK's sibling
+                # columns (codecs/xref.py — raw-vs-extracted dedup)
+                ctx = {c: chunk.column(c).combine_chunks() for c in codec.ctx_cols}
+                blob = codec_base.encode_array_ctx(col, codec, backend_id, ctx)
+            else:
+                blob = encode_array(col, codec, backend_id)
             out.write(struct.pack("<I", len(blob)))
             out.write(blob)
             col_metrics[name]["bytes_in"] += col.nbytes
@@ -281,17 +380,46 @@ def decode_blob(
         (n_rows,) = struct.unpack_from("<I", data, pos)
         pos += 4
         want_chunk = chunk_mask is None or ci >= len(chunk_mask) or chunk_mask[ci]
-        cols = {}
+        # pass 1: record every column's blob slice (length prefixes only)
+        slices: dict[str, tuple[int, int]] = {}
         for field in schema:
             (blen,) = struct.unpack_from("<I", data, pos)
             pos += 4
-            if want_chunk and (columns is None or field.name in columns):
-                cols[field.name] = decode_array(
-                    data[pos : pos + blen], field.type, expect_rows=n_rows
-                )
+            slices[field.name] = (pos, blen)
             pos += blen
-        if want_chunk:
-            tables.append(pa.table({c: cols[c] for c in out_schema.names}, schema=out_schema))
+        if not want_chunk:
+            continue
+        requested = list(out_schema.names)
+        # pass 2: cross-column codecs (xref) may need ctx columns the
+        # caller pruned away — decode those too (documented pruning
+        # cost of the raw-vs-extracted layout), but never emit them
+        xref_cols: dict[str, list[str]] = {}
+        need = list(requested)
+        for name in requested:
+            off, blen = slices[name]
+            if codec_base.peek_codec_id(data[off : off + 8]) == 11:  # xref
+                ctx_names = codec_base.xref_ctx_names(data[off : off + blen])
+                xref_cols[name] = ctx_names
+                for c in ctx_names:
+                    if c not in need:
+                        need.append(c)
+        cols = {}
+        for name in need:
+            if name in xref_cols:
+                continue
+            off, blen = slices[name]
+            cols[name] = decode_array(
+                data[off : off + blen], schema.field(name).type, expect_rows=n_rows
+            )
+        for name, ctx_names in xref_cols.items():
+            off, blen = slices[name]
+            cols[name] = codec_base.decode_array_ctx(
+                data[off : off + blen],
+                schema.field(name).type,
+                {c: cols[c] for c in ctx_names},
+                expect_rows=n_rows,
+            )
+        tables.append(pa.table({c: cols[c] for c in out_schema.names}, schema=out_schema))
     return pa.concat_tables(tables) if tables else out_schema.empty_table()
 
 

@@ -234,3 +234,61 @@ def test_fsst_fast_kernel_fuzz_matches_scalar():
         nt = _native.NativeTable(syms)
         assert nt.encode(data) == scalar, (trial, alphabet[:8])
         assert nt.decode(scalar, len(data)) == data
+
+
+def test_xref_cross_column_roundtrip():
+    import numpy as np
+    import pyarrow as pa
+
+    from supersonic_ray.codecs import XrefCodec
+    from supersonic_ray.codecs import base as codec_base
+    from supersonic_ray.pipelines.encode import decode_blob, encode_table_to_blob, resolve_column_plans
+
+    # raw-document column embedding its extracted fields (+ nulls, empties)
+    n = 400
+    texts = [f"body words {i} repeated content {i*7} " * 12 for i in range(n)]
+    urls = [f"https://h{i%5}.example/p{i}" for i in range(n)]
+    htmls = [
+        None if i % 97 == 0 else
+        (f"<html><title>{urls[i]}</title><p>{texts[i]}</p></html>").encode()
+        for i in range(n)
+    ]
+    texts[3] = None  # null ctx value must roundtrip too
+    t = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.array(texts, pa.string()),
+    })
+    plans = resolve_column_plans(t)
+    assert plans["html"][0].name == "xref", plans["html"][0].name
+    assert set(plans["html"][0].ctx_cols) <= {"url", "text"}
+    blob, metrics = encode_table_to_blob(t, 128, plans=plans)
+    out = decode_blob(blob)
+    assert out.column("html").combine_chunks().equals(t.column("html").combine_chunks())
+    # pruned decode of the xref column alone still reconstructs
+    h = decode_blob(blob, columns=["html"])
+    assert h.column_names == ["html"]
+    assert h.column("html").combine_chunks().equals(t.column("html").combine_chunks())
+    # plain decode of an xref blob fails LOUDLY, not silently
+    codec = plans["html"][0]
+    try:
+        codec.encode_values(t.column("html").combine_chunks())
+        raise AssertionError("expected TypeError")
+    except TypeError:
+        pass
+
+
+def test_xref_gate_rejects_unrelated_columns():
+    import pyarrow as pa
+
+    from supersonic_ray.pipelines.encode import resolve_column_plans
+
+    # no containment: html unrelated to the sibling column — the gate
+    # (or the size race) must keep a per-column codec
+    n = 300
+    t = pa.table({
+        "a": pa.array([f"unrelated-{i}" for i in range(n)], pa.string()),
+        "blob": pa.array([bytes([j % 251 for j in range(i, i + 600)]) for i in range(n)], pa.binary()),
+    })
+    plans = resolve_column_plans(t)
+    assert plans["blob"][0].name != "xref"
