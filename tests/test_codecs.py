@@ -292,3 +292,58 @@ def test_xref_gate_rejects_unrelated_columns():
     })
     plans = resolve_column_plans(t)
     assert plans["blob"][0].name != "xref"
+
+
+def test_xref_property_sweep():
+    """Deterministic adversarial sweep: random embedding patterns,
+    partial containment, binary junk, empty/null mixes, unicode —
+    roundtrip must be bit-exact through the ctx interface whatever the
+    selector would have picked."""
+    import numpy as np
+    import pyarrow as pa
+
+    from supersonic_ray.codecs import XrefCodec
+    from supersonic_ray.codecs import base as codec_base
+
+    rng = np.random.RandomState(7)
+    for trial in range(8):
+        n = int(rng.randint(1, 120))
+        ctx_vals, targets = [], []
+        for i in range(n):
+            c = bytes(rng.randint(0, 256, size=rng.randint(0, 300)).astype(np.uint8))
+            r = rng.rand()
+            if r < 0.15:
+                t = None
+            elif r < 0.3:
+                t = b""
+            elif r < 0.7:  # embeds ctx
+                pad = bytes(rng.randint(0, 256, size=rng.randint(0, 200)).astype(np.uint8))
+                t = pad + c + pad[::-1]
+            else:  # unrelated
+                t = bytes(rng.randint(0, 256, size=rng.randint(1, 400)).astype(np.uint8))
+            ctx_vals.append(c)
+            targets.append(t)
+        tbl = pa.table({
+            "ctx": pa.array(ctx_vals, pa.binary()),
+            "raw": pa.array(targets, pa.binary()),
+        })
+        codec = XrefCodec(["ctx"])
+        for backend in ("", "zstd", "zlib"):
+            blob = codec_base.encode_array_ctx(
+                tbl.column("raw").combine_chunks(), codec, backend or 0, {"ctx": tbl.column("ctx").combine_chunks()}
+            )
+            out = codec_base.decode_array_ctx(
+                blob, pa.binary(), {"ctx": tbl.column("ctx").combine_chunks()}, expect_rows=n
+            )
+            assert out.equals(tbl.column("raw").combine_chunks()), (trial, backend)
+    # unicode string dtype target
+    t2 = pa.table({
+        "k": pa.array(["clé", "ключ", ""], pa.string()),
+        "doc": pa.array(["préfixe clé suffixe", "текст ключ конец", None], pa.large_string()),
+    })
+    codec = XrefCodec(["k"])
+    blob = codec_base.encode_array_ctx(
+        t2.column("doc").combine_chunks(), codec, "zstd", {"k": t2.column("k").combine_chunks()}
+    )
+    out = codec_base.decode_array_ctx(blob, pa.large_string(), {"k": t2.column("k").combine_chunks()}, expect_rows=3)
+    assert out.equals(t2.column("doc").combine_chunks())
