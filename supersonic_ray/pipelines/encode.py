@@ -223,10 +223,20 @@ def _maybe_xref_upgrade(
         ctx = [c for c in ctx if getattr(plans[c][0], "name", "") != "xref"]
         if not ctx:
             continue
-        incumbent = len(encode_array(col, codec, backend_id))
+        # trial on the selector's sample-slice size (1024 rows), not the
+        # whole chunk: the incumbent re-encode was ~1 s of driver-serial
+        # plan time per large column — 8x the evidence needed for a
+        # 10x size decision (scaling §10j: plan time is the fixed cost
+        # every CPU count pays)
+        trial_rows = min(len(col), 1024)
+        tcol = col.slice(0, trial_rows)
+        incumbent = len(encode_array(tcol, codec, backend_id))
         xc = XrefCodec(ctx)
         xref_blob = codec_base.encode_array_ctx(
-            col, xc, BACKEND_IDS["zstd"], {c: sample.column(c).combine_chunks() for c in ctx}
+            tcol,
+            xc,
+            BACKEND_IDS["zstd"],
+            {c: sample.column(c).combine_chunks().slice(0, trial_rows) for c in ctx},
         )
         if len(xref_blob) < incumbent:
             plans[name] = (xc, BACKEND_IDS["zstd"])
