@@ -119,16 +119,25 @@ def resolve_column_plans(
 
             futs = {n: _pick.remote(_prep(n)) for n in to_pick}
             picks = {n: ray.get(f) for n, f in futs.items()}
+    named: dict[str, tuple[str, str]] = {}
     for name in table.column_names:
-        col = _prep(name)
         if overrides and name in overrides:
-            codec_name, backend = overrides[name]
+            named[name] = overrides[name]
         elif name in picks:
-            codec_name, backend = picks[name]
+            named[name] = picks[name]
         else:
-            codec_name, backend = choose_codec(col)
+            named[name] = choose_codec(_prep(name))
+    # cross-column upgrade decided BEFORE fsst instantiation so a
+    # column xref replaces never pays full-sample symbol training
+    xref_winners = _xref_decide(sample, named, overrides, _prep)
+    for name in table.column_names:
+        codec_name, backend = named[name]
         backend_id = BACKEND_IDS[backend] if backend else 0
+        if name in xref_winners:
+            plans[name] = (xref_winners[name], BACKEND_IDS["zstd"])
+            continue
         if codec_name == "fsst":
+            col = _prep(name)
             _, data = codec_base.var_len_to_buffers(codec_base.canonicalize_nulls(col))
             codec: Any = FsstCodec(pretrained=train_symbols(data))
         elif codec_name == "xref":
@@ -141,7 +150,6 @@ def resolve_column_plans(
 
             codec = by_name(codec_name)
         plans[name] = (codec, backend_id)
-    _maybe_xref_upgrade(sample, plans, overrides)
     return plans
 
 
@@ -190,47 +198,52 @@ def _xref_ctx_candidates(sample: pa.Table, target: str, probe_rows: int = 64) ->
     return [n for _, n in sorted(cands)]
 
 
-def _maybe_xref_upgrade(
+def _xref_decide(
     sample: pa.Table,
-    plans: dict[str, tuple[Any, int]],
+    named: dict[str, tuple[str, str]],
     overrides: dict[str, tuple[str, str]] | None,
-) -> None:
+    prep,
+) -> dict[str, Any]:
     """Cross-column pass after the per-column picks: for each large
     text/binary column whose sibling columns are measurably embedded in
-    it, trial-encode XrefCodec(ctx)+zstd on the sample chunk and keep
-    it only if it beats the per-column winner's bytes.  Corpora without
-    the raw-vs-extracted redundancy fail the containment gate (or the
-    size race) and keep their per-column codec — the upgrade is
-    evidence-driven, never assumed."""
+    it, trial-encode XrefCodec(ctx)+zstd on the selector's sample slice
+    and keep it only if it beats the per-column winner's bytes on the
+    SAME slice (fsst incumbents train a trial-grade table on the slice;
+    the full-sample table only trains for columns fsst actually keeps).
+    Corpora without the raw-vs-extracted redundancy fail the
+    containment gate (or the size race) and keep their per-column
+    codec — the upgrade is evidence-driven, never assumed."""
     from supersonic_ray.codecs import XrefCodec, encode_array
 
+    winners: dict[str, Any] = {}
     for name in sample.column_names:
         if overrides and name in overrides:
             continue  # explicit choice wins
-        codec, backend_id = plans[name]
-        if getattr(codec, "name", "") == "xref":
+        codec_name, backend = named[name]
+        if codec_name == "xref":
             continue
         f = sample.schema.field(name)
-        if not _is_texty(f.type):
+        if not _is_texty(f.type) or pa.types.is_dictionary(f.type):
             continue
-        col = sample.column(name).combine_chunks()
-        if pa.types.is_dictionary(col.type):
-            continue
+        col = prep(name)
         if col.nbytes < 256 * max(1, len(col)):  # avg < 256 B: not a raw-doc column
             continue
         ctx = _xref_ctx_candidates(sample, name)
         # a ctx column must stay plainly decodable (no nested xref)
-        ctx = [c for c in ctx if getattr(plans[c][0], "name", "") != "xref"]
+        ctx = [c for c in ctx if named.get(c, ("", ""))[0] != "xref" and c not in winners]
         if not ctx:
             continue
-        # trial on the selector's sample-slice size (1024 rows), not the
-        # whole chunk: the incumbent re-encode was ~1 s of driver-serial
-        # plan time per large column — 8x the evidence needed for a
-        # 10x size decision (scaling §10j: plan time is the fixed cost
-        # every CPU count pays)
         trial_rows = min(len(col), 1024)
         tcol = col.slice(0, trial_rows)
-        incumbent = len(encode_array(tcol, codec, backend_id))
+        backend_id = BACKEND_IDS[backend] if backend else 0
+        if codec_name == "fsst":
+            _, data = codec_base.var_len_to_buffers(codec_base.canonicalize_nulls(tcol))
+            incumbent_codec: Any = FsstCodec(pretrained=train_symbols(data))
+        else:
+            from supersonic_ray.codecs import by_name
+
+            incumbent_codec = by_name(codec_name)
+        incumbent = len(encode_array(tcol, incumbent_codec, backend_id))
         xc = XrefCodec(ctx)
         xref_blob = codec_base.encode_array_ctx(
             tcol,
@@ -239,7 +252,8 @@ def _maybe_xref_upgrade(
             {c: sample.column(c).combine_chunks().slice(0, trial_rows) for c in ctx},
         )
         if len(xref_blob) < incumbent:
-            plans[name] = (xc, BACKEND_IDS["zstd"])
+            winners[name] = xc
+    return winners
 
 
 def _zone_stats(col: pa.ChunkedArray | pa.Array) -> dict[str, Any]:
