@@ -188,9 +188,11 @@ def _candidates(dtype: pa.DataType, st: ColumnStats) -> list[tuple[str, str]]:
 
 # The trial window must exceed one bz2 block (900 KB): below that,
 # compose-with-backend signals (e.g. fsst+bz2 vs plain+bz2) invert
-# relative to full-scale behavior.
+# relative to full-scale behavior.  The cap keeps the slowest single
+# trial (bz2/lzma over the slice) near the floor that signal needs —
+# it is the critical path of the whole parallel plan resolution.
 SAMPLE_BYTES_MIN = 1_300_000
-SAMPLE_BYTES_MAX = 4 << 20
+SAMPLE_BYTES_MAX = 2 << 20
 
 
 def _sample_slice(arr: pa.Array, sample_rows: int) -> pa.Array:
@@ -207,48 +209,48 @@ def _sample_slice(arr: pa.Array, sample_rows: int) -> pa.Array:
     return sample
 
 
-def choose_codec(
-    arr: pa.Array, stats: ColumnStats | None = None, sample_rows: int = SAMPLE_ROWS
-) -> tuple[str, str]:
-    """Pick (codec_name, backend_name) for this column chunk by trial-
-    encoding a sample.  Each candidate codec encodes the sample ONCE;
-    backend variants just compress that body — so e.g. fsst trains a
-    single trial symbol table regardless of how many backends compete.
-    Winner = smallest trial output, displaced by any within-slack
-    candidate whose measured trial wall is ≥_SPEED_FACTOR shorter (see
-    the module constants)."""
+def trial_groups(dtype: pa.DataType, st: ColumnStats) -> list[tuple[str, list[str]]]:
+    """Candidate (codec, backends) groups for one column — the unit the
+    GLOBAL plan site fans out as one Ray task each (the codec body is
+    encoded once per group; backends just compress that body)."""
+    by_codec: dict[str, list[str]] = {}
+    for codec, backend in _candidates(dtype, st):
+        by_codec.setdefault(codec, []).append(backend)
+    return list(by_codec.items())
+
+
+def trial_group(sample: pa.Array, codec: str, backends: list[str]) -> list[tuple]:
+    """Trial-encode one codec body over the sample, then measure every
+    backend stack on it: returns (size, wall, codec, backend) rows.
+    Pure function of its arguments — safe to run as a Ray task."""
     import time as _time
 
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    if pa.types.is_dictionary(arr.type):
-        arr = arr.cast(arr.type.value_type)
-    st = stats or column_stats(arr, sample_rows)
-    if st.n == 0:
-        return ("plain", "")
-    sample = _sample_slice(arr, sample_rows)
-    by_codec: dict[str, list[str]] = {}
-    for codec, backend in _candidates(arr.type, st):
-        by_codec.setdefault(codec, []).append(backend)
-    cands: list[tuple[int, float, str, str]] = []  # (size, wall, codec, backend)
-    for codec, backends in by_codec.items():
-        try:
-            body = encode_array(sample, codec, 0)
-        except Exception:
-            continue
-        for backend in backends:
-            if backend:
-                bid = BACKEND_IDS[backend]
-                t0 = _time.monotonic()
-                comp = base._BACKEND_COMPRESS[bid](body)
-                t1 = _time.monotonic()
-                base._BACKEND_DECOMPRESS[bid](comp)
-                t2 = _time.monotonic()
-                cands.append((len(comp), (t2 - t0), codec, backend))
-            else:
-                cands.append((len(body), 0.0, codec, backend))
+    out: list[tuple] = []
+    try:
+        body = encode_array(sample, codec, 0)
+    except Exception:
+        return out
+    for backend in backends:
+        if backend:
+            bid = BACKEND_IDS[backend]
+            t0 = _time.monotonic()
+            comp = base._BACKEND_COMPRESS[bid](body)
+            t1 = _time.monotonic()
+            base._BACKEND_DECOMPRESS[bid](comp)
+            t2 = _time.monotonic()
+            out.append((len(comp), (t2 - t0), codec, backend))
+        else:
+            out.append((len(body), 0.0, codec, backend))
+    return out
+
+
+def pick_winner(cands: list[tuple]) -> tuple[str, str, int]:
+    """Winner rule over trial rows: smallest output, displaced by any
+    within-_SIZE_SLACK candidate whose measured trial wall is
+    ≥_SPEED_FACTOR shorter.  Returns (codec, backend, winner_size) so
+    cross-column races (xref) can compare bytes on the same sample."""
     if not cands:
-        return ("plain", "")
+        return ("plain", "", 0)
     smallest = min(c[0] for c in cands)
     eligible = sorted(
         (c for c in cands if c[0] <= smallest * _SIZE_SLACK),
@@ -260,7 +262,32 @@ def choose_codec(
         # speed win
         if winner[1] >= _MIN_MEASURABLE_WALL and c[1] <= winner[1] / _SPEED_FACTOR:
             winner = c
-    return (winner[2], winner[3])
+    return (winner[2], winner[3], winner[0])
+
+
+def choose_codec(
+    arr: pa.Array, stats: ColumnStats | None = None, sample_rows: int = SAMPLE_ROWS
+) -> tuple[str, str]:
+    """Pick (codec_name, backend_name) for this column chunk by trial-
+    encoding a sample.  Each candidate codec encodes the sample ONCE;
+    backend variants just compress that body — so e.g. fsst trains a
+    single trial symbol table regardless of how many backends compete.
+    Winner = smallest trial output, displaced by any within-slack
+    candidate whose measured trial wall is ≥_SPEED_FACTOR shorter (see
+    the module constants)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_dictionary(arr.type):
+        arr = arr.cast(arr.type.value_type)
+    st = stats or column_stats(arr, sample_rows)
+    if st.n == 0:
+        return ("plain", "")
+    sample = _sample_slice(arr, sample_rows)
+    cands: list[tuple] = []  # (size, wall, codec, backend)
+    for codec, backends in trial_groups(arr.type, st):
+        cands.extend(trial_group(sample, codec, backends))
+    codec, backend, _ = pick_winner(cands)
+    return (codec, backend)
 
 
 def encode_auto(arr: pa.Array) -> tuple[bytes, str, str]:

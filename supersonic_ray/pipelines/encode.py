@@ -90,10 +90,14 @@ def resolve_column_plans(
     backend_id) from a sample; FSST gets a pretrained symbol table.
 
     ``parallel=True`` (the GLOBAL plan_scope call site only — never the
-    per-shard fallback inside an actor) fans the per-column trial
-    encodes out as Ray tasks: the driver-serial trials cost ~4 s of a
-    ~15 s bench encode (html alone races ~10 backend stacks over a
-    ≥1.3 MB sample)."""
+    per-shard fallback inside an actor) fans the trial encodes out as
+    one Ray task per (column, codec-family) group, with the xref
+    cross-column trial racing CONCURRENTLY against them instead of
+    after the picks: critical path = the single slowest trial group
+    (~0.6 s on webpages) instead of the slowest column's serial race
+    (~2.7 s html) plus a serial xref pass (~0.6 s).  The O(1)-per-job
+    plan cost is what stops amortizing when xref-regime encode walls
+    drop under ~10 s (BASELINE §10j)."""
     plans: dict[str, tuple[Any, int]] = {}
     sample = table.slice(0, min(table.num_rows, CHUNK_ROWS))
 
@@ -107,18 +111,12 @@ def resolve_column_plans(
 
     picks: dict[str, tuple[str, str]] = {}
     to_pick = [n for n in table.column_names if not (overrides and n in overrides)]
+    xref_winners: dict[str, Any] | None = None
     if parallel and len(to_pick) > 1:
         import ray
 
         if ray.is_initialized():
-            @ray.remote(num_cpus=1)
-            def _pick(arr):
-                from supersonic_ray.codecs.selector import choose_codec as _cc
-
-                return _cc(arr)
-
-            futs = {n: _pick.remote(_prep(n)) for n in to_pick}
-            picks = {n: ray.get(f) for n, f in futs.items()}
+            picks, xref_winners = _resolve_parallel(sample, to_pick, overrides, _prep)
     named: dict[str, tuple[str, str]] = {}
     for name in table.column_names:
         if overrides and name in overrides:
@@ -129,7 +127,8 @@ def resolve_column_plans(
             named[name] = choose_codec(_prep(name))
     # cross-column upgrade decided BEFORE fsst instantiation so a
     # column xref replaces never pays full-sample symbol training
-    xref_winners = _xref_decide(sample, named, overrides, _prep)
+    if xref_winners is None:
+        xref_winners = _xref_decide(sample, named, overrides, _prep)
     for name in table.column_names:
         codec_name, backend = named[name]
         backend_id = BACKEND_IDS[backend] if backend else 0
@@ -151,6 +150,112 @@ def resolve_column_plans(
             codec = by_name(codec_name)
         plans[name] = (codec, backend_id)
     return plans
+
+
+def _resolve_parallel(
+    sample: pa.Table,
+    to_pick: list[str],
+    overrides: dict[str, tuple[str, str]] | None,
+    prep,
+) -> tuple[dict[str, tuple[str, str]], dict[str, Any] | None]:
+    """Parallel bind-time resolution (the GLOBAL plan site): stats +
+    sample slicing stay on the driver (cheap), every (column, codec)
+    trial group runs as its own Ray task, and the xref cross-column
+    trial races concurrently on the SAME sample slice so its size is
+    directly comparable to the per-column winner's.  Returns
+    (picks, xref_winners); xref_winners=None means "not decided here —
+    run the serial _xref_decide" (the >1-candidate case, where xref
+    upgrades interact: a ctx column must stay plainly decodable)."""
+    import ray
+
+    from supersonic_ray.codecs.selector import (
+        SAMPLE_ROWS,
+        _sample_slice,
+        column_stats,
+        pick_winner,
+        trial_groups,
+    )
+
+    @ray.remote(num_cpus=1)
+    def _trial(sl, codec, backends):
+        from supersonic_ray.codecs.selector import trial_group
+
+        return trial_group(sl, codec, backends)
+
+    @ray.remote(num_cpus=1)
+    def _xref_size(tcol, ctx_names, ctx_cols):
+        from supersonic_ray.codecs import XrefCodec
+
+        blob = codec_base.encode_array_ctx(
+            tcol, XrefCodec(ctx_names), BACKEND_IDS["zstd"], dict(zip(ctx_names, ctx_cols))
+        )
+        return len(blob)
+
+    futs: dict[str, list] = {}
+    slices: dict[str, pa.Array] = {}
+    for name in to_pick:
+        col = prep(name)
+        st = column_stats(col)
+        if st.n == 0:
+            futs[name] = []  # pick_winner([]) == ("plain", "")
+            continue
+        sl = _sample_slice(col, SAMPLE_ROWS)
+        slices[name] = sl
+        ref = ray.put(sl)  # ship the slice ONCE, not per trial group
+        futs[name] = []
+        for codec, backends in trial_groups(col.type, st):
+            if codec == "fsst" or len(backends) <= 1:
+                # fsst amortizes one symbol-table training across its
+                # backends; single-backend groups gain nothing by split
+                futs[name].append(_trial.remote(ref, codec, backends))
+            else:
+                # cheap-body codecs: one task PER backend so the slow
+                # compressors (bz2/lzma) stop serializing behind each
+                # other — they are the plan's critical path
+                futs[name] += [_trial.remote(ref, codec, [b]) for b in backends]
+
+    # xref gate (same predicates as _xref_decide) evaluated up front so
+    # the trial races with the column trials instead of after them
+    xref_cands: list[tuple[str, list[str]]] = []
+    for name in to_pick:
+        f = sample.schema.field(name)
+        if not _is_texty(f.type) or pa.types.is_dictionary(f.type):
+            continue
+        col = prep(name)
+        if col.nbytes < 256 * max(1, len(col)):  # avg < 256 B: not a raw-doc column
+            continue
+        ctx = _xref_ctx_candidates(sample, name)
+        ctx = [c for c in ctx if (overrides or {}).get(c, ("", ""))[0] != "xref"]
+        if ctx:
+            xref_cands.append((name, ctx))
+    xref_fut = None
+    xref_winners: dict[str, Any] | None = {}
+    if len(xref_cands) == 1 and xref_cands[0][0] in slices:
+        name, ctx = xref_cands[0]
+        tcol = slices[name]
+        ctx_cols = [sample.column(c).combine_chunks().slice(0, len(tcol)) for c in ctx]
+        xref_fut = (name, ctx, _xref_size.remote(tcol, ctx, ctx_cols))
+    elif xref_cands:
+        xref_winners = None  # interacting upgrades: defer to _xref_decide
+
+    picks: dict[str, tuple[str, str]] = {}
+    sizes: dict[str, int] = {}
+    for name, fl in futs.items():
+        rows = [r for part in ray.get(fl) for r in part]
+        codec, backend, wsize = pick_winner(rows)
+        picks[name] = (codec, backend)
+        sizes[name] = wsize
+    if xref_fut is not None and xref_winners is not None:
+        name, ctx, f = xref_fut
+        try:
+            xsize = ray.get(f)
+        except Exception:
+            xsize = None  # xref trial failure never blocks the plan
+        if xsize is not None and name in sizes and xsize < sizes[name]:
+            from supersonic_ray.codecs import XrefCodec
+
+            xref_winners[name] = XrefCodec(ctx)
+    return picks, xref_winners
 
 
 def _is_texty(dtype: pa.DataType) -> bool:
