@@ -347,3 +347,84 @@ def test_xref_property_sweep():
     )
     out = codec_base.decode_array_ctx(blob, pa.large_string(), {"k": t2.column("k").combine_chunks()}, expect_rows=3)
     assert out.equals(t2.column("doc").combine_chunks())
+
+
+def test_resolve_parallel_matches_serial_and_roundtrips():
+    """The GLOBAL plan site's task fan-out (_resolve_parallel) must
+    agree with the serial path on the xref winner and produce plans
+    that roundtrip bit-exact; an all-null column takes the plain
+    pick through the empty-trial branch."""
+    import pyarrow as pa
+
+    from supersonic_ray.pipelines.encode import (
+        decode_blob,
+        encode_table_to_blob,
+        resolve_column_plans,
+    )
+
+    n = 400
+    texts = [f"parallel plan body {i} shared tokens {i * 3} " * 14 for i in range(n)]
+    urls = [f"https://par{i % 7}.example/q{i}" for i in range(n)]
+    htmls = [
+        (f"<html><a href={urls[i]}>x</a><p>{texts[i]}</p></html>").encode()
+        for i in range(n)
+    ]
+    t = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.array(texts, pa.string()),
+        "empty": pa.array([None] * n, pa.string()),
+        "ts": pa.array(list(range(10_000, 10_000 + n)), pa.int64()),
+    })
+    serial = resolve_column_plans(t, parallel=False)
+    par = resolve_column_plans(t, parallel=True)
+    assert serial["html"][0].name == "xref"
+    assert par["html"][0].name == "xref"
+    assert set(par["html"][0].ctx_cols) == set(serial["html"][0].ctx_cols)
+    # same codec FAMILY everywhere, including the all-null column
+    # (backend may differ within the speed-displacement slack —
+    # timing is not deterministic)
+    for name in t.column_names:
+        assert par[name][0].name == serial[name][0].name, name
+    blob, _ = encode_table_to_blob(t, 128, plans=par)
+    out = decode_blob(blob)
+    for name in t.column_names:
+        assert out.column(name).combine_chunks().equals(
+            t.column(name).combine_chunks()
+        ), name
+
+
+def test_resolve_parallel_multi_xref_defers_to_serial_decide():
+    """Two raw-document columns each embedding sibling fields is the
+    interacting-upgrades case: the task fan-out must defer the xref
+    decision to the serial _xref_decide (a ctx column must stay plainly
+    decodable) and the result must still roundtrip."""
+    import pyarrow as pa
+
+    from supersonic_ray.pipelines.encode import (
+        decode_blob,
+        encode_table_to_blob,
+        resolve_column_plans,
+    )
+
+    n = 400
+    keys = [f"key-{i}-{i * 11}" for i in range(n)]
+    doc_a = [(f"<doc>{keys[i]} alpha body {i} " * 20).encode() for i in range(n)]
+    doc_b = [(f"[{keys[i]}] beta payload {i} " * 20).encode() for i in range(n)]
+    t = pa.table({
+        "key": pa.array(keys, pa.string()),
+        "raw_a": pa.array(doc_a, pa.binary()),
+        "raw_b": pa.array(doc_b, pa.binary()),
+    })
+    par = resolve_column_plans(t, parallel=True)
+    xrefs = [n_ for n_ in t.column_names if par[n_][0].name == "xref"]
+    for name in xrefs:
+        # every ctx column an xref plan depends on is NOT itself xref
+        for c in par[name][0].ctx_cols:
+            assert par[c][0].name != "xref", (name, c)
+    blob, _ = encode_table_to_blob(t, 128, plans=par)
+    out = decode_blob(blob)
+    for name in t.column_names:
+        assert out.column(name).combine_chunks().equals(
+            t.column(name).combine_chunks()
+        ), name
