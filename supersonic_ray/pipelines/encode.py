@@ -799,9 +799,15 @@ def encode_parquet(
     quota_bytes: int | None = 4 << 30,
     target_bytes: int = SHARD_TARGET_BYTES,
     compute: str = "tasks",
+    timings: dict | None = None,
 ):
     """Shard-planned encode: returns the (lazy) Dataset of per-partition
     metrics rows; consume it (e.g. ``.to_pandas()``) to run the job.
+
+    ``timings``: optional caller-owned dict; the driver-side O(1)-per-job
+    costs land in it (``plan_wall_s`` = shard planning + codec
+    resolution) so bench artifacts can stamp the fixed-cost
+    decomposition (BASELINE §10j/§10k) per run instead of estimating it.
 
     plan_scope="global" (default): codec selection + FSST symbol-table
     training run ONCE on the driver against a sample shard, and the
@@ -824,8 +830,11 @@ def encode_parquet(
     (right when a cluster is cold and one job will reuse the pool for
     many inputs back-to-back).
     """
+    import time as _time
+
     import ray.data as rd
 
+    _t0 = _time.monotonic()
     shards = plan_shards(input_path, target_rows, target_bytes)
     ds = rd.from_items(shards)
     if concurrency is None:
@@ -840,6 +849,8 @@ def encode_parquet(
             s0["row_slice"] = [s0["row_slice"][0], min(s0["row_slice"][1], 4 * CHUNK_ROWS)]
         sample = read_shard_table(pq.ParquetFile(s0["path"]), s0)
         plans = resolve_column_plans(sample, overrides, parallel=True)
+    if timings is not None:
+        timings["plan_wall_s"] = round(_time.monotonic() - _t0, 3)
     kwargs = {
         "out_dir": out_dir,
         "chunk_rows": chunk_rows,
