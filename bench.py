@@ -337,6 +337,11 @@ def run_scaling() -> dict:
         ctrl = results[n].get("host_bz2_8proc_MBps")
         if ctrl is not None:
             out[f"host_bz2_8proc_MBps_at_{n}"] = ctrl
+        # driver-side O(1)-per-job plan cost at this level — the fixed
+        # term of the §10j wall decomposition, visible per leg
+        pw = results[n].get("plan_wall_s")
+        if pw is not None:
+            out[f"plan_wall_s_at_{n}"] = pw
     value = None
     for lo, hi in zip(levels, levels[1:]):
         eff = round((results[hi]["encode_GBps"] / results[lo]["encode_GBps"]) / (hi / lo), 3)
