@@ -421,18 +421,55 @@ def decode_array_ctx(
     return values
 
 
-def xref_ctx_names(blob: bytes) -> list[str]:
-    """Ctx column names an xref blob depends on (decompresses the body
-    — the work is needed for the decode anyway)."""
+def xref_parse(blob: bytes, expect_rows: int | None = None):
+    """Parse an xref blob ONCE: backend-decompress the body, split off
+    the validity bitmap, and read the ctx column names from the
+    payload.  Returns ``(ctx_names, payload, validity, n)`` for
+    :func:`decode_xref_parsed` — decode_blob needs the names BEFORE it
+    can decode (to pull pruned ctx columns back in), and sharing the
+    decompressed body avoids paying the backend decompression twice
+    per chunk on the read hot path."""
     from .xref import XrefCodec
 
-    _codec_id, backend, flags, _, _n = HEADER.unpack_from(blob, 0)
+    _codec_id, backend, flags, _, n = HEADER.unpack_from(blob, 0)
+    if expect_rows is not None and n != expect_rows:
+        raise ValueError(
+            f"corrupt column blob: header says {n} rows, chunk header says {expect_rows}"
+        )
     body = _BACKEND_DECOMPRESS[backend](blob[HEADER.size :])
     pos = 0
+    validity = None
     if flags & 1:
         (vlen,) = struct.unpack_from("<I", body, pos)
-        pos += 4 + vlen
-    return XrefCodec.ctx_names(body[pos:])
+        pos += 4
+        validity = body[pos : pos + vlen]
+        pos += vlen
+    payload = body[pos:]
+    return XrefCodec.ctx_names(payload), payload, validity, n
+
+
+def decode_xref_parsed(
+    payload: bytes, validity, n: int, dtype: pa.DataType, ctx: dict[str, pa.Array]
+) -> pa.Array:
+    """Second half of :func:`xref_parse`: decode the already-
+    decompressed payload with the decoded ctx columns in hand."""
+    from .xref import XrefCodec
+
+    target = dtype.value_type if pa.types.is_dictionary(dtype) else dtype
+    values = _REGISTRY[XrefCodec.codec_id].decode_values_ctx(payload, target, n, ctx)
+    values = apply_validity(values, validity)
+    if pa.types.is_dictionary(dtype):
+        import pyarrow.compute as pc
+
+        values = pc.dictionary_encode(values).cast(dtype)
+    return values
+
+
+def xref_ctx_names(blob: bytes) -> list[str]:
+    """Ctx column names an xref blob depends on (decompresses the body;
+    prefer :func:`xref_parse` when the decode follows — it shares the
+    decompressed body instead of paying the backend twice)."""
+    return xref_parse(blob)[0]
 
 
 def blob_info(blob: bytes) -> dict:

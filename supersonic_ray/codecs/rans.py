@@ -94,7 +94,6 @@ def encode(tokens: np.ndarray, n_syms: int, scale_bits: int | None = None) -> by
         raise ValueError(f"rans: alphabet {n_syms} exceeds 2^15")
     n = len(tokens)
     counts = np.bincount(tokens, minlength=n_syms).astype(np.int64)
-    header = struct.pack("<IHBB", n, 0, scale_bits, 0)  # lanes patched below
     if n == 0:
         return struct.pack("<IHBB", 0, 1, scale_bits, 0) + struct.pack("<I", n_syms) + b"\x00\x00" * n_syms + struct.pack("<I", _L) + struct.pack("<I", 0)
     freq = quantize_freqs(counts, scale_bits)
@@ -119,7 +118,11 @@ def encode(tokens: np.ndarray, n_syms: int, scale_bits: int | None = None) -> by
     for step in range(steps - 1, -1, -1):
         s = syms[step]
         v = valid[step]
-        f = f64[s]
+        # padded lanes carry symbol 0, whose quantized freq is 0 when
+        # the token stream never contains id 0 — give them f=1 so the
+        # (discarded) x//f / x%f lanes don't divide by zero (warnings,
+        # or a crash under np.errstate(divide='raise'))
+        f = np.where(v, f64[s], np.uint64(1))
         c = c64[s]
         # renorm bound: x_max = (L >> scale_bits) * 2^16 * f = f << (32 - scale_bits);
         # one 16-bit renorm at most (after x >>= 16, x < 2^16 ≤ x_max for f ≥ 1)

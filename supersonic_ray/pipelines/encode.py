@@ -101,12 +101,21 @@ def resolve_column_plans(
     plans: dict[str, tuple[Any, int]] = {}
     sample = table.slice(0, min(table.num_rows, CHUNK_ROWS))
 
+    _prep_cache: dict[str, Any] = {}
+
     def _prep(name: str):
-        col = sample.column(name).combine_chunks()
-        if pa.types.is_dictionary(col.type):
-            # ENUM columns: plan/train on the value type (encode_array
-            # casts the same way; decode restores the dictionary type)
-            col = col.cast(col.type.value_type)
+        # memoized: the trial fan-out, the xref gate and the fsst
+        # instantiation below all prep the same column — combine_chunks
+        # over a large raw-document sample must not run 3x on the
+        # driver's plan critical path
+        col = _prep_cache.get(name)
+        if col is None:
+            col = sample.column(name).combine_chunks()
+            if pa.types.is_dictionary(col.type):
+                # ENUM columns: plan/train on the value type (encode_array
+                # casts the same way; decode restores the dictionary type)
+                col = col.cast(col.type.value_type)
+            _prep_cache[name] = col
         return col
 
     picks: dict[str, tuple[str, str]] = {}
@@ -140,10 +149,21 @@ def resolve_column_plans(
             _, data = codec_base.var_len_to_buffers(codec_base.canonicalize_nulls(col))
             codec: Any = FsstCodec(pretrained=train_symbols(data))
         elif codec_name == "xref":
-            # explicit override: ctx = containment-passing siblings
+            # explicit override: ctx = containment-passing siblings.
+            # The plan invariant "a ctx column is plainly decodable"
+            # must hold HERE too: a sibling that is itself xref-coded
+            # (another override, or an xref_winners upgrade) would make
+            # the written file unreadable — decode_blob can't feed an
+            # xref column back as ctx.  Filter them out; ctx may end up
+            # empty (exemplar-only deflate, still valid).
             from supersonic_ray.codecs import XrefCodec
 
-            codec = XrefCodec(_xref_ctx_candidates(sample, name))
+            ctx = [
+                c
+                for c in _xref_ctx_candidates(sample, name)
+                if named.get(c, ("", ""))[0] != "xref" and c not in xref_winners
+            ]
+            codec = XrefCodec(ctx)
         else:
             from supersonic_ray.codecs import by_name
 
@@ -522,14 +542,16 @@ def decode_blob(
         # pass 2: cross-column codecs (xref) may need ctx columns the
         # caller pruned away — decode those too (documented pruning
         # cost of the raw-vs-extracted layout), but never emit them
-        xref_cols: dict[str, list[str]] = {}
+        xref_cols: dict[str, tuple] = {}  # name -> (ctx_names, payload, validity, n)
         need = list(requested)
         for name in requested:
             off, blen = slices[name]
             if codec_base.peek_codec_id(data[off : off + 8]) == 11:  # xref
-                ctx_names = codec_base.xref_ctx_names(data[off : off + blen])
-                xref_cols[name] = ctx_names
-                for c in ctx_names:
+                # parse ONCE: the decompressed body is shared with the
+                # decode below instead of backend-decompressing twice
+                parsed = codec_base.xref_parse(data[off : off + blen], expect_rows=n_rows)
+                xref_cols[name] = parsed
+                for c in parsed[0]:
                     if c not in need:
                         need.append(c)
         cols = {}
@@ -540,13 +562,13 @@ def decode_blob(
             cols[name] = decode_array(
                 data[off : off + blen], schema.field(name).type, expect_rows=n_rows
             )
-        for name, ctx_names in xref_cols.items():
-            off, blen = slices[name]
-            cols[name] = codec_base.decode_array_ctx(
-                data[off : off + blen],
+        for name, (ctx_names, payload, validity, xn) in xref_cols.items():
+            cols[name] = codec_base.decode_xref_parsed(
+                payload,
+                validity,
+                xn,
                 schema.field(name).type,
                 {c: cols[c] for c in ctx_names},
-                expect_rows=n_rows,
             )
         tables.append(pa.table({c: cols[c] for c in out_schema.names}, schema=out_schema))
     return pa.concat_tables(tables) if tables else out_schema.empty_table()
@@ -907,21 +929,22 @@ class BatchEncoder:
     """Streaming encode for arbitrary Datasets: each incoming Arrow
     batch becomes one partition file.
 
-    Partition ids are (run_id, batch content hash, per-actor occurrence
+    Partition ids are (run_id, batch content hash, PER-TASK occurrence
     ordinal of that hash).  CONTENT-derived ids make task retries
-    idempotent: if an actor dies AFTER write_atomic, Ray re-runs the
-    same batch on a fresh actor, which computes the same pid, finds the
-    complete partition, and skips — no duplicate .rsb for one batch (the
-    old (run, actor_uid, ordinal) id re-encoded retries under a new uid,
-    duplicating rows at decode).  The occurrence ordinal disambiguates
-    byte-identical batches streamed to the SAME live actor; two
-    irreducible ambiguities remain for byte-identical batches ONLY —
-    copies landing on different actors collapse to one partition, and a
-    retry of the second copy on a replacement actor (fresh ordinal
-    counter) is skipped as already-complete.  Both need two genuinely
-    identical multi-thousand-row batches (128-bit blake2b over all
-    column buffers), which real corpora don't produce; the retry-dup
-    fix for DISTINCT batches is worth that documented trade.
+    idempotent: Ray deserializes this pickled instance FRESH for every
+    map task (verified: mutations to ``seen`` never cross task
+    boundaries, even on the same warm worker process), so a re-executed
+    task replays identical batches in identical order, recomputes the
+    same pids, finds the complete partitions, and skips — no duplicate
+    .rsb for one batch (the old (run, actor_uid, ordinal) id re-encoded
+    retries under a new uid, duplicating rows at decode).  The
+    occurrence ordinal disambiguates byte-identical batches WITHIN one
+    task; one irreducible ambiguity remains for byte-identical batches
+    ONLY — copies landing in different tasks collapse to one partition
+    (the second finds pid-000 complete and skips).  That needs two
+    genuinely identical multi-thousand-row batches (128-bit blake2b
+    over all column buffers), which real corpora don't produce; the
+    retry-dup fix for DISTINCT batches is worth that documented trade.
     ``encode_parquet`` (stable shard-ordinal ids) remains the
     checkpoint-resumable shape; give each ``encode_dataset`` run a
     fresh ``out_dir``."""
@@ -1024,10 +1047,11 @@ def encode_dataset(ds, out_dir: str, batch_size: int = 4 * CHUNK_ROWS, concurren
 
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
     # plain TASKS, not an actor pool (same reasoning as encode_parquet
-    # compute="tasks", BASELINE.md §10f): the per-worker `seen` ordinal
-    # counter has the identical documented byte-identical-batch
-    # ambiguity across tasks as across actors, and tasks skip the
-    # per-call pool ramp on warm workers
+    # compute="tasks", BASELINE.md §10f): the instance deserializes
+    # fresh per task, so the `seen` ordinal is per-task — retries
+    # replay the same pids and skip (see BatchEncoder docstring); the
+    # documented byte-identical-batch collapse moves from "across
+    # actors" to "across tasks", and tasks skip the per-call pool ramp
     return ds.map_batches(
         BatchEncoder(
             out_dir=out_dir,

@@ -460,22 +460,31 @@ def resize_rgb(px: np.ndarray, out_w: int, out_h: int, mode: str = "nearest") ->
     ``nearest``: index gather (src = (dst · in) // out), exact byte
     passthrough on solid regions, works for up- and downscale.
     ``area``: box average via two add.reduceat passes — the
-    anti-aliased thumbnail shape; axes where out > in fall back to
-    nearest (a 0-width box has no mean)."""
+    anti-aliased thumbnail shape; the fallback to nearest is PER AXIS
+    (a 0-width box has no mean), so a mixed up/downscale still box-
+    averages the downscaled axis."""
+    if mode not in ("nearest", "area"):
+        raise ValueError(f"unknown resize mode {mode!r}")
     h, w = px.shape[:2]
-    if mode == "nearest" or (out_h > h or out_w > w):
+    if mode == "nearest":
         yi = (np.arange(out_h) * h) // out_h
         xi = (np.arange(out_w) * w) // out_w
         return px[np.ix_(yi, xi)]
-    if mode != "area":
-        raise ValueError(f"unknown resize mode {mode!r}")
-    ys = ((np.arange(out_h) * h) // out_h).astype(np.int64)
-    xs = ((np.arange(out_w) * w) // out_w).astype(np.int64)
     acc = px.astype(np.float64)
-    rows = np.add.reduceat(acc, ys, axis=0)
-    cells = np.add.reduceat(rows, xs, axis=1)
-    ycnt = np.diff(np.append(ys, h)).astype(np.float64)
-    xcnt = np.diff(np.append(xs, w)).astype(np.float64)
+    if out_h <= h:
+        ys = ((np.arange(out_h) * h) // out_h).astype(np.int64)
+        rows = np.add.reduceat(acc, ys, axis=0)
+        ycnt = np.diff(np.append(ys, h)).astype(np.float64)
+    else:  # y upscales: nearest gather, box count 1
+        rows = acc[(np.arange(out_h) * h) // out_h]
+        ycnt = np.ones(out_h, dtype=np.float64)
+    if out_w <= w:
+        xs = ((np.arange(out_w) * w) // out_w).astype(np.int64)
+        cells = np.add.reduceat(rows, xs, axis=1)
+        xcnt = np.diff(np.append(xs, w)).astype(np.float64)
+    else:  # x upscales
+        cells = rows[:, (np.arange(out_w) * w) // out_w]
+        xcnt = np.ones(out_w, dtype=np.float64)
     return (cells / (ycnt[:, None, None] * xcnt[None, :, None])).astype(px.dtype)
 
 
@@ -504,22 +513,25 @@ class ImageResizer:
         self.out_w, self.out_h, self.mode = out_w, out_h, mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, ws, hs, thumbs = [], [], [], []
-        for mid, blob in zip(
-            batch.column(self.id_col).to_pylist(), batch.column(self.blob_col).to_pylist()
-        ):
+        keep, ws, hs, thumbs = [], [], [], []
+        for blob in batch.column(self.blob_col).to_pylist():
             if blob is None:
+                keep.append(False)
                 continue
             w, h, _c, px = decode_pixels(blob, self.decoder)
             small = resize_rgb(px, self.out_w, self.out_h, self.mode)
             u8 = np.clip(np.floor(small * 255.0 + 0.5), 0, 255).astype(np.uint8)
-            ids.append(mid)
+            keep.append(True)
             ws.append(w)
             hs.append(h)
             thumbs.append(u8.tobytes())
+        # id column keeps its caller-given NAME and TYPE (string/int/...)
+        # — renaming to a hardcoded column or forcing int64 would break
+        # downstream joins on the original key
+        ids = batch.column(self.id_col).filter(pa.array(keep)).combine_chunks()
         return pa.table(
             {
-                "media_id": pa.array(ids, pa.int64()),
+                self.id_col: ids,
                 "width": pa.array(ws, pa.int32()),
                 "height": pa.array(hs, pa.int32()),
                 "thumb": pa.array(thumbs, pa.binary()),

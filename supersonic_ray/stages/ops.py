@@ -459,7 +459,9 @@ def fanout(ds, n_consumers: int = 2, mode: str | None = None):
     ``n_consumers`` is documentation of intent only."""
     import os
 
-    mode = mode or os.environ.get("GRAFT_FANOUT_MODE", "materialize")
+    # env var wins over the call site's measured default — "overrides
+    # globally" means a 100-TB operator can flip every fanout at once
+    mode = os.environ.get("GRAFT_FANOUT_MODE") or mode or "materialize"
     if mode == "recompute":
         return ds
     return ds.materialize()

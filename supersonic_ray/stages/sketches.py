@@ -49,7 +49,9 @@ def _hll_registers_from_hashes(h: np.ndarray, p: int) -> np.ndarray:
         return regs
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rem = (h << np.uint64(p)).astype(np.uint64)  # top 64-p bits left-justified
-    # rank = leading zeros of rem (within 64 bits) + 1, capped
+    # rank = leading zeros of rem (within 64 bits) + 1; rem == 0 gives
+    # rank 65 (the oracle's `WHEN rem = 0 THEN 65` arm — the exact
+    # estimators handle reg >= 64 as the oracle does)
     rank = (64 - _bit_length_u64(rem) + 1).astype(np.uint8)
     np.maximum.at(regs, idx, rank)
     return regs
@@ -86,7 +88,10 @@ def hll_estimate_exact(regs: np.ndarray) -> int:
 
     m = len(regs)
     alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
-    s_int = sum(1 << (64 - int(r)) for r in regs)  # exact integer sum
+    # exact integer sum; rank can reach 65 (rem == 0 → clz64 = 64, the
+    # oracle's `WHEN rem = 0 THEN 65` arm) — mirror its
+    # `WHEN reg >= 64 THEN 1` term instead of a negative shift
+    s_int = sum(1 if int(r) >= 64 else 1 << (64 - int(r)) for r in regs)
     est = alpha * m * m * 18446744073709551616.0 / float(s_int)
     zeros = int((regs == 0).sum())
     if est <= 2.5 * m and zeros:
@@ -140,7 +145,9 @@ def hll_estimate_exact_sparse(present_regs: np.ndarray, m: int) -> int:
     m_ = m
     alpha = 0.7213 / (1 + 1.079 / m_) if m_ >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m_, 0.7213 / (1 + 1.079 / m_))
     zeros = m_ - len(present_regs)
-    s_int = sum(1 << (64 - int(r)) for r in present_regs) + zeros * (1 << 64)
+    s_int = sum(1 if int(r) >= 64 else 1 << (64 - int(r)) for r in present_regs) + zeros * (
+        1 << 64
+    )
     est = alpha * m_ * m_ * 18446744073709551616.0 / float(s_int)
     if est <= 2.5 * m_ and zeros:
         est = m_ * math.log(m_ / zeros)

@@ -396,6 +396,10 @@ class PqEncoder:
         m, ksub, dsub = self.books.shape
         v = _batch_matrix(batch, self.col).astype(np.float64)
         n = v.shape[0]
+        if n == 0:
+            # empty block: _batch_matrix returns shape (0, 0) and the
+            # subspace broadcast below would shape-mismatch
+            return batch.append_column("__pq", pa.array([], pa.binary(m)))
         codes = np.zeros((n, m), dtype=np.uint8)
         for s in range(m):
             sub = v[:, s * dsub : (s + 1) * dsub]
