@@ -503,19 +503,19 @@ def _sharded_key_merge(partials, keys: list[str], merge, n_shards: int | None = 
     task per DISTINCT key — a scheduler killer at billion-key scale.
     Hash-shard on the key tuple (a key's partials land in one shard),
     then merge the shard's keys inside one task via a C-level pandas
-    groupby.  Callers guarantee keys are null-FILLED before this point
-    (the mixed plan's indicator machinery), so pandas grouping needs no
-    NULL special-casing; dropna=False is belt-and-braces."""
-    import numpy as np
-
+    groupby.  Several callers route NULL-key groups here (the holistic
+    fallback explicitly), and pandas null-widens int keys per block, so
+    the shard hash is the Arrow-canonical one (_shard.shard_ids_pandas)
+    — raw pandas hashing split widened/unwidened copies of the same key
+    across shards.  dropna=False keeps null-key groups exact."""
     from ._pool import default_pool_size
+    from ._shard import shard_ids_pandas
 
     n_shards = n_shards or default_pool_size() * 4
 
     def add_shard(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
-        df["__shard"] = (h % np.uint64(n_shards)).astype("int64")
+        df["__shard"] = shard_ids_pandas(df, keys, n_shards)
         return df
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:

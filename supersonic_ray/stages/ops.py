@@ -330,30 +330,37 @@ def dedup_by_key(ds, keys: list[str], order_by: str | None = None, num_shards: i
     import numpy as np
     import pandas as pd
 
-    from supersonic_ray.functions.dhash import md5_hex
+    from supersonic_ray.functions.dhash import md5_hex, md5_u64
 
     ds = decode_dictionary_columns(ds)  # shuffle boundary: ENUM → values
 
+    if num_shards is None:
+        import ray
+
+        num_shards = max(4, int(ray.cluster_resources().get("CPU", 4)))
+
+    def _stringify(t: pa.Table, cols: list[str]) -> pa.Array:
+        # \x1f-joined stringified row slice (NULL → \x00 sentinel,
+        # distinct from any cast output) — vectorized Arrow kernels;
+        # shared canonical form with the pandas-side shard hashing
+        from ._shard import stringify_key_cols
+
+        return stringify_key_cols([t.column(c) for c in cols], t.num_rows)
+
     def add_rk(t: pa.Table) -> pa.Table:
-        # deterministic row fingerprint: md5 over the \x1f-joined
-        # stringified row (NULL → \x00 sentinel, distinct from any cast
-        # output) — one vectorized DuckDB kernel call per batch
-        parts = []
-        for c in t.column_names:
-            col = t.column(c)
-            if pa.types.is_dictionary(col.type):
-                col = pc.cast(col, col.type.value_type)
-            try:
-                parts.append(pc.fill_null(pc.cast(col, pa.string()), "\x00"))
-            except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
-                # non-string-castable column (nested list/struct): skip it
-                # in the fingerprint — rows differing ONLY there tie and
-                # the winner among them is arbitrary (documented caveat)
-                continue
-        if not parts:
-            parts = [pa.array(["\x00"] * t.num_rows, pa.string())]
-        joined = pc.binary_join_element_wise(*parts, "\x1f") if len(parts) > 1 else parts[0]
-        return t.append_column("__rk", md5_hex(joined))
+        t = t.append_column("__rk", md5_hex(_stringify(t, t.column_names)))
+        # shard from the ARROW-typed key columns HERE, where every block
+        # still carries the dataset's uniform schema: the pandas frames
+        # downstream null-widen int64 → float64 per block, so hashing
+        # the pandas keys (the old shape) sent equal keys of
+        # differently-widened blocks to DIFFERENT shards — both rows
+        # then survived as "first per key" (property-suite falsifier:
+        # a=[1,null,null,1] over 3 blocks kept a=1 twice)
+        kh = md5_u64(_stringify(t, keys))
+        if isinstance(kh, pa.ChunkedArray):
+            kh = kh.combine_chunks()
+        shard = kh.to_numpy(zero_copy_only=False).astype(np.uint64) % np.uint64(num_shards)
+        return t.append_column("__shard", pa.array(shard.astype("int64"), pa.int64()))
 
     order = ([order_by] if order_by else []) + ["__rk"]
 
@@ -365,22 +372,10 @@ def dedup_by_key(ds, keys: list[str], order_by: str | None = None, num_shards: i
         local_first, batch_format="pandas"
     )
 
-    if num_shards is None:
-        import ray
-
-        num_shards = max(4, int(ray.cluster_resources().get("CPU", 4)))
-
-    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
-        df["__shard"] = (h % np.uint64(num_shards)).astype("int64")
-        return df
-
     def shard_first(g: pd.DataFrame) -> pd.DataFrame:
         return local_first(g).drop(columns=["__shard", "__rk"])
 
-    sharded = cand.map_batches(add_shard, batch_format="pandas")
-    return sharded.groupby("__shard").map_groups(shard_first, batch_format="pandas")
+    return cand.groupby("__shard").map_groups(shard_first, batch_format="pandas")
 
 
 def distinct(ds, keys: list[str] | None = None):

@@ -174,10 +174,12 @@ def stream_sessionize_distributed(
         num_shards = max(4, cpus, math.ceil(n_rows / max(1, target_shard_rows)))
 
     def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        from ._shard import shard_ids_pandas
+
+        # Arrow-canonical hash (see _shard.py): per-block null-widening
+        # of int keys must not split a key's events across shards
         df = df.copy()
-        df["__shard"] = (
-            pd.util.hash_array(df[key].to_numpy()) % np.uint64(num_shards)
-        ).astype("int64")
+        df["__shard"] = shard_ids_pandas(df, [key], num_shards)
         return df
 
     sharded = ds.map_batches(add_shard, batch_format="pandas")

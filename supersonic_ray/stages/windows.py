@@ -45,11 +45,14 @@ def _num_shards(ds, num_shards: int | None, target_shard_rows: int):
 
 
 def _shard_by_key(ds, key: str, num_shards: int):
+    from ._shard import shard_ids_pandas
+
     def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        # Arrow-canonical hash: pandas null-widens int keys PER BLOCK,
+        # and a raw hash_array would split a key's rows across shards
+        # whenever some blocks carry nulls and others don't
         df = df.copy()
-        df["__shard"] = (
-            pd.util.hash_array(df[key].to_numpy()) % np.uint64(num_shards)
-        ).astype("int64")
+        df["__shard"] = shard_ids_pandas(df, [key], num_shards)
         return df
 
     return ds.map_batches(add_shard, batch_format="pandas")
@@ -79,7 +82,11 @@ def session_window(
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order, kind="mergesort").reset_index(drop=True)
         ts = g[ts_col].astype("int64")
-        key_change = g[key].ne(g[key].shift())
+        # NULL keys are ONE key (SQL GROUP BY/PARTITION BY semantics,
+        # the engine-wide convention): plain ne() calls NaN != NaN a
+        # key change, splitting every null row into its own session
+        prev = g[key].shift()
+        key_change = g[key].ne(prev) & ~(g[key].isna() & prev.isna())
         key_change.iloc[0] = True
         new_session = key_change | (ts.diff() > gap_us)
         sid_global = new_session.cumsum()
@@ -87,7 +94,7 @@ def session_window(
         # session ordinal (ffill of the boundary rows' ordinals)
         base = sid_global.where(key_change).ffill()
         sid = (sid_global - base).astype("int64")
-        out = g.assign(__sid=sid).groupby([key, "__sid"], sort=True)
+        out = g.assign(__sid=sid).groupby([key, "__sid"], sort=True, dropna=False)
         rows = {
             key: out[key].first(),
             "session_id": out["__sid"].first(),
@@ -144,7 +151,12 @@ def sliding_window(
                 {key: [], "window_start": [], "n_events": [], f"sum_{agg_col}": []}
             )
         df = pd.concat(parts, ignore_index=True)
-        out = df.groupby([key, "window_start"], sort=True)[agg_col].agg(["count", "sum"]).reset_index()
+        # dropna=False: NULL keys form one group (SQL semantics)
+        out = (
+            df.groupby([key, "window_start"], sort=True, dropna=False)[agg_col]
+            .agg(["count", "sum"])
+            .reset_index()
+        )
         return out.rename(columns={"count": "n_events", "sum": f"sum_{agg_col}"})
 
     sharded = _shard_by_key(ds, key, num_shards)

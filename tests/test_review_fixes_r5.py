@@ -163,3 +163,96 @@ def test_fanout_env_overrides_call_site(ray_session, monkeypatch):
     out = ops.fanout(ds, mode="materialize")
     assert out is not ds  # materialized
     assert out.count() == 10
+
+
+def test_dedup_by_key_mixed_null_widened_blocks(ray_session):
+    """Property-suite falsifier (explore mode): blocks whose pandas
+    conversion null-widens int64 → float64 hashed equal keys to
+    DIFFERENT shards (pd.util.hash_pandas_object is dtype-sensitive),
+    so dedup_by_key kept a=1 twice.  The shard now derives from the
+    Arrow-typed key columns before any pandas stage."""
+    import ray.data as rd
+
+    from supersonic_ray.stages.ops import dedup_by_key
+
+    t = pa.table(
+        {
+            "a": pa.array([1, None, None, 1], pa.int64()),
+            "b": pa.array([None] * 4, pa.string()),
+            "rid": pa.array([0, 1, 2, 3], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    got = dedup_by_key(ds, ["a"], order_by="rid").to_pandas()
+    rows = {
+        ("null" if x is None or x != x else int(x), int(r))
+        for x, r in zip(got["a"].tolist(), got["rid"].tolist())
+    }
+    assert rows == {(1, 0), ("null", 1)}
+
+
+def test_shard_ids_stable_across_null_widened_dtypes():
+    """The shared shard hash must give the SAME shard to int64 1 and a
+    null-widened block's float64 1.0, and group None with NaN."""
+    import pandas as pd
+
+    from supersonic_ray.stages._shard import shard_ids_pandas
+
+    a = pd.DataFrame({"k": pd.array([1, 7, 9], dtype="int64")})
+    b = pd.DataFrame({"k": [1.0, 7.0, float("nan")]})  # widened block
+    c = pd.DataFrame({"k": [None, 9]})  # object block
+    sa = shard_ids_pandas(a, ["k"], 64)
+    sb = shard_ids_pandas(b, ["k"], 64)
+    sc = shard_ids_pandas(c, ["k"], 64)
+    assert sa[0] == sb[0] and sa[1] == sb[1]  # 1 == 1.0, 7 == 7.0
+    assert sb[2] == sc[0]  # NaN groups with None
+    assert sa[2] == sc[1]  # 9 == 9
+
+
+def test_holistic_group_aggregate_null_widened_blocks(ray_session):
+    """_group_aggregate_holistic routes null-key groups through the
+    sharded merge: an int64 key whose nulls widen SOME pandas blocks
+    must still produce one row per key (the old pandas-hash shard split
+    the widened and unwidened copies of a key apart)."""
+    import ray.data as rd
+
+    from supersonic_ray.stages.aggregates import AggSpec, _group_aggregate_holistic
+
+    t = pa.table(
+        {
+            "k": pa.array([1, None, None, 1, 2, 2], pa.int64()),
+            "v": pa.array([10, 20, 30, 40, 50, 60], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    out = _group_aggregate_holistic(ds, ["k"], [AggSpec("sum", "v", "s")]).to_pandas()
+    got = {
+        ("null" if k is None or k != k else int(k)): int(s)
+        for k, s in zip(out["k"].tolist(), out["s"].tolist())
+    }
+    assert len(out) == 3
+    assert got == {1: 50, "null": 50, 2: 110}
+
+
+def test_session_window_null_widened_key_blocks(ray_session):
+    """session_window's shard hash: an int64 key with nulls in some
+    blocks must keep each key's events in ONE shard — the session for
+    key 1 spans both blocks and must count all its events."""
+    import ray.data as rd
+
+    from supersonic_ray.stages.windows import session_window
+
+    t = pa.table(
+        {
+            "k": pa.array([1, None, 1, None, 1, 1], pa.int64()),
+            "ts": pa.array([1_000_000 * i for i in [1, 1, 2, 2, 3, 4]], pa.int64()),
+            "v": pa.array([1.0] * 6, pa.float64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    out = session_window(ds, key="k", ts_col="ts", gap_us=10_000_000, agg_col="v").to_pandas()
+    by_key = {
+        ("null" if k is None or k != k else int(k)): int(n)
+        for k, n in zip(out["k"].tolist(), out["n_events"].tolist())
+    }
+    assert by_key.get(1) == 4 and by_key.get("null") == 2
