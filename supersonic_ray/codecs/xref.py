@@ -7,14 +7,18 @@ the body text twice — once in ``text``, once inside ``html``.  At
 sf0.1 the html column compressed to ~92 B/row under fsst+zstd-19 and
 the duplicated body WAS most of it.
 
-XrefCodec removes the duplication generically: each row deflates with a
-preset dictionary = (chunk-local template exemplar ‖ the row's sibling
-column values), so matches against the extracted fields and the shared
-page template cost ~3 bytes instead of re-encoding the content.  The
-per-row streams then concatenate and the normal backend (zstd) removes
-the residual cross-row template structure.  Measured on the webpages
-chunk (8192 rows): 751 KB (fsst+zstd-19) → 70.8 KB, encode 0.93 s →
-0.21 s, decode 0.09 s.
+XrefCodec removes the duplication generically.  Version 2 (current) is
+pure SUBSTITUTION: each occurrence of a row's sibling-column value in
+the raw value is replaced by a one-byte marker (0x01+j for ctx column
+j; raw bytes 0x00-0x08 are escaped first so markers are unambiguous).
+The residual — page template plus markers — stays PLAIN BYTES, so the
+normal backend (zstd-19 over the whole chunk payload) sees the
+template repeated across all rows and removes it with full-window
+matching.  Version 1 deflated each row against a preset dictionary
+instead; entropy-coding per row destroyed the cross-row template
+redundancy before the backend could see it.  Measured on the webpages
+chunk (8192 rows, zstd-19 backend): v1 69.0 KB → v2 8.5 KB, encode
+0.24 s → 0.15 s, decode ≈0.09 s both.
 
 This is the storage-side analog of content-defined dedup between raw
 and derived columns; it is NOT fixture-specific — any corpus whose raw
@@ -33,13 +37,27 @@ xref-coded — enforced at plan time).
 
 Payload (inside the normal framing header + backend wrap)::
 
-    u8  version (=1)
+    u8  version (2 = substitution, current; 1 = per-row deflate, legacy)
     u8  n_ctx
     per ctx: u16 name_len, name bytes (utf-8)
-    u32 exemplar_len, exemplar bytes
-    u32 n_rows
-    u32 lens[n_rows]          (deflate stream length per row; 0 for "")
-    concatenated raw-deflate streams (wbits=-15)
+    v2: u32 n_rows
+        u32 lens[n_rows]      (residual length per row; 0 for "")
+        concatenated escaped+substituted residuals
+    v1: u32 exemplar_len, exemplar bytes
+        u32 n_rows
+        u32 lens[n_rows]      (deflate stream length per row; 0 for "")
+        concatenated raw-deflate streams (wbits=-15)
+
+v2 escaping: raw bytes 0x00..0x08 become the pair (0x00, '0'+b) BEFORE
+substitution, so after escaping no naked 0x01..0x08 exists and marker
+bytes are parse-unambiguous.  A ctx value is substituted iff its
+ESCAPED form is >= 4 bytes (the decoder applies the identical rule to
+the decoded ctx values, so both sides agree without per-row flags).
+Decode replaces marker j with the escaped ctx value — which contains
+no marker bytes by construction, so replacement order is irrelevant —
+then unescapes in one left-to-right regex pass (sequential .replace is
+NOT a valid inverse: an escape pair (00,30) followed by a raw '0'
+would mis-parse).
 
 NULLs are canonicalized upstream (validity lives in the framing
 header); None values arriving here encode as empty payloads.
@@ -47,6 +65,7 @@ header); None values arriving here encode as empty payloads.
 
 from __future__ import annotations
 
+import re
 import struct
 import zlib
 
@@ -57,6 +76,28 @@ from .base import Codec, register
 
 _ZDICT_MAX = 32768  # zlib window: dictionary beyond 32 KB is unreachable
 _EXEMPLAR_CAP = 4096
+_MAX_CTX = 8  # markers 0x01..0x08 (0x00 is the escape lead)
+_MIN_SUB = 4  # substitute a ctx value only when its escaped form is >= this
+_ESC_SCAN = re.compile(rb"[\x00-\x08]")
+_ESC_SUB = {bytes([b]): b"\x00" + bytes([0x30 + b]) for b in range(9)}
+_UNESC_SCAN = re.compile(rb"\x00([\x30-\x38])")
+_UNESC_SUB = {bytes([0x30 + b]): bytes([b]) for b in range(9)}
+_MARKERS = [bytes([j + 1]) for j in range(_MAX_CTX)]
+
+
+def _escape(b: bytes) -> bytes:
+    """Escape reserved bytes 0x00..0x08 → (0x00, '0'+b).  Fast path: a
+    utf-8 text/html value contains none, so the scan finds nothing and
+    the input is returned as-is."""
+    if _ESC_SCAN.search(b) is None:
+        return b
+    return _ESC_SCAN.sub(lambda m: _ESC_SUB[m.group(0)], b)
+
+
+def _unescape(b: bytes) -> bytes:
+    if b"\x00" not in b:
+        return b
+    return _UNESC_SCAN.sub(lambda m: _UNESC_SUB[m.group(1)], b)
 
 
 def _as_bytes_list(arr: pa.Array) -> list[bytes]:
@@ -81,9 +122,11 @@ class XrefCodec(Codec):
 
     def __init__(self, ctx_cols: list[str] | None = None):
         # bind-time state like FsstCodec(pretrained=...): the sibling
-        # columns to build each row's dictionary from, in a FIXED order
-        # (the order is part of the format — decode replays it)
+        # columns to substitute out of each row, in a FIXED order (the
+        # order is part of the format — ctx j owns marker byte 0x01+j)
         self.ctx_cols = list(ctx_cols or [])
+        if len(self.ctx_cols) > _MAX_CTX:
+            raise ValueError(f"xref supports at most {_MAX_CTX} ctx columns")
 
     def supports(self, dtype: pa.DataType) -> bool:
         return (
@@ -97,34 +140,34 @@ class XrefCodec(Codec):
 
     def encode_values_ctx(self, arr: pa.Array, ctx: dict[str, pa.Array]) -> bytes:
         vals = _as_bytes_list(arr)
-        ctx_vals = [_as_bytes_list(ctx[c]) for c in self.ctx_cols]
-        exemplar = next((v for v in vals if v), b"")[:_EXEMPLAR_CAP]
-        head = struct.pack("<BB", 1, len(self.ctx_cols))
+        # escape ONCE per (row, ctx): both sides substitute the escaped
+        # form, so the per-row rule (len >= _MIN_SUB) agrees at decode
+        esc_ctx = [[_escape(v) for v in _as_bytes_list(ctx[c])] for c in self.ctx_cols]
+        head = struct.pack("<BB", 2, len(self.ctx_cols))
         for c in self.ctx_cols:
             nb = c.encode("utf-8")
             head += struct.pack("<H", len(nb)) + nb
-        head += struct.pack("<I", len(exemplar)) + exemplar
         head += struct.pack("<I", len(vals))
         lens = np.empty(len(vals), dtype=np.uint32)
-        streams = []
+        parts = []
         for i, v in enumerate(vals):
             if not v:
                 lens[i] = 0
                 continue
-            zd = exemplar + b"".join(cv[i] for cv in ctx_vals)
-            co = zlib.compressobj(
-                6, zlib.DEFLATED, -15, 9, zlib.Z_DEFAULT_STRATEGY, zd[-_ZDICT_MAX:]
-            )
-            s = co.compress(v) + co.flush()
-            lens[i] = len(s)
-            streams.append(s)
-        return head + lens.astype("<u4").tobytes() + b"".join(streams)
+            r = _escape(v)
+            for j, ec in enumerate(esc_ctx):
+                s = ec[i]
+                if len(s) >= _MIN_SUB:
+                    r = r.replace(s, _MARKERS[j])
+            lens[i] = len(r)
+            parts.append(r)
+        return head + lens.astype("<u4").tobytes() + b"".join(parts)
 
     def decode_values_ctx(
         self, payload: bytes, dtype: pa.DataType, n: int, ctx: dict[str, pa.Array]
     ) -> pa.Array:
         version, n_ctx = struct.unpack_from("<BB", payload, 0)
-        if version != 1:
+        if version not in (1, 2):
             raise ValueError(f"xref payload version {version}")
         pos = 2
         names = []
@@ -133,6 +176,43 @@ class XrefCodec(Codec):
             pos += 2
             names.append(payload[pos : pos + ln].decode("utf-8"))
             pos += ln
+        if version == 1:
+            out = self._decode_v1(payload, pos, names, ctx)
+        else:
+            out = self._decode_v2(payload, pos, names, ctx)
+        if pa.types.is_string(dtype) or pa.types.is_large_string(dtype):
+            return pa.array([b.decode("utf-8") for b in out], type=dtype)
+        return pa.array(out, type=dtype)
+
+    @staticmethod
+    def _decode_v2(
+        payload: bytes, pos: int, names: list[str], ctx: dict[str, pa.Array]
+    ) -> list[bytes]:
+        (n_rows,) = struct.unpack_from("<I", payload, pos)
+        pos += 4
+        lens = np.frombuffer(payload, dtype="<u4", count=n_rows, offset=pos)
+        pos += 4 * n_rows
+        esc_ctx = [[_escape(v) for v in _as_bytes_list(ctx[c])] for c in names]
+        out: list[bytes] = []
+        for i in range(n_rows):
+            ln = int(lens[i])
+            if ln == 0:
+                out.append(b"")
+                continue
+            r = payload[pos : pos + ln]
+            pos += ln
+            for j, ec in enumerate(esc_ctx):
+                s = ec[i]
+                if len(s) >= _MIN_SUB:
+                    r = r.replace(_MARKERS[j], s)
+            out.append(_unescape(r))
+        return out
+
+    @staticmethod
+    def _decode_v1(
+        payload: bytes, pos: int, names: list[str], ctx: dict[str, pa.Array]
+    ) -> list[bytes]:
+        """Legacy per-row-deflate payloads (files written before v2)."""
         (ex_len,) = struct.unpack_from("<I", payload, pos)
         pos += 4
         exemplar = payload[pos : pos + ex_len]
@@ -152,9 +232,7 @@ class XrefCodec(Codec):
             do = zlib.decompressobj(-15, zd[-_ZDICT_MAX:])
             out.append(do.decompress(payload[pos : pos + ln]) + do.flush())
             pos += ln
-        if pa.types.is_string(dtype) or pa.types.is_large_string(dtype):
-            return pa.array([b.decode("utf-8") for b in out], type=dtype)
-        return pa.array(out, type=dtype)
+        return out
 
     @staticmethod
     def ctx_names(payload: bytes) -> list[str]:
@@ -182,6 +260,35 @@ class XrefCodec(Codec):
             "XrefCodec needs sibling columns: decode through decode_blob "
             "(it decodes the ctx columns first and calls decode_values_ctx)"
         )
+
+
+def _encode_values_ctx_v1(
+    arr: pa.Array, ctx: dict[str, pa.Array], ctx_cols: list[str]
+) -> bytes:
+    """Legacy v1 encoder (per-row deflate against a preset dictionary).
+    Kept ONLY so tests can fabricate old payloads and pin the v1 decode
+    path; the writer always emits v2."""
+    vals = _as_bytes_list(arr)
+    ctx_vals = [_as_bytes_list(ctx[c]) for c in ctx_cols]
+    exemplar = next((v for v in vals if v), b"")[:_EXEMPLAR_CAP]
+    head = struct.pack("<BB", 1, len(ctx_cols))
+    for c in ctx_cols:
+        nb = c.encode("utf-8")
+        head += struct.pack("<H", len(nb)) + nb
+    head += struct.pack("<I", len(exemplar)) + exemplar
+    head += struct.pack("<I", len(vals))
+    lens = np.empty(len(vals), dtype=np.uint32)
+    streams = []
+    for i, v in enumerate(vals):
+        if not v:
+            lens[i] = 0
+            continue
+        zd = exemplar + b"".join(cv[i] for cv in ctx_vals)
+        co = zlib.compressobj(6, zlib.DEFLATED, -15, 9, zlib.Z_DEFAULT_STRATEGY, zd[-_ZDICT_MAX:])
+        s = co.compress(v) + co.flush()
+        lens[i] = len(s)
+        streams.append(s)
+    return head + lens.astype("<u4").tobytes() + b"".join(streams)
 
 
 XREF = register(XrefCodec())

@@ -428,3 +428,81 @@ def test_resolve_parallel_multi_xref_defers_to_serial_decide():
         assert out.column(name).combine_chunks().equals(
             t.column(name).combine_chunks()
         ), name
+
+
+def test_xref_v1_payload_decodes():
+    """Files written before the v2 substitution format carry per-row
+    deflate payloads (version byte 1) — the reader must keep decoding
+    them bit-exactly."""
+    import struct as _struct
+
+    import pyarrow as pa
+
+    from supersonic_ray.codecs import base as codec_base
+    from supersonic_ray.codecs.xref import XREF, _encode_values_ctx_v1
+
+    texts = [f"shared body {i} " * 8 for i in range(50)]
+    raws = [f"<x><t>{v}</t></x>".encode() for v in texts]
+    arr = pa.array(raws, pa.binary())
+    ctx = {"t": pa.array(texts, pa.string())}
+    payload = _encode_values_ctx_v1(arr, ctx, ["t"])
+    assert payload[0] == 1  # version byte
+    # frame it the way encode_array_ctx would (no nulls -> flags 0)
+    body = codec_base._BACKEND_COMPRESS[codec_base.BACKEND_ZSTD](payload)
+    blob = codec_base.HEADER.pack(XREF.codec_id, codec_base.BACKEND_ZSTD, 0, 0, len(arr)) + body
+    out = codec_base.decode_array_ctx(blob, pa.binary(), ctx, expect_rows=len(arr))
+    assert out.equals(arr)
+
+
+def test_xref_v2_escape_edges():
+    """Parse-ambiguity traps for the v2 escape scheme: reserved bytes
+    0x00..0x08 in the raw value AND in ctx values, an escape pair
+    followed by a raw '0' (the case sequential-replace unescape gets
+    wrong), marker-byte collisions, and values made entirely of
+    reserved bytes."""
+    import pyarrow as pa
+
+    from supersonic_ray.codecs import XrefCodec
+    from supersonic_ray.codecs import base as codec_base
+
+    ctxs = [
+        b"needle-0123456",
+        b"\x00\x01\x02\x03ctx-with-reserved",
+        b"\x000",  # escape-pair lookalike, below _MIN_SUB after escaping? (3 -> escaped 4)
+        b"",
+        b"ab",  # short: never substituted
+    ]
+    raws = [
+        b"pre " + ctxs[0] + b" mid \x00\x30 post " + ctxs[0],  # (00,'0') raw pair
+        b"\x00" * 5 + ctxs[1] + b"\x01\x02\x08" + ctxs[1],
+        b"x" + ctxs[2] + b"\x000\x000" + ctxs[2],
+        b"\x00\x010\x02 0 \x080",  # reserved bytes interleaved with '0's
+        b"plain ab ab text",
+    ]
+    arr = pa.array(raws, pa.binary())
+    ctx = {"c": pa.array(ctxs, pa.binary())}
+    codec = XrefCodec(["c"])
+    for backend in (0, "zstd"):
+        blob = codec_base.encode_array_ctx(arr, codec, backend, ctx)
+        out = codec_base.decode_array_ctx(blob, pa.binary(), ctx, expect_rows=len(arr))
+        assert out.equals(arr), backend
+
+
+def test_xref_v2_giant_repeat_row():
+    """The heavy-tail shape: one row whose raw value repeats the ctx
+    value thousands of times must roundtrip and collapse to markers."""
+    import pyarrow as pa
+
+    from supersonic_ray.codecs import XrefCodec
+    from supersonic_ray.codecs import base as codec_base
+
+    body = "tail words " * 40
+    giant = ("<div><p>" + body + "</p></div>\n") * 3000
+    raws = [giant.encode(), b"<p>small</p>"]
+    ctx = {"text": pa.array([body, "small"], pa.string())}
+    arr = pa.array(raws, pa.binary())
+    codec = XrefCodec(["text"])
+    blob = codec_base.encode_array_ctx(arr, codec, "zstd", ctx)
+    assert len(blob) < 20_000, len(blob)  # ~1.3 MB raw -> markers + template
+    out = codec_base.decode_array_ctx(blob, pa.binary(), ctx, expect_rows=2)
+    assert out.equals(arr)
