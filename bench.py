@@ -147,9 +147,27 @@ def run_bench(ncpu: int) -> dict:
 
     @_ray.remote(num_cpus=1)
     def _warm(_):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
         import supersonic_ray.codecs.selector  # noqa: F401
 
+        # imports alone leave ~0.2 s of lazy pyarrow init (compute
+        # registry + allocator) on the worker's FIRST kernel call —
+        # which otherwise lands inside the first timed trial/encode
+        # task.  Touch a kernel and the zstd codec so the worker is
+        # genuinely warm, matching the long-running-cluster model.
+        _pc.sum(_pa.array([1, 2, 3], _pa.int64()))
+        _pa.Codec("zstd", 19).compress(b"warm", asbytes=True)
         return 0
+
+    # Driver-side Ray Data lazy init (planner + streaming executor):
+    # a long-lived driver pays this once per session, not per job —
+    # spin it untimed so encode walls measure the engine, while
+    # plan_parts_s in the artifact still stamps the per-job plan cost.
+    import ray.data as _rd
+
+    _rd.from_items([{"warm": 1}]).count()
 
     _ray.get([_warm.remote(i) for i in range(ncpu)])
 
@@ -191,6 +209,11 @@ def run_bench(ncpu: int) -> dict:
             # driver-side O(1)-per-job fixed cost (shard planning +
             # parallel codec resolution) — the §10j decomposition term
             "plan_wall_s": timings.get("plan_wall_s"),
+            "plan_parts_s": {
+                k[5:-2]: timings[k]
+                for k in ("plan_shards_s", "plan_sample_s", "plan_resolve_s", "plan_dataset_s")
+                if k in timings
+            },
         }
     )
 
