@@ -28,5 +28,6 @@ from .fsst import FSST, FsstCodec  # noqa: F401
 from .alp import ALP  # noqa: F401
 from .frontcode import FRONTCODE  # noqa: F401
 from .worddict import WORDDICT  # noqa: F401
+from .numsplit import NUMSPLIT  # noqa: F401
 from .xref import XREF, XrefCodec  # noqa: F401
 from .selector import ColumnStats, choose_codec, column_stats  # noqa: F401

@@ -146,6 +146,12 @@ def _candidates(dtype: pa.DataType, st: ColumnStats) -> list[tuple[str, str]]:
             # arithmetic precision where byte-level Huffman backends
             # stall (worddict.py; ~12 % under fsst+bz2 on webpages text)
             cands.append(("worddict", ""))
+        if (pa.types.is_string(dtype) or pa.types.is_large_string(dtype)) and 0 < st.avg_len <= 512:
+            # identifier shape (urls/paths/ids): digit runs split into
+            # typed per-position streams, template dictionary-encoded
+            # (numsplit.py; 2.4x under frontcode+zstd on webpages url).
+            # The trial race rejects it on non-identifier columns.
+            cands += [("numsplit", ""), ("numsplit", "zstd")]
         if st.distinct_ratio > 0.05 and st.entropy_bits > 2.0:
             cands += [
                 ("fsst", ""),

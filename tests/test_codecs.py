@@ -506,3 +506,82 @@ def test_xref_v2_giant_repeat_row():
     assert len(blob) < 20_000, len(blob)  # ~1.3 MB raw -> markers + template
     out = codec_base.decode_array_ctx(blob, pa.binary(), ctx, expect_rows=2)
     assert out.equals(arr)
+
+
+def test_numsplit_roundtrip_and_fallbacks():
+    """Digit-run splitting: url/id shapes roundtrip bit-exactly; marker
+    bytes, >18-digit runs and unicode templates take the raw fallback
+    or survive the split unchanged."""
+    import pyarrow as pa
+
+    from supersonic_ray.codecs import base as codec_base
+
+    cases = [
+        ["https://site00042.example.org/page-000000000123", "https://s7.e/p-1", ""],
+        ["no digits", "", None],
+        ["1", "007", "999999999999999999"],  # 18 digits: int64-safe
+        ["a\x01b"],  # marker byte -> whole-chunk fallback
+        ["9999999999999999999"],  # 19 digits -> fallback
+        ["x1y2z3", "1a", "a1", "123", "°µ42π"],
+        [f"id-{i:09d}-x{i % 7}" for i in range(300)],
+    ]
+    for i, c in enumerate(cases):
+        arr = pa.array(c, pa.string())
+        for backend in ("", "zstd", "zlib"):
+            blob = codec_base.encode_array(arr, "numsplit", backend or 0)
+            out = codec_base.decode_array(blob, pa.string())
+            assert out.equals(arr), (i, backend)
+    # large_string dtype
+    arr = pa.array(["k-001", "k-002"], pa.large_string())
+    blob = codec_base.encode_array(arr, "numsplit", "zstd")
+    assert codec_base.decode_array(blob, pa.large_string()).equals(arr)
+
+
+def test_numsplit_property_sweep():
+    """Random template/digit mixes (multi-template chunks, ragged run
+    counts, leading zeros, empty rows) roundtrip bit-exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from supersonic_ray.codecs import base as codec_base
+
+    rng = np.random.RandomState(11)
+    alphabet = ["/", "-", "page", "x", "id", ".", "?q=", "µ"]
+    for trial in range(6):
+        n = int(rng.randint(1, 200))
+        vals = []
+        for _ in range(n):
+            r = rng.rand()
+            if r < 0.1:
+                vals.append(None)
+                continue
+            if r < 0.2:
+                vals.append("")
+                continue
+            parts = []
+            for _ in range(rng.randint(1, 6)):
+                parts.append(alphabet[rng.randint(len(alphabet))])
+                if rng.rand() < 0.7:
+                    width = int(rng.randint(1, 17))
+                    parts.append(str(rng.randint(0, 10 ** min(width, 9))).zfill(width))
+            vals.append("".join(parts))
+        arr = pa.array(vals, pa.string())
+        blob = codec_base.encode_array(arr, "numsplit", "zstd")
+        out = codec_base.decode_array(blob, pa.string())
+        assert out.equals(arr), trial
+
+
+def test_numsplit_wins_url_race():
+    """The selector's trial race picks numsplit for the webpages url
+    column (identifier shape) and it beats frontcode by >2x there."""
+    from supersonic_ray.codecs import base as codec_base
+    from supersonic_ray.fixtures import generate_webpages
+    from supersonic_ray.pipelines.encode import resolve_column_plans
+
+    t = generate_webpages(4096)
+    plans = resolve_column_plans(t)
+    assert plans["url"][0].name == "numsplit", plans["url"][0].name
+    u = t.column("url").combine_chunks()
+    ns = codec_base.encode_array(u, "numsplit", "zstd")
+    fc = codec_base.encode_array(u, "frontcode", "zstd")
+    assert len(ns) * 2 < len(fc), (len(ns), len(fc))

@@ -136,12 +136,15 @@ def test_clustered_encode_smaller(webpages_parquet):
     blob, m = encode_table_to_blob(t)
     ts = t.sort_by([("lang", "ascending"), ("url", "ascending")])
     blob_s, ms = encode_table_to_blob(ts)
-    # at bench scale (20k+ rows) clustering wins outright (BASELINE.md);
-    # at this tiny scale just assert it stays within noise and that the
-    # sorted variant's lang choice is run-exploiting: either a run-based
-    # codec or a general backend that flattens runs (brotli/zstd/bz2) —
-    # and never larger than the unsorted encoding of the same column
-    assert len(blob_s) <= len(blob) * 1.05
+    # clustering reshapes PER-COLUMN wins, not unconditionally the
+    # total: sorting by (lang, url) shrinks lang to runs but destroys
+    # the url column's arrival-order page-counter (numsplit's delta
+    # stream) and the warc_ts delta chain, so since the numsplit codec
+    # the unsorted encode can be the smaller one on this fixture.
+    # Assert the sorted variant stays within 10% and that lang — the
+    # column clustering targets — is run-exploiting and strictly
+    # no larger than its unsorted encoding.
+    assert len(blob_s) <= len(blob) * 1.10
     assert ms["lang"]["codec"] in ("rle", "dict") or ms["lang"]["backend"] in ("brotli", "zstd", "bz2", "zlib")
     assert ms["lang"]["bytes_out"] <= m["lang"]["bytes_out"]
 
