@@ -225,12 +225,6 @@ class NumSplitCodec(Codec):
         # group, so one binary_join_element_wise call per group covers
         # all its rows (no per-row Python in the common 1-template case)
         result = np.empty(n_rows, dtype=object)
-        # per-position cursor mapping: row index -> index in that
-        # position's stream (rows appear in global row order)
-        pos_index = [
-            {int(r): i for i, r in enumerate(rows)} if len(tmpl_vals) > 1 else None
-            for rows in pos_rows
-        ]
         for tid, t in enumerate(tmpl_vals):
             g = np.flatnonzero(ids == tid)
             if len(g) == 0:
@@ -243,12 +237,13 @@ class NumSplitCodec(Codec):
             parts: list = []
             for p in range(k):
                 parts.append(pa.scalar(segs[p]))
-                if pos_index[p] is None:  # single template: stream IS group order
+                if len(tmpl_vals) == 1:  # single template: stream IS group order
                     parts.append(pa.array(digit_strs[p], pa.string()))
                 else:
-                    idx = np.fromiter(
-                        (pos_index[p][int(r)] for r in g), dtype=np.int64, count=len(g)
-                    )
+                    # pos_rows[p] is sorted row order and every row of
+                    # this group participates at p < k, so its stream
+                    # offsets are a vectorized sorted-search away
+                    idx = np.searchsorted(pos_rows[p], g)
                     parts.append(pa.array(digit_strs[p][idx], pa.string()))
             parts.append(pa.scalar(segs[k]))
             joined = pc.binary_join_element_wise(*parts, pa.scalar(""))

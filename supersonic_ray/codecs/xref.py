@@ -262,33 +262,4 @@ class XrefCodec(Codec):
         )
 
 
-def _encode_values_ctx_v1(
-    arr: pa.Array, ctx: dict[str, pa.Array], ctx_cols: list[str]
-) -> bytes:
-    """Legacy v1 encoder (per-row deflate against a preset dictionary).
-    Kept ONLY so tests can fabricate old payloads and pin the v1 decode
-    path; the writer always emits v2."""
-    vals = _as_bytes_list(arr)
-    ctx_vals = [_as_bytes_list(ctx[c]) for c in ctx_cols]
-    exemplar = next((v for v in vals if v), b"")[:_EXEMPLAR_CAP]
-    head = struct.pack("<BB", 1, len(ctx_cols))
-    for c in ctx_cols:
-        nb = c.encode("utf-8")
-        head += struct.pack("<H", len(nb)) + nb
-    head += struct.pack("<I", len(exemplar)) + exemplar
-    head += struct.pack("<I", len(vals))
-    lens = np.empty(len(vals), dtype=np.uint32)
-    streams = []
-    for i, v in enumerate(vals):
-        if not v:
-            lens[i] = 0
-            continue
-        zd = exemplar + b"".join(cv[i] for cv in ctx_vals)
-        co = zlib.compressobj(6, zlib.DEFLATED, -15, 9, zlib.Z_DEFAULT_STRATEGY, zd[-_ZDICT_MAX:])
-        s = co.compress(v) + co.flush()
-        lens[i] = len(s)
-        streams.append(s)
-    return head + lens.astype("<u4").tobytes() + b"".join(streams)
-
-
 XREF = register(XrefCodec())

@@ -323,7 +323,13 @@ def _xref_ctx_candidates(sample: pa.Table, target: str, probe_rows: int = 64) ->
                 hits += 1
         if total >= 8 and hits / total >= 0.5:
             cands.append((lens // max(1, total), f.name))
-    return [n for _, n in sorted(cands)]
+    # XrefCodec markers cap at 8 ctx columns (_MAX_CTX) — keep the 8
+    # LONGEST (most redundant bytes) so a 9-candidate corpus plans
+    # instead of crashing in XrefCodec.__init__ at plan time
+    from supersonic_ray.codecs.xref import _MAX_CTX
+
+    kept = sorted(cands)[-_MAX_CTX:]
+    return [n for _, n in sorted(kept)]
 
 
 def _xref_decide(

@@ -39,6 +39,12 @@ def stringify_key_cols(cols: list[pa.Array | pa.ChunkedArray], n_rows: int) -> p
             col = col.combine_chunks()
         if pa.types.is_dictionary(col.type):
             col = pc.cast(col, col.type.value_type)
+        if pa.types.is_floating(col.type):
+            # NaN VALUES group with null in every pandas stage
+            # downstream (groupby dropna=False sees both as missing),
+            # so the hash must too — otherwise a parquet-born NaN and a
+            # true null land in different shards and both survive dedup
+            col = pc.if_else(pc.is_nan(col), pa.scalar(None, col.type), col)
         try:
             parts.append(pc.fill_null(pc.cast(col, pa.string()), NULL_SENTINEL))
         except (pa.ArrowNotImplementedError, pa.ArrowInvalid):

@@ -348,19 +348,7 @@ def dedup_by_key(ds, keys: list[str], order_by: str | None = None, num_shards: i
         return stringify_key_cols([t.column(c) for c in cols], t.num_rows)
 
     def add_rk(t: pa.Table) -> pa.Table:
-        t = t.append_column("__rk", md5_hex(_stringify(t, t.column_names)))
-        # shard from the ARROW-typed key columns HERE, where every block
-        # still carries the dataset's uniform schema: the pandas frames
-        # downstream null-widen int64 → float64 per block, so hashing
-        # the pandas keys (the old shape) sent equal keys of
-        # differently-widened blocks to DIFFERENT shards — both rows
-        # then survived as "first per key" (property-suite falsifier:
-        # a=[1,null,null,1] over 3 blocks kept a=1 twice)
-        kh = md5_u64(_stringify(t, keys))
-        if isinstance(kh, pa.ChunkedArray):
-            kh = kh.combine_chunks()
-        shard = kh.to_numpy(zero_copy_only=False).astype(np.uint64) % np.uint64(num_shards)
-        return t.append_column("__shard", pa.array(shard.astype("int64"), pa.int64()))
+        return t.append_column("__rk", md5_hex(_stringify(t, t.column_names)))
 
     order = ([order_by] if order_by else []) + ["__rk"]
 
@@ -368,8 +356,25 @@ def dedup_by_key(ds, keys: list[str], order_by: str | None = None, num_shards: i
         df = df.sort_values(order, kind="mergesort")
         return df.groupby(keys, dropna=False, sort=False).head(1)
 
-    cand = ds.map_batches(add_rk, batch_format="pyarrow").map_batches(
-        local_first, batch_format="pandas"
+    def add_shard(t: pa.Table) -> pa.Table:
+        # shard from the Arrow-CANONICAL key rendering (_shard.py):
+        # the pandas stage null-widens int keys per block and parquet
+        # can deliver NaN values, so a raw-value hash sent equal keys
+        # of different blocks to DIFFERENT shards — both rows then
+        # survived as "first per key" (property-suite falsifier:
+        # a=[1,null,null,1] over 3 blocks kept a=1 twice).  Runs AFTER
+        # local_first so the hash pass touches ≤ one row per key per
+        # block, not every raw input row.
+        kh = md5_u64(_stringify(t, keys))
+        if isinstance(kh, pa.ChunkedArray):
+            kh = kh.combine_chunks()
+        shard = kh.to_numpy(zero_copy_only=False).astype(np.uint64) % np.uint64(num_shards)
+        return t.append_column("__shard", pa.array(shard.astype("int64"), pa.int64()))
+
+    cand = (
+        ds.map_batches(add_rk, batch_format="pyarrow")
+        .map_batches(local_first, batch_format="pandas")
+        .map_batches(add_shard, batch_format="pyarrow")
     )
 
     def shard_first(g: pd.DataFrame) -> pd.DataFrame:

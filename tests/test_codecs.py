@@ -430,22 +430,55 @@ def test_resolve_parallel_multi_xref_defers_to_serial_decide():
         ), name
 
 
+def _encode_xref_v1(arr, ctx, ctx_cols):
+    """Fabricate a LEGACY v1 xref payload (per-row deflate against a
+    preset dictionary) — the production writer emits only v2, so the
+    v1 encoder lives here with its single consumer to pin the reader's
+    backward compatibility."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from supersonic_ray.codecs.xref import _ZDICT_MAX, _as_bytes_list
+
+    vals = _as_bytes_list(arr)
+    ctx_vals = [_as_bytes_list(ctx[c]) for c in ctx_cols]
+    exemplar = next((v for v in vals if v), b"")[:4096]
+    head = struct.pack("<BB", 1, len(ctx_cols))
+    for c in ctx_cols:
+        nb = c.encode("utf-8")
+        head += struct.pack("<H", len(nb)) + nb
+    head += struct.pack("<I", len(exemplar)) + exemplar
+    head += struct.pack("<I", len(vals))
+    lens = np.empty(len(vals), dtype=np.uint32)
+    streams = []
+    for i, v in enumerate(vals):
+        if not v:
+            lens[i] = 0
+            continue
+        zd = exemplar + b"".join(cv[i] for cv in ctx_vals)
+        co = zlib.compressobj(6, zlib.DEFLATED, -15, 9, zlib.Z_DEFAULT_STRATEGY, zd[-_ZDICT_MAX:])
+        s = co.compress(v) + co.flush()
+        lens[i] = len(s)
+        streams.append(s)
+    return head + lens.astype("<u4").tobytes() + b"".join(streams)
+
+
 def test_xref_v1_payload_decodes():
     """Files written before the v2 substitution format carry per-row
     deflate payloads (version byte 1) — the reader must keep decoding
     them bit-exactly."""
-    import struct as _struct
-
     import pyarrow as pa
 
     from supersonic_ray.codecs import base as codec_base
-    from supersonic_ray.codecs.xref import XREF, _encode_values_ctx_v1
+    from supersonic_ray.codecs.xref import XREF
 
     texts = [f"shared body {i} " * 8 for i in range(50)]
     raws = [f"<x><t>{v}</t></x>".encode() for v in texts]
     arr = pa.array(raws, pa.binary())
     ctx = {"t": pa.array(texts, pa.string())}
-    payload = _encode_values_ctx_v1(arr, ctx, ["t"])
+    payload = _encode_xref_v1(arr, ctx, ["t"])
     assert payload[0] == 1  # version byte
     # frame it the way encode_array_ctx would (no nulls -> flags 0)
     body = codec_base._BACKEND_COMPRESS[codec_base.BACKEND_ZSTD](payload)

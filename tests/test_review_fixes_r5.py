@@ -256,3 +256,60 @@ def test_session_window_null_widened_key_blocks(ray_session):
         for k, n in zip(out["k"].tolist(), out["n_events"].tolist())
     }
     assert by_key.get(1) == 4 and by_key.get("null") == 2
+
+
+def test_xref_ctx_candidates_capped_at_max_ctx():
+    """9+ embedded sibling columns must PLAN (capped to the 8 longest),
+    not crash in XrefCodec.__init__ at plan time."""
+    import pyarrow as pa
+
+    from supersonic_ray.pipelines.encode import resolve_column_plans
+
+    n = 64
+    sibs = {f"s{j}": [f"sib{j}-value-{i:04d}-{'x' * (j + 4)}" for i in range(n)] for j in range(9)}
+    raw = [
+        ("<doc>" + " ".join(sibs[f"s{j}"][i] for j in range(9)) + "</doc>").encode() * 8
+        for i in range(n)
+    ]
+    t = pa.table({**{k: pa.array(v, pa.string()) for k, v in sibs.items()},
+                  "raw": pa.array(raw, pa.binary())})
+    plans = resolve_column_plans(t)  # must not raise
+    codec = plans["raw"][0]
+    if getattr(codec, "name", "") == "xref":
+        assert len(codec.ctx_cols) <= 8
+
+
+def test_shard_hash_groups_nan_value_with_null():
+    """A float NaN VALUE (parquet-born) and a true null are ONE key to
+    every pandas groupby(dropna=False) stage — the shard hash must
+    agree or dedup keeps both rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    from supersonic_ray.stages._shard import stringify_key_cols
+
+    col_nan = pa.array(np.array([1.0, float("nan")]), pa.float64())  # NaN value
+    col_null = pa.array([1.0, None], pa.float64())  # true null
+    a = stringify_key_cols([col_nan], 2).to_pylist()
+    b = stringify_key_cols([col_null], 2).to_pylist()
+    assert a == b
+
+
+def test_dedup_by_key_nan_vs_null_blocks(ray_session):
+    """End-to-end: one block carries NaN-as-value, another a true null;
+    dedup over the key must keep exactly one row for the missing key."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from supersonic_ray.stages.ops import dedup_by_key
+
+    t1 = pa.table({"k": pa.array(np.array([float("nan"), 2.0]), pa.float64()),
+                   "rid": pa.array([0, 1], pa.int64())})
+    t2 = pa.table({"k": pa.array([None, 2.0], pa.float64()),
+                   "rid": pa.array([2, 3], pa.int64())})
+    ds = rd.from_arrow([t1, t2])
+    got = dedup_by_key(ds, ["k"], order_by="rid").to_pandas()
+    missing = got[got["k"].isna()]
+    assert len(missing) == 1 and int(missing["rid"].iloc[0]) == 0
+    assert len(got) == 2

@@ -1016,18 +1016,26 @@ def test_frontcode_sorted_urls_and_selector_gate():
     assert decode_array(blob, pa.string()).equals(urls_sorted)
     # beats fsst+bz2 on sorted urls by a wide margin
     assert len(blob) * 1.3 < len(encode_array(urls_sorted, "fsst", "bz2"))
-    assert choose_codec(urls_sorted)[0] == "frontcode"
+    # since round-5's numsplit, the race on digit-heavy urls may pick
+    # either identifier codec — the point here is that the sorted gate
+    # ADMITS frontcode and a byte-level coder never wins
+    assert choose_codec(urls_sorted)[0] in ("frontcode", "numsplit")
+    from supersonic_ray.codecs.selector import _candidates
+
+    assert any(c == "frontcode" for c, _ in _candidates(urls_sorted.type, column_stats(urls_sorted)))
 
     # host-CLUSTERED but unsorted-within-host still gates in via
-    # prefix_share; fully shuffled does not
+    # prefix_share; fully shuffled loses the frontcode gate
     items.sort(key=lambda x: x[0])
     clustered = pa.array([hosts[h] + tail for h, tail in items])
     st = column_stats(clustered)
     assert not st.is_sorted and st.prefix_share > 0.3
-    assert choose_codec(clustered)[0] == "frontcode"
+    assert any(c == "frontcode" for c, _ in _candidates(clustered.type, st))
+    assert choose_codec(clustered)[0] in ("frontcode", "numsplit")
     shuffled = [hosts[h] + tail for h, tail in items]
     rng.shuffle(shuffled)
-    assert choose_codec(pa.array(shuffled))[0] != "frontcode"
+    st_sh = column_stats(pa.array(shuffled))
+    assert not any(c == "frontcode" for c, _ in _candidates(pa.string(), st_sh))
 
 
 def test_frontcode_edge_cases():
