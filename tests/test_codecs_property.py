@@ -58,7 +58,7 @@ def test_int_round_trip(arr, codec, backend):
 
 
 @settings(max_examples=30, deadline=None)
-@given(arr=string_arrays(), codec=st.sampled_from(["plain", "dict", "rle", "fsst", "frontcode", "worddict"]), backend=st.sampled_from([0, 2, 5]))
+@given(arr=string_arrays(), codec=st.sampled_from(["plain", "dict", "rle", "fsst", "frontcode", "worddict", "numsplit"]), backend=st.sampled_from([0, 2, 5]))
 def test_string_round_trip(arr, codec, backend):
     out = decode_array(encode_array(arr, codec, backend), arr.type)
     assert out.equals(arr)
