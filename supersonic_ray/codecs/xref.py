@@ -179,13 +179,21 @@ class XrefCodec(Codec):
         head += struct.pack("<I", len(vals))
         lens = np.empty(len(vals), dtype=np.uint32)
         parts = []
+        order = list(range(len(esc_ctx)))
         for i, v in enumerate(vals):
             if not v:
                 lens[i] = 0
                 continue
             r = _escape(v) if esc_tgt else v
-            for j, ec in enumerate(esc_ctx):
-                s = ec[i]
+            # substitute LONGEST ctx value first: a short sibling that
+            # is a substring of a longer one (host inside url, url
+            # inside text) must not break the longer value's matches.
+            # Any substitution order decodes correctly (markers are
+            # position-independent); this one just removes more bytes.
+            if len(order) > 1:
+                order.sort(key=lambda j: -len(esc_ctx[j][i]))
+            for j in order:
+                s = esc_ctx[j][i]
                 if len(s) >= _MIN_SUB:
                     r = r.replace(s, _MARKERS[j])
             lens[i] = len(r)

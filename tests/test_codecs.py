@@ -618,3 +618,30 @@ def test_numsplit_wins_url_race():
     ns = codec_base.encode_array(u, "numsplit", "zstd")
     fc = codec_base.encode_array(u, "frontcode", "zstd")
     assert len(ns) * 2 < len(fc), (len(ns), len(fc))
+
+
+def test_xref_v2_nested_ctx_substitution_order():
+    """A ctx value that is a substring of another ctx value must not
+    break the longer value's matches: the encoder substitutes longest
+    first, and either way the roundtrip is bit-exact."""
+    import pyarrow as pa
+
+    from supersonic_ray.codecs import XrefCodec
+    from supersonic_ray.codecs import base as codec_base
+
+    hosts = ["example.org", "other.net"]
+    urls = [f"https://{h}/path" for h in hosts]
+    raws = [f"<a href='{u}'>{u}</a> host={h}".encode() for u, h in zip(urls, hosts)]
+    arr = pa.array(raws, pa.binary())
+    ctx = {
+        "host": pa.array(hosts, pa.string()),  # substring of url
+        "url": pa.array(urls, pa.string()),
+    }
+    codec = XrefCodec(["host", "url"])  # short column FIRST in ctx order
+    blob = codec_base.encode_array_ctx(arr, codec, "zstd", ctx)
+    out = codec_base.decode_array_ctx(blob, pa.binary(), ctx, expect_rows=2)
+    assert out.equals(arr)
+    # the url (longer) occurrences must have become markers: the raw
+    # payload may not contain the url text verbatim
+    payload = codec.encode_values_ctx(arr, ctx)
+    assert urls[0].encode() not in payload
