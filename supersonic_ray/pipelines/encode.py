@@ -886,7 +886,10 @@ def encode_parquet(
     # built AFTER plan resolution so the timing decomposition separates
     # engine plan cost from Ray Data's one-time lazy runtime init (the
     # first from_items in a fresh driver pays ~0.7 s of planner setup)
-    ds = rd.from_items(shards)
+    # one block per shard so map_batches(batch_size=1) fans out one
+    # encode task per shard immediately (from_items otherwise packs
+    # shards into ~2x-CPU blocks and late shards queue behind splits)
+    ds = rd.from_items(shards, override_num_blocks=max(1, len(shards)))
     if timings is not None:
         _t_end = _time.monotonic()
         timings["plan_wall_s"] = round(_t_end - _t0, 3)
@@ -1583,10 +1586,12 @@ def decode_partitions(
             if columns is not None:
                 schema = pa.schema([schema.field(c) for c in columns])
             return rd.from_arrow(schema.empty_table())
-    # repartition so every partition file is its own block: task-pool
-    # map_batches then schedules one decode task per file across all
-    # CPUs (from_items packs items into few blocks otherwise)
-    ds = rd.from_items([{"path": p} for p in paths]).repartition(max(1, len(paths)))
+    # one block per partition file: task-pool map_batches then
+    # schedules one decode task per file across all CPUs (from_items
+    # packs items into few blocks otherwise)
+    ds = rd.from_items(
+        [{"path": p} for p in paths], override_num_blocks=max(1, len(paths))
+    )
     decoder = PartitionDecoder(columns=columns, ranges=ranges, verify=verify)
     kwargs = {} if concurrency is None else {"concurrency": concurrency}
     return ds.map_batches(

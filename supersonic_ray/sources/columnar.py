@@ -20,7 +20,9 @@ import pyarrow as pa
 def _file_ds(paths: list[str], reader, concurrency: int | None = None):
     import ray.data as rd
 
-    ds = rd.from_items([{"path": p} for p in sorted(paths)]).repartition(max(1, len(paths)))
+    ds = rd.from_items(
+        [{"path": p} for p in sorted(paths)], override_num_blocks=max(1, len(paths))
+    )
     kwargs = {} if concurrency is None else {"concurrency": concurrency}
     return ds.map_batches(reader, batch_size=1, batch_format="pyarrow", **kwargs)
 
