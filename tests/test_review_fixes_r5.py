@@ -313,3 +313,25 @@ def test_dedup_by_key_nan_vs_null_blocks(ray_session):
     missing = got[got["k"].isna()]
     assert len(missing) == 1 and int(missing["rid"].iloc[0]) == 0
     assert len(got) == 2
+
+
+def test_encode_parquet_stamps_plan_part_timings(ray_session, tmp_path):
+    """The bench artifact's fixed-cost decomposition (plan_parts_s)
+    depends on these keys: shard planning, sample read, codec
+    resolution and dataset build are stamped separately and sum to
+    plan_wall_s within rounding."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from supersonic_ray.fixtures import generate_webpages
+    from supersonic_ray.pipelines.encode import encode_parquet
+
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(generate_webpages(2000), src)
+    timings: dict = {}
+    out = str(tmp_path / "enc")
+    encode_parquet(src, out, concurrency=2, timings=timings).materialize()
+    keys = {"plan_wall_s", "plan_shards_s", "plan_sample_s", "plan_resolve_s", "plan_dataset_s"}
+    assert keys <= set(timings), timings
+    parts = sum(timings[k] for k in keys - {"plan_wall_s"})
+    assert abs(parts - timings["plan_wall_s"]) < 0.05, timings
