@@ -335,3 +335,31 @@ def test_encode_parquet_stamps_plan_part_timings(ray_session, tmp_path):
     assert keys <= set(timings), timings
     parts = sum(timings[k] for k in keys - {"plan_wall_s"})
     assert abs(parts - timings["plan_wall_s"]) < 0.05, timings
+
+
+def test_decode_blob_corrupt_input_new_codecs():
+    """Round-5 codecs (xref substitution, numsplit, worddict+rANS):
+    single-byte mutations in their payloads must raise or decode to
+    SOME table — never crash the process, hang, or loop."""
+    import numpy as np
+
+    from supersonic_ray.fixtures import generate_webpages
+    from supersonic_ray.pipelines.encode import decode_blob, encode_table_to_blob
+
+    t = generate_webpages(1500)
+    blob, m = encode_table_to_blob(t, chunk_rows=512)
+    assert {m[c]["codec"] for c in ("html", "text", "url")} >= {"xref", "worddict", "numsplit"}, m
+    base = bytearray(blob)
+    rng = np.random.default_rng(77)
+    outcomes = {"raised": 0, "decoded": 0}
+    for _ in range(120):
+        mutated = bytearray(base)
+        i = int(rng.integers(4, len(mutated)))
+        mutated[i] ^= int(rng.integers(1, 256))
+        try:
+            got = decode_blob(bytes(mutated))
+            assert got.num_rows >= 0
+            outcomes["decoded"] += 1
+        except Exception:
+            outcomes["raised"] += 1
+    assert outcomes["raised"] + outcomes["decoded"] == 120, outcomes
