@@ -140,9 +140,9 @@ def _candidates(dtype: pa.DataType, st: ColumnStats) -> list[tuple[str, str]]:
             # adjacent values share prefixes — front coding's home turf
             cands += [("frontcode", ""), ("frontcode", "zstd"), ("frontcode", "bz2")]
         if st.run_ratio < 0.2:
-            cands += [("rle", ""), ("rle", "zlib"), ("rle", "brotli")]
+            cands += [("rle", ""), ("rle", "zlib"), ("rle", "brotli"), ("rle", "zstd")]
         if st.distinct_ratio < 0.3:
-            cands += [("dict", ""), ("dict", "zlib"), ("dict", "brotli")]
+            cands += [("dict", ""), ("dict", "zlib"), ("dict", "brotli"), ("dict", "zstd")]
         if (
             (pa.types.is_string(dtype) or pa.types.is_large_string(dtype))
             and st.avg_len > 30
