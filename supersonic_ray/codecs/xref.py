@@ -94,24 +94,44 @@ def _escape(b: bytes) -> bytes:
     return _ESC_SCAN.sub(lambda m: _ESC_SUB[m.group(0)], b)
 
 
-def _col_needs_escape(col: pa.Array) -> bool:
-    """Column-level escape probe: one vectorized min() over the Arrow
-    value buffer decides whether ANY value contains a reserved byte
-    (0x00..0x08), letting the hot path skip 8k+ per-row regex scans on
-    utf-8 corpora (~0.23 s/shard measured).  Conservative on sliced
-    arrays (the buffer may cover rows outside the slice → True only
-    means 'run the per-row scans', never a wrong payload)."""
+def _normalize(col: pa.Array | pa.ChunkedArray) -> pa.Array:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_dictionary(col.type):
         import pyarrow.compute as pc
 
         col = pc.cast(col, col.type.value_type)
+    return col
+
+
+def _col_needs_escape(col: pa.Array) -> bool:
+    """Column-level escape probe: one vectorized min() over THIS
+    slice's byte range of the Arrow value buffer decides whether any
+    value contains a reserved byte (0x00..0x08), letting the hot path
+    skip 8k+ per-row regex scans on utf-8 corpora (~0.23 s/shard
+    measured).  Bounding the scan to the slice via the offsets buffer
+    keeps per-chunk probes O(chunk bytes), not O(parent column bytes),
+    and isolates a dirty row to its own chunk.  Unknown layouts
+    (string_view, REE — values inline outside the last buffer) return
+    True: 'run the per-row scans', never a wrong payload.  Expects a
+    _normalize()d array."""
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_binary(t):
+        odt = np.dtype(np.int32)
+    elif pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        odt = np.dtype(np.int64)
+    else:
+        return True
     bufs = col.buffers()
-    data = bufs[-1] if bufs else None
-    if data is None or len(data) == 0:
+    if len(bufs) < 3 or bufs[1] is None or bufs[2] is None or len(col) == 0:
         return False
-    a = np.frombuffer(data, dtype=np.uint8)
+    offs = np.frombuffer(
+        bufs[1], dtype=odt, count=len(col) + 1, offset=col.offset * odt.itemsize
+    )
+    lo, hi = int(offs[0]), int(offs[-1])
+    if hi <= lo:
+        return False
+    a = np.frombuffer(bufs[2], dtype=np.uint8, count=hi - lo, offset=lo)
     return int(a.min()) <= 0x08
 
 
@@ -160,17 +180,19 @@ class XrefCodec(Codec):
     # -- the ctx interface (the chunk writer calls these) ------------
 
     def encode_values_ctx(self, arr: pa.Array, ctx: dict[str, pa.Array]) -> bytes:
+        arr = _normalize(arr)
         vals = _as_bytes_list(arr)
         # escape ONCE per (row, ctx): both sides substitute the escaped
         # form, so the per-row rule (len >= _MIN_SUB) agrees at decode.
         # The column-level probe skips the per-row scans entirely on
         # clean (utf-8) columns — the overwhelmingly common case.
         esc_tgt = _col_needs_escape(arr)
+        ctx_norm = [_normalize(ctx[c]) for c in self.ctx_cols]
         esc_ctx = [
-            [_escape(v) for v in _as_bytes_list(ctx[c])]
-            if _col_needs_escape(ctx[c])
-            else _as_bytes_list(ctx[c])
-            for c in self.ctx_cols
+            [_escape(v) for v in _as_bytes_list(c)]
+            if _col_needs_escape(c)
+            else _as_bytes_list(c)
+            for c in ctx_norm
         ]
         head = struct.pack("<BB", 2, len(self.ctx_cols))
         for c in self.ctx_cols:
@@ -229,11 +251,12 @@ class XrefCodec(Codec):
         pos += 4
         lens = np.frombuffer(payload, dtype="<u4", count=n_rows, offset=pos)
         pos += 4 * n_rows
+        ctx_norm = [_normalize(ctx[c]) for c in names]
         esc_ctx = [
-            [_escape(v) for v in _as_bytes_list(ctx[c])]
-            if _col_needs_escape(ctx[c])
-            else _as_bytes_list(ctx[c])
-            for c in names
+            [_escape(v) for v in _as_bytes_list(c)]
+            if _col_needs_escape(c)
+            else _as_bytes_list(c)
+            for c in ctx_norm
         ]
         out: list[bytes] = []
         for i in range(n_rows):

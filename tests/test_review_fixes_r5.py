@@ -358,8 +358,20 @@ def test_decode_blob_corrupt_input_new_codecs():
         mutated[i] ^= int(rng.integers(1, 256))
         try:
             got = decode_blob(bytes(mutated))
-            assert got.num_rows >= 0
-            outcomes["decoded"] += 1
         except Exception:
             outcomes["raised"] += 1
-    assert outcomes["raised"] + outcomes["decoded"] == 120, outcomes
+            continue
+        # decoded path: must still be a well-formed table with the
+        # HEADER-pinned shape (the asserts sit OUTSIDE the except so a
+        # malformed result fails the test instead of counting as
+        # 'raised').  Unlike the int/str blob in test_round4 (where
+        # most bytes are framing and ≥90/120 mutations raise), this
+        # blob is dominated by entropy streams (rANS token ids, zstd
+        # frames without checksums) where ANY bit pattern decodes to
+        # SOME value sequence — silent value corruption there is
+        # detected by the manifest sha256 scrub
+        # (test_decode_verify_detects_silent_corruption), not framing.
+        assert got.num_rows == t.num_rows
+        assert set(got.column_names) == set(t.column_names)
+        outcomes["decoded"] += 1
+    assert outcomes["raised"] + outcomes["decoded"] == 120  # no crash/hang path
