@@ -645,3 +645,53 @@ def test_xref_v2_nested_ctx_substitution_order():
     # payload may not contain the url text verbatim
     payload = codec.encode_values_ctx(arr, ctx)
     assert urls[0].encode() not in payload
+
+
+def test_xref_escape_probe_slice_bounded():
+    """_col_needs_escape scans only THIS slice's byte range: dirty
+    bytes outside the slice must not flip the probe (per-chunk
+    isolation), dirty inside must; unknown layouts fall back to True."""
+    import pyarrow as pa
+
+    from supersonic_ray.codecs.xref import _col_needs_escape, _normalize
+
+    dirty_first = pa.array([b"\x01bad", b"clean", b"also clean"], pa.binary())
+    assert _col_needs_escape(dirty_first) is True
+    assert _col_needs_escape(dirty_first.slice(1)) is False  # dirt outside slice
+    assert _col_needs_escape(dirty_first.slice(0, 1)) is True
+
+    for t in (pa.string(), pa.large_string(), pa.binary(), pa.large_binary()):
+        clean = pa.array(["ok", "fine", None, ""], pa.string()).cast(t)
+        assert _col_needs_escape(_normalize(clean)) is False, t
+        dirty = pa.array(["ok", "b\x07d"], pa.string()).cast(t)
+        assert _col_needs_escape(_normalize(dirty)) is True, t
+        assert _col_needs_escape(_normalize(dirty.slice(0, 1))) is False, t
+
+    assert _col_needs_escape(pa.array([], pa.string())) is False
+    assert _col_needs_escape(pa.array([None, None], pa.string())) is False
+    # dictionary ctx normalizes to its value type first
+    d = pa.array(["x\x02", "x\x02"]).dictionary_encode()
+    assert _col_needs_escape(_normalize(d)) is True
+    # non-binary layout: conservative True
+    assert _col_needs_escape(pa.array([1, 2], pa.int64())) is True
+
+
+def test_xref_roundtrip_on_sliced_dirty_parent():
+    """encode/decode through chunked slices of a parent whose OTHER
+    rows carry reserved bytes — the slice-bounded probe must keep each
+    chunk lossless either way."""
+    import pyarrow as pa
+
+    from supersonic_ray.codecs import XrefCodec
+    from supersonic_ray.codecs import base as codec_base
+
+    texts = ["body \x01\x00 dirty"] + [f"clean body {i}" for i in range(63)]
+    raws = [f"<p>{t}</p>".encode() for t in texts]
+    arr = pa.array(raws, pa.binary())
+    ctx_full = pa.array(texts, pa.string())
+    codec = XrefCodec(["t"])
+    for start, ln in ((0, 8), (8, 8), (1, 63), (0, 64)):
+        sl, cl = arr.slice(start, ln), ctx_full.slice(start, ln)
+        blob = codec_base.encode_array_ctx(sl, codec, "zstd", {"t": cl})
+        out = codec_base.decode_array_ctx(blob, pa.binary(), {"t": cl}, expect_rows=ln)
+        assert out.equals(sl), (start, ln)
