@@ -192,8 +192,10 @@ def _candidates(dtype: pa.DataType, st: ColumnStats) -> list[tuple[str, str]]:
             cands.append(("rle", ""))
         if st.distinct_ratio < 0.1:
             cands.append(("dict", ""))
-        if not st.is_sorted:
-            cands.append(("for_bitpack", "zlib"))
+        # backend wrap races even on sorted columns: a delta-dict body
+        # whose few distinct deltas repeat in patterns still has ~1 bit
+        # of byte-level redundancy per value (warc_ts: −13 % measured)
+        cands += [("for_bitpack", "zlib"), ("for_bitpack", "zstd")]
     seen = set()
     uniq = []
     for c in cands:
