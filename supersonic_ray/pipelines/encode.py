@@ -91,11 +91,11 @@ def resolve_column_plans(
 
     ``parallel=True`` (the GLOBAL plan_scope call site only — never the
     per-shard fallback inside an actor) fans the trial encodes out as
-    one Ray task per (column, codec-family) group, with the xref
+    one Ray task per (column, codec, backend) trial, with the xref
     cross-column trial racing CONCURRENTLY against them instead of
-    after the picks: critical path = the single slowest trial group
-    (~0.6 s on webpages) instead of the slowest column's serial race
-    (~2.7 s html) plus a serial xref pass (~0.6 s).  The O(1)-per-job
+    after the picks: critical path = the single slowest trial
+    (~0.37 s on webpages: fsst body + one bz2) instead of the slowest
+    column's serial race (~2.7 s html) plus a serial xref pass (~0.6 s).  The O(1)-per-job
     plan cost is what stops amortizing when xref-regime encode walls
     drop under ~10 s (BASELINE §10j)."""
     plans: dict[str, tuple[Any, int]] = {}
@@ -160,7 +160,7 @@ def resolve_column_plans(
 
             ctx = [
                 c
-                for c in _xref_ctx_candidates(sample, name)
+                for c in _xref_ctx_candidates(sample, name, min_share=0.0)
                 if named.get(c, ("", ""))[0] != "xref" and c not in xref_winners
             ]
             codec = XrefCodec(ctx)
@@ -172,6 +172,41 @@ def resolve_column_plans(
     return plans
 
 
+_RESOLVE_TASKS: dict[str, Any] = {}
+
+
+def _resolve_remote_fns():
+    """Module-cached ``@ray.remote`` wrappers for plan resolution.
+    One RemoteFunction object per process ⇒ one function export per Ray
+    session; a fresh definition per call would make every worker fetch
+    the new function from GCS on its first trial task of EVERY resolve
+    (measured: ~0.6 s added to the plan wall at 32 workers)."""
+    if "trial" not in _RESOLVE_TASKS:
+        import ray
+
+        @ray.remote(num_cpus=1)
+        def _trial_task(sl, codec, backends):
+            from supersonic_ray.codecs.selector import trial_group
+
+            return trial_group(sl, codec, backends)
+
+        @ray.remote(num_cpus=1)
+        def _xref_size_task(tcol, ctx_names, ctx_cols):
+            from supersonic_ray.codecs import XrefCodec
+
+            blob = codec_base.encode_array_ctx(
+                tcol,
+                XrefCodec(ctx_names),
+                BACKEND_IDS["zstd"],
+                dict(zip(ctx_names, ctx_cols)),
+            )
+            return len(blob)
+
+        _RESOLVE_TASKS["trial"] = _trial_task
+        _RESOLVE_TASKS["xref"] = _xref_size_task
+    return _RESOLVE_TASKS["trial"], _RESOLVE_TASKS["xref"]
+
+
 def _resolve_parallel(
     sample: pa.Table,
     to_pick: list[str],
@@ -181,11 +216,12 @@ def _resolve_parallel(
     """Parallel bind-time resolution (the GLOBAL plan site): stats +
     sample slicing stay on the driver (cheap), every (column, codec)
     trial group runs as its own Ray task, and the xref cross-column
-    trial races concurrently on the SAME sample slice so its size is
-    directly comparable to the per-column winner's.  Returns
-    (picks, xref_winners); xref_winners=None means "not decided here —
-    run the serial _xref_decide" (the >1-candidate case, where xref
-    upgrades interact: a ctx column must stay plainly decodable)."""
+    trials race concurrently on the SAME sample slice so their sizes
+    are directly comparable to the per-column winners'.  Multi-target
+    xref interaction (a ctx column must stay plainly decodable) is
+    resolved by an ordered winner walk over the gathered sizes —
+    semantics identical to the serial _xref_decide, without its serial
+    incumbent re-encode (fsst symbol retraining) on the driver."""
     import ray
 
     from supersonic_ray.codecs.selector import (
@@ -196,20 +232,11 @@ def _resolve_parallel(
         trial_groups,
     )
 
-    @ray.remote(num_cpus=1)
-    def _trial(sl, codec, backends):
-        from supersonic_ray.codecs.selector import trial_group
-
-        return trial_group(sl, codec, backends)
-
-    @ray.remote(num_cpus=1)
-    def _xref_size(tcol, ctx_names, ctx_cols):
-        from supersonic_ray.codecs import XrefCodec
-
-        blob = codec_base.encode_array_ctx(
-            tcol, XrefCodec(ctx_names), BACKEND_IDS["zstd"], dict(zip(ctx_names, ctx_cols))
-        )
-        return len(blob)
+    # session-cached remote fns: defining them here would export a
+    # brand-new function per resolve call, and every worker pays a
+    # function-table fetch on its first task of each call — measured
+    # ~0.6 s of the plan wall at 32 workers
+    _trial, _xref_size = _resolve_remote_fns()
 
     futs: dict[str, list] = {}
     slices: dict[str, pa.Array] = {}
@@ -227,18 +254,27 @@ def _resolve_parallel(
         ref = ray.put(sl)  # ship the slice ONCE, not per trial group
         futs[name] = []
         for codec, backends in trial_groups(col.type, st):
-            if codec == "fsst" or len(backends) <= 1:
-                # fsst amortizes one symbol-table training across its
-                # backends; single-backend groups gain nothing by split
+            if len(backends) <= 1:
+                # single-backend groups gain nothing by splitting
                 futs[name].append(_trial.remote(ref, codec, backends))
             else:
-                # cheap-body codecs: one task PER backend so the slow
-                # compressors (bz2/lzma) stop serializing behind each
-                # other — they are the plan's critical path
+                # one task PER backend so the slow compressors (bz2/
+                # brotli) stop serializing behind each other — they are
+                # the plan's critical path.  This re-encodes the codec
+                # body once per backend task (fsst retrains its symbol
+                # table, ~0.3 s CPU on a 2 MB text sample), but the
+                # retrains run CONCURRENTLY on otherwise-idle plan-time
+                # workers: the measured critical path drops 0.59 s →
+                # 0.37 s (body + one bz2) on the webpages text column.
+                # Training is deterministic, so every task produces the
+                # identical body and picks are unchanged.
                 futs[name] += [_trial.remote(ref, codec, [b]) for b in backends]
 
     # xref gate (same predicates as _xref_decide) evaluated up front so
-    # the trial races with the column trials instead of after them
+    # every candidate's trial races with the column trials instead of
+    # after them.  Trials are dispatched with the OPTIMISTIC ctx (all
+    # containment-passing siblings); the ordered winner walk below
+    # re-trials only when an earlier winner invalidates a ctx.
     xref_cands: list[tuple[str, list[str]]] = []
     for name in to_pick:
         f = sample.schema.field(name)
@@ -249,17 +285,13 @@ def _resolve_parallel(
             continue
         ctx = _xref_ctx_candidates(sample, name)
         ctx = [c for c in ctx if (overrides or {}).get(c, ("", ""))[0] != "xref"]
-        if ctx:
+        if ctx and name in slices:
             xref_cands.append((name, ctx))
-    xref_fut = None
-    xref_winners: dict[str, Any] | None = {}
-    if len(xref_cands) == 1 and xref_cands[0][0] in slices:
-        name, ctx = xref_cands[0]
+    xref_futs: list[tuple[str, list[str], Any]] = []
+    for name, ctx in xref_cands:
         tcol = slices[name]
-        ctx_cols = [sample.column(c).combine_chunks().slice(0, len(tcol)) for c in ctx]
-        xref_fut = (name, ctx, _xref_size.remote(tcol, ctx, ctx_cols))
-    elif xref_cands:
-        xref_winners = None  # interacting upgrades: defer to _xref_decide
+        ctx_cols = [prep(c).slice(0, len(tcol)) for c in ctx]
+        xref_futs.append((name, ctx, _xref_size.remote(tcol, ctx, ctx_cols)))
 
     picks: dict[str, tuple[str, str]] = {}
     sizes: dict[str, int] = {}
@@ -268,16 +300,38 @@ def _resolve_parallel(
         codec, backend, wsize = pick_winner(rows)
         picks[name] = (codec, backend)
         sizes[name] = wsize
-    if xref_fut is not None and xref_winners is not None:
-        name, ctx, f = xref_fut
-        try:
-            xsize = ray.get(f)
-        except Exception:
-            xsize = None  # xref trial failure never blocks the plan
-        if xsize is not None and name in sizes and xsize < sizes[name]:
-            from supersonic_ray.codecs import XrefCodec
+    # ordered winner walk (same order + ctx-filter semantics as the
+    # serial _xref_decide): a ctx column an xref plan depends on must
+    # stay plainly decodable, so later candidates drop earlier winners
+    # from their ctx.  Incumbent bytes = the pick's trial size on the
+    # SAME sample slice the xref trial encoded — strictly more
+    # comparable than re-encoding the incumbent on a different slice.
+    xref_winners: dict[str, Any] = {}
+    from supersonic_ray.codecs import XrefCodec
 
-            xref_winners[name] = XrefCodec(ctx)
+    for name, ctx, fut in xref_futs:
+        fctx = [c for c in ctx if c not in xref_winners]
+        try:
+            if fctx == ctx:
+                xsize = ray.get(fut)
+            elif not fctx:
+                continue  # every ctx sibling became an xref winner
+            else:
+                # earlier winner invalidated the dispatched ctx: cheap
+                # driver-side re-trial (~20 ms; no symbol training)
+                tcol = slices[name]
+                xsize = len(
+                    codec_base.encode_array_ctx(
+                        tcol,
+                        XrefCodec(fctx),
+                        BACKEND_IDS["zstd"],
+                        {c: prep(c).slice(0, len(tcol)) for c in fctx},
+                    )
+                )
+        except Exception:
+            continue  # xref trial failure never blocks the plan
+        if name in sizes and xsize < sizes[name]:
+            xref_winners[name] = XrefCodec(fctx)
     return picks, xref_winners
 
 
@@ -290,12 +344,23 @@ def _is_texty(dtype: pa.DataType) -> bool:
     )
 
 
-def _xref_ctx_candidates(sample: pa.Table, target: str, probe_rows: int = 64) -> list[str]:
+def _xref_ctx_candidates(
+    sample: pa.Table, target: str, probe_rows: int = 64, min_share: float = 0.02
+) -> list[str]:
     """Sibling string/binary columns whose values are VERBATIM inside
     the target column's values (sampled containment ≥ 0.5) — the
     raw-document-vs-extracted-field signature XrefCodec exploits.
     Candidates order short→long so the most redundant (longest) value
-    sits nearest the deflate window's end."""
+    sits nearest the deflate window's end.
+
+    ``min_share``: the containable-byte CEILING (sum of kept ctx
+    columns' avg value length / target avg value length) below which
+    the whole candidacy is rejected — an xref upgrade can never save
+    more than the contained bytes, so a sub-2 % ceiling cannot flip a
+    codec race, and the trial it would trigger is pure plan-wall waste
+    (measured: a 2-byte ``lang`` ctx forced a ~1 s zstd trial on the
+    webpages text column that lost by 34 %).  Explicit ``xref``
+    overrides pass 0.0 — the user asked, so any ctx is honored."""
     import pyarrow.compute as pc
 
     tgt = sample.column(target).combine_chunks()
@@ -329,6 +394,11 @@ def _xref_ctx_candidates(sample: pa.Table, target: str, probe_rows: int = 64) ->
     from supersonic_ray.codecs.xref import _MAX_CTX
 
     kept = sorted(cands)[-_MAX_CTX:]
+    if min_share > 0.0:
+        nonempty = [len(v) for v in tvals if v]
+        tavg = (sum(nonempty) / len(nonempty)) if nonempty else 0.0
+        if tavg <= 0.0 or sum(a for a, _ in kept) < min_share * tavg:
+            return []
     return [n for _, n in sorted(kept)]
 
 

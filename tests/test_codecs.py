@@ -394,11 +394,11 @@ def test_resolve_parallel_matches_serial_and_roundtrips():
         ), name
 
 
-def test_resolve_parallel_multi_xref_defers_to_serial_decide():
+def test_resolve_parallel_multi_xref_winner_walk_invariant():
     """Two raw-document columns each embedding sibling fields is the
-    interacting-upgrades case: the task fan-out must defer the xref
-    decision to the serial _xref_decide (a ctx column must stay plainly
-    decodable) and the result must still roundtrip."""
+    interacting-upgrades case: the task fan-out's ordered winner walk
+    must keep every ctx column plainly decodable (no nested xref) and
+    the result must still roundtrip."""
     import pyarrow as pa
 
     from supersonic_ray.pipelines.encode import (
@@ -423,6 +423,40 @@ def test_resolve_parallel_multi_xref_defers_to_serial_decide():
         for c in par[name][0].ctx_cols:
             assert par[c][0].name != "xref", (name, c)
     blob, _ = encode_table_to_blob(t, 128, plans=par)
+    out = decode_blob(blob)
+    for name in t.column_names:
+        assert out.column(name).combine_chunks().equals(
+            t.column(name).combine_chunks()
+        ), name
+
+
+def test_xref_candidacy_rejected_when_containable_share_negligible():
+    """A ctx column whose containable bytes are a negligible share of
+    the target (a 2-byte lang code inside ~400-byte text) must not make
+    the target an xref candidate — the upgrade's savings ceiling is the
+    contained bytes, so a sub-2% ceiling can't flip a codec race and
+    the trial it would force is pure plan-wall waste (measured ~1 s of
+    zstd on the webpages text column).  An explicit xref override still
+    honors the tiny ctx (min_share=0.0)."""
+    import pyarrow as pa
+
+    from supersonic_ray.pipelines.encode import (
+        _xref_ctx_candidates,
+        decode_blob,
+        encode_table_to_blob,
+        resolve_column_plans,
+    )
+
+    n = 200
+    langs = ["en" if i % 3 else "de" for i in range(n)]
+    texts = [f"{langs[i]} body text with shared words {i} " * 12 for i in range(n)]
+    t = pa.table({"lang": pa.array(langs), "text": pa.array(texts)})
+    assert _xref_ctx_candidates(t, "text") == []
+    assert _xref_ctx_candidates(t, "text", min_share=0.0) == ["lang"]
+    plans = resolve_column_plans(t, overrides={"text": ("xref", "zstd")})
+    assert plans["text"][0].name == "xref"
+    assert plans["text"][0].ctx_cols == ["lang"]
+    blob, _ = encode_table_to_blob(t, 64, plans=plans)
     out = decode_blob(blob)
     for name in t.column_names:
         assert out.column(name).combine_chunks().equals(
