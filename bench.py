@@ -173,6 +173,17 @@ def run_bench(ncpu: int) -> dict:
 
     _ray.get([_warm.remote(i) for i in range(ncpu)])
 
+    # the plan's trial RemoteFunction is session-cached (one export per
+    # process); fetch it into every worker's function table untimed so
+    # the first resolve measures trial compute, not function delivery —
+    # same long-running-cluster model as the worker warmup above
+    from supersonic_ray.pipelines.encode import _resolve_remote_fns
+
+    _trial_fn, _ = _resolve_remote_fns()
+    import pyarrow as _pa
+
+    _ray.get([_trial_fn.remote(_pa.array(["w"]), "plain", [""]) for _ in range(ncpu)])
+
     enc_dir = os.path.join(BENCH_ROOT, f"encoded_sf{sf}_cpu{ncpu}")
     shutil.rmtree(enc_dir, ignore_errors=True)
 
