@@ -179,10 +179,14 @@ def run_bench(ncpu: int) -> dict:
     # same long-running-cluster model as the worker warmup above
     from supersonic_ray.pipelines.encode import _resolve_remote_fns
 
-    _trial_fn, _ = _resolve_remote_fns()
+    _trial_fn, _xref_fn = _resolve_remote_fns()
     import pyarrow as _pa
 
-    _ray.get([_trial_fn.remote(_pa.array(["w"]), "plain", [""]) for _ in range(ncpu)])
+    _tiny = _pa.array(["w"])
+    _ray.get(
+        [_trial_fn.remote(_tiny, "plain", [""]) for _ in range(ncpu)]
+        + [_xref_fn.remote(_tiny, [], []) for _ in range(ncpu)]
+    )
 
     enc_dir = os.path.join(BENCH_ROOT, f"encoded_sf{sf}_cpu{ncpu}")
     shutil.rmtree(enc_dir, ignore_errors=True)

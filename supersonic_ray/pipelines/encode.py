@@ -287,11 +287,22 @@ def _resolve_parallel(
         ctx = [c for c in ctx if (overrides or {}).get(c, ("", ""))[0] != "xref"]
         if ctx and name in slices:
             xref_cands.append((name, ctx))
-    xref_futs: list[tuple[str, list[str], Any]] = []
+    cand_names = {n for n, _ in xref_cands}
+    xref_futs: list[tuple[str, list[str], Any, list[str], Any]] = []
     for name, ctx in xref_cands:
         tcol = slices[name]
         ctx_cols = [prep(c).slice(0, len(tcol)) for c in ctx]
-        xref_futs.append((name, ctx, _xref_size.remote(tcol, ctx, ctx_cols)))
+        fut = _xref_size.remote(tcol, ctx, ctx_cols)
+        # pessimistic variant (ctx minus every OTHER candidate) raced
+        # upfront too when candidates interact, so the winner walk
+        # below almost never needs a blocking re-trial
+        pess = [c for c in ctx if c not in cand_names]
+        pfut = None
+        if pess and pess != ctx:
+            pfut = _xref_size.remote(
+                tcol, pess, [prep(c).slice(0, len(tcol)) for c in pess]
+            )
+        xref_futs.append((name, ctx, fut, pess, pfut))
 
     picks: dict[str, tuple[str, str]] = {}
     sizes: dict[str, int] = {}
@@ -301,37 +312,44 @@ def _resolve_parallel(
         picks[name] = (codec, backend)
         sizes[name] = wsize
     # ordered winner walk (same order + ctx-filter semantics as the
-    # serial _xref_decide): a ctx column an xref plan depends on must
-    # stay plainly decodable, so later candidates drop earlier winners
-    # from their ctx.  Incumbent bytes = the pick's trial size on the
-    # SAME sample slice the xref trial encoded — strictly more
-    # comparable than re-encoding the incumbent on a different slice.
+    # serial _xref_decide): the "a ctx column must stay plainly
+    # decodable" invariant is enforced in BOTH directions — a later
+    # candidate drops earlier winners from its ctx, AND a column an
+    # earlier winner already uses as ctx can never itself be upgraded
+    # (decode resolves xref ctx from DECODED siblings, so nested xref
+    # plans write permanently unreadable files).  Incumbent bytes = the
+    # pick's trial size on the SAME sample slice the xref trial encoded.
     xref_winners: dict[str, Any] = {}
+    ctx_in_use: set[str] = set()
     from supersonic_ray.codecs import XrefCodec
 
-    for name, ctx, fut in xref_futs:
+    for name, ctx, fut, pess, pfut in xref_futs:
+        if name in ctx_in_use:
+            continue  # an earlier winner's ctx depends on this column
         fctx = [c for c in ctx if c not in xref_winners]
         try:
             if fctx == ctx:
                 xsize = ray.get(fut)
             elif not fctx:
                 continue  # every ctx sibling became an xref winner
+            elif pfut is not None and fctx == pess:
+                xsize = ray.get(pfut)
             else:
-                # earlier winner invalidated the dispatched ctx: cheap
-                # driver-side re-trial (~20 ms; no symbol training)
+                # partial interaction both pre-dispatched variants
+                # missed: re-trial on a WORKER via the cached remote fn
+                # (zstd-19 over a 1.3-2 MB sample slice is ~1 s of
+                # compute — never run it on the driver)
                 tcol = slices[name]
-                xsize = len(
-                    codec_base.encode_array_ctx(
-                        tcol,
-                        XrefCodec(fctx),
-                        BACKEND_IDS["zstd"],
-                        {c: prep(c).slice(0, len(tcol)) for c in fctx},
+                xsize = ray.get(
+                    _xref_size.remote(
+                        tcol, fctx, [prep(c).slice(0, len(tcol)) for c in fctx]
                     )
                 )
         except Exception:
             continue  # xref trial failure never blocks the plan
         if name in sizes and xsize < sizes[name]:
             xref_winners[name] = XrefCodec(fctx)
+            ctx_in_use.update(fctx)
     return picks, xref_winners
 
 
@@ -420,9 +438,16 @@ def _xref_decide(
     from supersonic_ray.codecs import XrefCodec, encode_array
 
     winners: dict[str, Any] = {}
+    ctx_in_use: set[str] = set()
     for name in sample.column_names:
         if overrides and name in overrides:
             continue  # explicit choice wins
+        if name in ctx_in_use:
+            # an earlier winner's ctx depends on this column staying
+            # plainly decodable — upgrading it would nest xref plans
+            # (decode resolves ctx from DECODED siblings: nested plans
+            # write permanently unreadable files)
+            continue
         codec_name, backend = named[name]
         if codec_name == "xref":
             continue
@@ -457,6 +482,7 @@ def _xref_decide(
         )
         if len(xref_blob) < incumbent:
             winners[name] = xc
+            ctx_in_use.update(ctx)
     return winners
 
 
@@ -513,6 +539,20 @@ def encode_table_to_blob(
 
     if plans is None:
         plans = resolve_column_plans(table)
+    # fail LOUDLY on nested xref plans (planner bug or hand-built
+    # plans): decode resolves a target's ctx from its DECODED sibling
+    # columns, so a ctx column that is itself xref-coded would write a
+    # permanently unreadable file — silent data loss, not a size bug
+    for name in table.column_names:
+        codec = plans[name][0]
+        if getattr(codec, "name", "") == "xref":
+            for c in codec.ctx_cols:
+                if getattr(plans.get(c, (None,))[0], "name", "") == "xref":
+                    raise ValueError(
+                        f"nested xref plan: column {name!r} uses ctx column "
+                        f"{c!r} which is itself xref-coded; ctx columns must "
+                        "stay plainly decodable"
+                    )
     schema_bytes = table.schema.serialize().to_pybytes()
     out = io.BytesIO()
     out.write(MAGIC)

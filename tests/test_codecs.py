@@ -430,6 +430,88 @@ def test_resolve_parallel_multi_xref_winner_walk_invariant():
         ), name
 
 
+def _nesting_prone_table(n: int = 64):
+    """doc ⊃ text ⊃ tag, all high-entropy and all passing the xref
+    target gates (avg ≥ 256 B, containment, containable share) — the
+    interacting case where BOTH doc and text want an xref upgrade and a
+    naive walk nests them (text inside doc's ctx while text itself goes
+    xref), writing undecodable files."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def hexblob(seed: str, nbytes: int) -> str:
+        out = []
+        h = seed
+        while sum(len(x) for x in out) < nbytes:
+            h = hashlib.md5(h.encode()).hexdigest()
+            out.append(h)
+        return "".join(out)[:nbytes]
+
+    tags = [hexblob(f"tag{i}", 300) for i in range(n)]
+    texts = [tags[i] + hexblob(f"sfx{i}", 40) for i in range(n)]
+    docs = [f"<d>{texts[i]}</d>{hexblob(f'pad{i}', 24)}" for i in range(n)]
+    return pa.table({
+        "doc": pa.array(docs, pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "tag": pa.array(tags, pa.string()),
+    })
+
+
+def test_xref_winner_walk_never_nests_and_roundtrips():
+    """When two xref targets contain each other's columns, the FIRST
+    winner keeps its upgrade and every column inside its ctx must stay
+    plainly decodable (no nested xref) — on both the parallel and the
+    serial plan paths — and the written file must decode bit-exact.
+    Regression: the walk used to filter only EARLIER winners out of a
+    later candidate's ctx, so a later candidate sitting inside an
+    earlier winner's ctx still upgraded, and decode_blob raised
+    KeyError on the written partition (permanent data loss)."""
+    from supersonic_ray.pipelines.encode import (
+        decode_blob,
+        encode_table_to_blob,
+        resolve_column_plans,
+    )
+
+    t = _nesting_prone_table()
+    for plans in (
+        resolve_column_plans(t, parallel=True),
+        resolve_column_plans(t, parallel=False),
+    ):
+        xref_cols = [n for n in t.column_names if plans[n][0].name == "xref"]
+        assert "doc" in xref_cols  # the fixture genuinely triggers xref
+        for name in xref_cols:
+            for c in plans[name][0].ctx_cols:
+                assert plans[c][0].name != "xref", (name, c)
+        blob, _ = encode_table_to_blob(t, 32, plans=plans)
+        out = decode_blob(blob)
+        for name in t.column_names:
+            assert out.column(name).combine_chunks().equals(
+                t.column(name).combine_chunks()
+            ), name
+
+
+def test_encode_rejects_nested_xref_plans_loudly():
+    """Hand-built (or buggy-planner) nested xref plans must fail at
+    ENCODE time with a clear error — decode resolves ctx from decoded
+    siblings, so writing such a file would be silent data loss."""
+    import pyarrow as pa
+    import pytest
+
+    from supersonic_ray.codecs import XrefCodec
+    from supersonic_ray.codecs.base import BACKEND_IDS
+    from supersonic_ray.pipelines.encode import encode_table_to_blob
+
+    t = _nesting_prone_table(16)
+    plans = {
+        "doc": (XrefCodec(["text"]), BACKEND_IDS["zstd"]),
+        "text": (XrefCodec(["tag"]), BACKEND_IDS["zstd"]),
+        "tag": (XrefCodec([]), BACKEND_IDS["zstd"]),
+    }
+    with pytest.raises(ValueError, match="nested xref"):
+        encode_table_to_blob(t, 32, plans=plans)
+
+
 def test_xref_candidacy_rejected_when_containable_share_negligible():
     """A ctx column whose containable bytes are a negligible share of
     the target (a 2-byte lang code inside ~400-byte text) must not make
