@@ -237,6 +237,7 @@ def _resolve_parallel(
     # function-table fetch on its first task of each call — measured
     # ~0.6 s of the plan wall at 32 workers
     _trial, _xref_size = _resolve_remote_fns()
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
 
     futs: dict[str, list] = {}
     slices: dict[str, pa.Array] = {}
@@ -254,20 +255,24 @@ def _resolve_parallel(
         ref = ray.put(sl)  # ship the slice ONCE, not per trial group
         futs[name] = []
         for codec, backends in trial_groups(col.type, st):
-            if len(backends) <= 1:
-                # single-backend groups gain nothing by splitting
+            if len(backends) <= 1 or (codec == "fsst" and ncpu < 16):
+                # single-backend groups gain nothing by splitting; and
+                # fsst's body (symbol training, ~0.3 s CPU on a 2 MB
+                # text sample) is only worth re-encoding per backend
+                # when there are idle workers to absorb the retrains —
+                # on a small cluster the redundant CPU·s would just
+                # serialize behind each other
                 futs[name].append(_trial.remote(ref, codec, backends))
             else:
                 # one task PER backend so the slow compressors (bz2/
                 # brotli) stop serializing behind each other — they are
-                # the plan's critical path.  This re-encodes the codec
-                # body once per backend task (fsst retrains its symbol
-                # table, ~0.3 s CPU on a 2 MB text sample), but the
-                # retrains run CONCURRENTLY on otherwise-idle plan-time
-                # workers: the measured critical path drops 0.59 s →
-                # 0.37 s (body + one bz2) on the webpages text column.
-                # Training is deterministic, so every task produces the
-                # identical body and picks are unchanged.
+                # the plan's critical path.  fsst re-encodes its body
+                # once per backend task, but the retrains run
+                # CONCURRENTLY on otherwise-idle plan-time workers: the
+                # measured critical path drops 0.59 s → 0.37 s (body +
+                # one bz2) on the webpages text column.  Training is
+                # deterministic, so every task produces the identical
+                # body and picks are unchanged.
                 futs[name] += [_trial.remote(ref, codec, [b]) for b in backends]
 
     # xref gate (same predicates as _xref_decide) evaluated up front so
