@@ -775,6 +775,36 @@ def weighted_mix_docs(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def global_shuffle_docs(sf_dir: str):
+    """Deterministic seeded GLOBAL shuffle with exact rank assignment
+    (round-5 late: the shuffle-before-training op).  Order is
+    (md5_number_lower('shuf42|' || doc_id), doc_id) — reproducible
+    under any partitioning/cluster shape, so the oracle replays every
+    rank via row_number().  Scale shape: bucket = high bits of the
+    uniform 64-bit key (range partition in key order), a tiny
+    (bucket, n) count pass -> driver prefix-sum over O(buckets) rows,
+    then ONE exchange + vectorized per-bucket Arrow sort."""
+    from supersonic_ray.stages.ops import global_shuffle_rank
+
+    ds = _ld(sf_dir, "documents", ["doc_id"])
+    out = global_shuffle_rank(ds, ["doc_id"], seed=42).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def bpe_train_docs(sf_dir: str):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016,
+    round-5 late): the first 3 learned merge rules over the documents
+    corpus.  One corpus pass builds the compact (word, count) vocab
+    table; each round is a vectorized pair-count pass over THAT table
+    + one plain replace_substring merge application (the double-space
+    symbol representation makes left-to-right REPLACE exactly greedy
+    BPE application, so DuckDB replays all 3 rounds verbatim)."""
+    from supersonic_ray.stages.text import bpe_train_merges
+
+    ds = _ld(sf_dir, "documents", ["text"])
+    return bpe_train_merges(ds, "text", n_merges=3).to_pandas()
+
+
 def ann_pq_embeddings(sf_dir: str):
     """Product-quantization ANN (Jégou et al. 2011 — the memory-bounded
     billion-vector scan: 8 uint8 codes per vector, query scoring = m
@@ -2251,7 +2281,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q5_region_revenue": q5_region_revenue,
-        "plan_q1_json": plan_q1_json,
         "plan_dedup_json": plan_dedup_json,
         "plan_assembly_json": plan_assembly_json,
         "sort_multikey_ci": sort_multikey_ci,
@@ -2273,14 +2302,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unnest_embeddings": unnest_embeddings,
         "sample_k_per_group_docs": sample_k_per_group_docs,
         "weighted_mix_docs": weighted_mix_docs,
-        # -- training-data assembly
+        # -- training-data assembly (+ late-r5 NEW: global shuffle rank,
+        # -- distributed BPE training — first driver rows)
         "pack_sequences_docs": pack_sequences_docs,
+        "global_shuffle_docs": global_shuffle_docs,
+        "bpe_train_docs": bpe_train_docs,
         # -- dedup + fingerprints + sketches (round-5 oracle closures)
         "dedup_exact_docs": dedup_exact_docs,
         "substring_dedup_docs": substring_dedup_docs,
         "doc_rolling_fp": doc_rolling_fp,
         "sketch_distinct_freq": sketch_distinct_freq,
-        "hll_distinct_by_lang": hll_distinct_by_lang,
         "sample_bernoulli": sample_bernoulli,
         # -- windows (session/sliding rewritten to the shard-size
         # -- contract since the r4 run)
@@ -2330,7 +2361,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- vocab/line regions unhunked in r5; token counts + tfidf
         # ---- share the explode/groupby kernels).  Moved UP in exchange:
         # ---- orc/feather source roundtrips (NEW in r5 — first driver
-        # ---- rows) and the corpus-assembly ops.
+        # ---- rows) and the corpus-assembly ops.  Late-r5 rotations for
+        # ---- the NEW global_shuffle_docs + bpe_train_docs rows:
+        # ---- plan_q1_json down (green r04; its unique coverage — plan
+        # ---- grammar default-sort-args — has in-window reps via
+        # ---- plan_dedup/assembly_json + sort_nulls_first/topk_orders)
+        # ---- and hll_distinct_by_lang down (green local r5 gate; the
+        # ---- r5 HLL rank-65 fix is exercised in-window by
+        # ---- sketch_distinct_freq, which shares the register kernel).
+        "plan_q1_json": plan_q1_json,
+        "hll_distinct_by_lang": hll_distinct_by_lang,
         "line_dedup_docs": line_dedup_docs,
         "group_with_limit": group_with_limit,
         "vocab_top_words_docs": vocab_top_words_docs,
@@ -3736,6 +3776,45 @@ def oracle_sql() -> dict[str, str]:
                   < CASE source WHEN 'src0' THEN 0.9e0 WHEN 'src1' THEN 0.5e0
                                 WHEN 'src2' THEN 0.25e0 ELSE 0.05e0 END
             ORDER BY doc_id
+        """,
+        "global_shuffle_docs": """
+            SELECT doc_id,
+                   row_number() OVER (
+                     ORDER BY md5_number_lower('shuf42|' || CAST(doc_id AS VARCHAR)),
+                              CAST(doc_id AS VARCHAR)) - 1 AS shuffle_rank
+            FROM documents
+        """,
+        # 3 BPE merge rounds replayed verbatim: the engine's double-space
+        # symbol representation makes one plain replace() per round an
+        # EXACT greedy BPE application (see text.bpe_train_merges)
+        "bpe_train_docs": """
+            WITH toks AS (
+              SELECT unnest(string_split_regex(text, '\\s+')) AS w
+              FROM documents WHERE text IS NOT NULL
+            ),
+            words AS (SELECT w, count(*)::BIGINT AS cnt FROM toks WHERE w <> '' GROUP BY w),
+            s0 AS (SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s, cnt FROM words),
+            p1raw AS (SELECT l, cnt, unnest(generate_series(1, len(l)-1)) AS i
+                      FROM (SELECT string_split(trim(s0.s, ' '), '  ') AS l, cnt FROM s0)),
+            p1 AS (SELECT l[i] AS lhs, l[i+1] AS rhs, sum(cnt)::BIGINT AS n FROM p1raw GROUP BY 1, 2),
+            b1 AS (SELECT lhs, rhs, n FROM p1 ORDER BY n DESC, lhs, rhs LIMIT 1),
+            s1 AS (SELECT replace(s, ' ' || (SELECT lhs FROM b1) || '  ' || (SELECT rhs FROM b1) || ' ',
+                                     ' ' || (SELECT lhs || rhs FROM b1) || ' ') AS s, cnt FROM s0),
+            p2raw AS (SELECT l, cnt, unnest(generate_series(1, len(l)-1)) AS i
+                      FROM (SELECT string_split(trim(s1.s, ' '), '  ') AS l, cnt FROM s1)),
+            p2 AS (SELECT l[i] AS lhs, l[i+1] AS rhs, sum(cnt)::BIGINT AS n FROM p2raw GROUP BY 1, 2),
+            b2 AS (SELECT lhs, rhs, n FROM p2 ORDER BY n DESC, lhs, rhs LIMIT 1),
+            s2 AS (SELECT replace(s, ' ' || (SELECT lhs FROM b2) || '  ' || (SELECT rhs FROM b2) || ' ',
+                                     ' ' || (SELECT lhs || rhs FROM b2) || ' ') AS s, cnt FROM s1),
+            p3raw AS (SELECT l, cnt, unnest(generate_series(1, len(l)-1)) AS i
+                      FROM (SELECT string_split(trim(s2.s, ' '), '  ') AS l, cnt FROM s2)),
+            p3 AS (SELECT l[i] AS lhs, l[i+1] AS rhs, sum(cnt)::BIGINT AS n FROM p3raw GROUP BY 1, 2),
+            b3 AS (SELECT lhs, rhs, n FROM p3 ORDER BY n DESC, lhs, rhs LIMIT 1)
+            SELECT * FROM (
+              SELECT 1::BIGINT AS round, lhs, rhs, lhs || rhs AS merged, n FROM b1
+              UNION ALL SELECT 2, lhs, rhs, lhs || rhs, n FROM b2
+              UNION ALL SELECT 3, lhs, rhs, lhs || rhs, n FROM b3
+            ) ORDER BY round
         """,
         "unnest_embeddings": """
             SELECT vec_id, round(CAST(unnest(embedding) AS DOUBLE), 6) AS e

@@ -684,3 +684,97 @@ def unnest(ds, list_col: str, alias: str | None = None):
         return base.append_column(alias or list_col, flat)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def global_shuffle_rank(
+    ds,
+    keys: list[str],
+    seed: int = 0,
+    rank_col: str = "shuffle_rank",
+    num_buckets: int | None = None,
+):
+    """Deterministic seeded GLOBAL shuffle with an exact dense rank —
+    the shuffle-before-training op (every epoch of a training run wants
+    the corpus in a reproducible pseudo-random order).  Row order is
+    ``(md5_number_lower('shuf{seed}|' || canonical_key), canonical_key)``
+    so a SQL oracle reproduces every rank verbatim via
+    ``row_number() OVER (ORDER BY md5_number_lower(...), key)`` and the
+    result is identical under ANY partitioning, block layout or cluster
+    shape (unlike ray.data.Dataset.random_shuffle, whose layout-derived
+    order cannot be oracle-checked).
+
+    Scale shape (no global sort): the 64-bit key is uniform, so its
+    HIGH bits are a range partition in key order.  Pass 1 touches only
+    the key columns and exchanges tiny per-batch (bucket, n) count
+    partials; the driver prefix-sums ``num_buckets`` rows into bucket
+    offsets (O(buckets), never O(rows)).  Pass 2 is ONE hash exchange
+    on the bucket id; each bucket task vectorized-sorts its slice
+    (Arrow sort_indices) and adds ``offset + arange``.  Python task
+    count = num_buckets, never the row count; buckets are uniform by
+    construction (post-md5 keys), so there is no skew to salt.
+    ``num_buckets`` must scale with the corpus (default 4 x cluster
+    CPUs — pass explicitly for trillion-row runs so a bucket's rows fit
+    a task heap: rows/buckets ~ 2-8 M is comfortable)."""
+    import numpy as np
+    import ray
+
+    from supersonic_ray.functions.dhash import md5_u64
+
+    from ._shard import stringify_key_cols
+
+    ds = decode_dictionary_columns(ds)
+    if num_buckets is None:
+        num_buckets = max(4, int(ray.cluster_resources().get("CPU", 4))) * 4
+    bbits = max(1, (int(num_buckets) - 1).bit_length())
+    n_buckets = 1 << bbits
+
+    def _keyed(t: pa.Table) -> pa.Table:
+        ck = stringify_key_cols([t.column(c) for c in keys], t.num_rows)
+        gk = md5_u64(ck, prefix=f"shuf{int(seed)}|")
+        if isinstance(gk, pa.ChunkedArray):
+            gk = gk.combine_chunks()
+        bucket = pc.shift_right(gk, pa.scalar(64 - bbits, pa.uint64()))
+        return (
+            t.append_column("__ck", ck)
+            .append_column("__gk", gk)
+            .append_column("__bucket", pc.cast(bucket, pa.int64()))
+        )
+
+    def _count_partial(t: pa.Table) -> pa.Table:
+        vc = _keyed(t).column("__bucket").combine_chunks().value_counts()
+        return pa.table(
+            {
+                "__bucket": vc.field("values"),
+                "__n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.select_columns(keys)
+        .map_batches(_count_partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .sum("__n")
+        .take_all()  # <= num_buckets rows — bounded, never O(rows)
+    )
+    sizes = np.zeros(n_buckets, dtype=np.int64)
+    for row in counts:
+        sizes[int(row["__bucket"])] = int(row["sum(__n)"])
+    offsets = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+
+    def _assign(g: pa.Table) -> pa.Table:
+        b = int(g.column("__bucket")[0].as_py())
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[("__gk", "ascending"), ("__ck", "ascending")],
+        )
+        g = g.take(idx)
+        ranks = offsets[b] + np.arange(g.num_rows, dtype=np.int64)
+        return g.drop_columns(["__ck", "__gk", "__bucket"]).append_column(
+            rank_col, pa.array(ranks, pa.int64())
+        )
+
+    return (
+        ds.map_batches(_keyed, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_assign, batch_format="pyarrow")
+    )

@@ -1426,3 +1426,120 @@ def substring_span_dedup(
         )
 
     return merged.map_batches(cut, batch_format="pyarrow")
+
+
+def bpe_train_merges(ds, text_col: str = "text", n_merges: int = 3):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    the first ``n_merges`` merge rules over the corpus.  Returns a tiny
+    pa.Table (round, lhs, rhs, merged, n) — one row per learned merge.
+
+    Scale shape — the classic two-level factoring: the corpus is read
+    ONCE into a compact (word, count) vocabulary table (per-batch
+    value_counts partials → one groupby-sum, same exchange contract as
+    vocab_top_words), and every merge round runs over THAT table —
+    vocabulary-sized, orders of magnitude smaller than the corpus.
+    Each round is one distributed pair-count pass (vectorized adjacent
+    pairs via list offsets + pa.TableGroupBy partials → groupby-sum →
+    a driver take(1) of the single argmax row) and one map-only merge
+    application.  The vocab table is materialized once per round so
+    round r+1's count pass re-reads blocks instead of replaying r
+    chained maps; its size is the documented bound (vocabulary, not
+    corpus — pass a pre-aggregated vocab Dataset for 10^8+ vocabularies
+    if object-store pinning matters).
+
+    EXACT SQL replication (the oracle contract): symbols ride as a
+    double-space-joined, double-space-wrapped string
+    ``"  c1  c2  ...  cn  "`` and a merge (a, b) is ONE plain
+    ``replace(s, " a  b ", " ab ")``.  Because each occurrence keeps
+    one space on either side, non-overlapping left-to-right REPLACE
+    (Arrow replace_substring == DuckDB replace == Python str.replace
+    semantics) consumes only the INNER gap — adjacent disjoint
+    occurrences still match, and chained overlaps ("a a a") merge
+    leftmost-first exactly like greedy BPE application.  Ties break
+    deterministically by (count DESC, lhs ASC, rhs ASC)."""
+    from .ops import top_k
+
+    def word_counts(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch.column(text_col), "")
+        flat = pc.list_flatten(pc.split_pattern_regex(txt, r"\s+"))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.combine_chunks().value_counts()
+        return pa.table(
+            {"w": vc.field("values"), "cnt": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    vocab = (
+        ds.select_columns([text_col])
+        .map_batches(word_counts, batch_format="pyarrow")
+        .groupby("w")
+        .sum("cnt")
+    )
+
+    def to_symbols(batch: pa.Table) -> pa.Table:
+        # "hello" -> "  h  e  l  l  o  " (RE2 on both sides: DuckDB
+        # regexp_replace(w, '(.)', '\1  ', 'g') is the same kernel)
+        s = pc.replace_substring_regex(batch.column("w"), "(.)", r"\1  ")
+        s = pc.binary_join_element_wise(pa.scalar("  "), s, pa.scalar(""))
+        return pa.table({"s": s, "cnt": batch.column("sum(cnt)")})
+
+    words = vocab.map_batches(to_symbols, batch_format="pyarrow").materialize()
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(pc.utf8_trim(batch.column("s"), " "), "  ")
+        lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        if len(flat) < 2:
+            return pa.table(
+                {
+                    "lhs": pa.array([], pa.string()),
+                    "rhs": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        same = parents[:-1] == parents[1:]
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+        pairs = pa.table(
+            {
+                "lhs": flat.slice(0, len(flat) - 1).filter(pa.array(same)),
+                "rhs": flat.slice(1).filter(pa.array(same)),
+                "n": pa.array(cnt[parents[:-1][same]], pa.int64()),
+            }
+        )
+        agg = pairs.group_by(["lhs", "rhs"]).aggregate([("n", "sum")])
+        return agg.rename_columns(["lhs", "rhs", "n"])
+
+    merges: list[dict] = []
+    for r in range(1, int(n_merges) + 1):
+        best = top_k(
+            words.map_batches(pair_counts, batch_format="pyarrow")
+            .groupby(["lhs", "rhs"])
+            .sum("n"),
+            ["sum(n)", "lhs", "rhs"],
+            k=1,
+            descending=[True, False, False],
+        ).take(1)  # ONE argmax row — the only driver collect per round
+        if not best:
+            break
+        a, b, n = best[0]["lhs"], best[0]["rhs"], int(best[0]["sum(n)"])
+        merges.append({"round": r, "lhs": a, "rhs": b, "merged": a + b, "n": n})
+        if r == int(n_merges):
+            break  # skip the last (unused) apply pass
+
+        def apply_merge(batch: pa.Table, _a=a, _b=b) -> pa.Table:
+            s = pc.replace_substring(
+                batch.column("s"), f" {_a}  {_b} ", f" {_a}{_b} "
+            )
+            return pa.table({"s": s, "cnt": batch.column("cnt")})
+
+        words = words.map_batches(apply_merge, batch_format="pyarrow").materialize()
+
+    return pa.table(
+        {
+            "round": pa.array([m["round"] for m in merges], pa.int64()),
+            "lhs": pa.array([m["lhs"] for m in merges], pa.string()),
+            "rhs": pa.array([m["rhs"] for m in merges], pa.string()),
+            "merged": pa.array([m["merged"] for m in merges], pa.string()),
+            "n": pa.array([m["n"] for m in merges], pa.int64()),
+        }
+    )

@@ -505,3 +505,123 @@ def test_resize_images_stage(ray_session):
     out2 = resize_images(rd.from_arrow(t), decoder="fake", out_w=4, out_h=4,
                          mode="area").to_pandas()
     assert list(out.sort_values("media_id")["thumb"]) == list(out2.sort_values("media_id")["thumb"])
+
+
+def test_global_shuffle_rank_exact_and_layout_stable(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from supersonic_ray.stages.ops import global_shuffle_rank
+
+    tbl = pa.table(
+        {
+            "k": list(range(300)) + [None],  # null key rides the \x00 sentinel
+            "payload": [f"p{i}" for i in range(301)],
+        }
+    )
+    outs = []
+    for nblocks in (1, 3, 11):
+        ds = rd.from_arrow(tbl).repartition(nblocks)
+        df = (
+            global_shuffle_rank(ds, ["k"], seed=7, num_buckets=8)
+            .to_pandas()
+            .sort_values("payload")
+            .reset_index(drop=True)
+        )
+        outs.append(df)
+    # layout-independent: identical ranks at every block count
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+    # rank is a permutation of 0..n-1
+    assert sorted(outs[0]["shuffle_rank"]) == list(range(301))
+    # non-null keys match the SQL replay verbatim (null key uses the
+    # engine's \x00 sentinel, which SQL concat can't express — checked
+    # by the permutation property above instead)
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.execute(
+        """
+        SELECT payload, row_number() OVER (
+                 ORDER BY md5_number_lower('shuf7|' || COALESCE(CAST(k AS VARCHAR), chr(0))),
+                          COALESCE(CAST(k AS VARCHAR), chr(0))) - 1 AS shuffle_rank
+        FROM t ORDER BY payload
+        """
+    ).df()
+    got = outs[0][["payload", "shuffle_rank"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp[["payload", "shuffle_rank"]], check_dtype=False)
+
+
+def _bpe_reference(texts, n_merges):
+    """Plain single-machine greedy BPE (Sennrich et al. 2016) — the
+    from-first-principles reference the distributed op must equal."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        if t:
+            for w in t.split():
+                vocab[w] += 1
+    words = {w: tuple(w) for w in vocab}
+    merges = []
+    for r in range(1, n_merges + 1):
+        pairs = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += vocab[w]
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, a, b, a + b, n))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = tuple(out)
+    return merges
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bpe_train_merges_matches_reference(ray_session, seed):
+    import random
+
+    import ray.data as rd
+
+    from supersonic_ray.stages.text import bpe_train_merges
+
+    rng = random.Random(seed)
+    alphabet = "abcde"
+    texts = [
+        " ".join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(0, 12))
+        )
+        for _ in range(120)
+    ] + [None, "", "aaa aa a aaa a"]
+    tbl = pa.table({"text": pa.array(texts, pa.string())})
+    got = (
+        bpe_train_merges(rd.from_arrow(tbl).repartition(5), "text", n_merges=5)
+        .to_pandas()
+        .itertuples(index=False)
+    )
+    got = [tuple(r) for r in got]
+    exp = _bpe_reference(texts, 5)
+    assert got == exp
+
+
+def test_bpe_merge_application_greedy_edges(ray_session):
+    """The double-space replace must equal greedy left-to-right BPE on
+    the two classic traps: adjacent disjoint occurrences (a b a b) and
+    overlapping chains (a a a)."""
+    import ray.data as rd
+
+    from supersonic_ray.stages.text import bpe_train_merges
+
+    tbl = pa.table({"text": ["x a b a b x", "a a a", "a a a a"]})
+    got = bpe_train_merges(rd.from_arrow(tbl), "text", n_merges=1).to_pandas()
+    exp = _bpe_reference(["x a b a b x", "a a a", "a a a a"], 1)
+    assert [tuple(r) for r in got.itertuples(index=False)] == exp
