@@ -57,6 +57,8 @@ Plan document::
        "id_col": "id", "seed": 0},
       {"op": "mix", "source_col": "src", "rates": {"web": 0.5},
        "seed": 0, "key_col": "id"},
+      {"op": "shuffle_rank", "keys": [...], "seed": 0,
+       "rank_col": "shuffle_rank"},
       {"op": "range_join", "right": [<steps>], "value_col": ...,
        "lo_col": "lo", "hi_col": "hi", "keep_bounds": false}
     ]}
@@ -356,6 +358,16 @@ def build_pipeline(plan: dict, sf_dir: str):
                 {str(k): float(v) for k, v in step["rates"].items()},
                 seed=step.get("seed", 0),
                 key_col=step["key_col"],
+            )
+        elif kind == "shuffle_rank":
+            from supersonic_ray.stages.ops import global_shuffle_rank
+
+            ds = global_shuffle_rank(
+                ds,
+                step["keys"],
+                seed=step.get("seed", 0),
+                rank_col=step.get("rank_col", "shuffle_rank"),
+                num_buckets=step.get("num_buckets"),
             )
         else:
             raise ValueError(f"unknown plan op {kind!r}")
