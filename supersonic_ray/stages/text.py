@@ -1290,45 +1290,64 @@ def substring_span_dedup(
         # rolling mode — the 10^12-doc shape: NO window strings are ever
         # built (the md5 path amplifies memory W-fold); two independent
         # 64-bit polynomial rolls over per-token SipHashes give a
-        # 128-bit key space, fully vectorized per document via
-        # sliding_window_view
-        from numpy.lib.stride_tricks import sliding_window_view
+        # 128-bit key space.  Whole-BATCH vectorized (round-5 late):
+        # tokenize per doc (C-speed str.split keeps Python whitespace
+        # semantics exactly), but hash the batch's ENTIRE flat token
+        # stream in TWO pd.util.hash_array calls and run the polynomial
+        # roll over the flat stream, masking windows that cross a doc
+        # boundary.  Bit-identical to the old per-doc roll: per-token
+        # hashes are element-wise, and uint64 wraparound +/* is exact
+        # mod 2^64 in any accumulation order.  (The old shape paid two
+        # Python hash-call dispatches PER DOCUMENT — the per-row-loop
+        # anti-pattern in the hot stage of the corpus's biggest map.)
+        from itertools import chain
 
-        docs, starts, w1s, w2s = [], [], [], []
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "__i": pa.array([], pa.int32()),
+                "__w1": pa.array([], pa.int64()),
+                "__w2": pa.array([], pa.int64()),
+            }
+        )
+        toks_per_doc = [(t or "").split() for t in texts]
+        lens = np.fromiter(map(len, toks_per_doc), dtype=np.int64, count=len(toks_per_doc))
+        n_flat = int(lens.sum())
+        if n_flat < window:
+            return empty
+        flat = np.empty(n_flat, dtype=object)
+        flat[:] = list(chain.from_iterable(toks_per_doc))
+        parent = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        doc_off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        th = pd.util.hash_array(flat, hash_key=_HASH_KEY)
+        th2 = pd.util.hash_array(flat, hash_key="raysonic-ssdd-k2")
+
         B1, B2 = np.uint64(1099511628211), np.uint64(0x9E3779B97F4A7C15)
         p1 = B1 ** np.arange(window, dtype=np.uint64)[::-1]
         p2 = B2 ** np.arange(window, dtype=np.uint64)[::-1]
-        for d, t in zip(ids, texts):
-            toks = (t or "").split()
-            n = len(toks) - window + 1
-            if n <= 0:
-                continue
-            th = _token_hashes(toks)
-            th2 = pd.util.hash_array(np.array(toks, dtype=object), hash_key="raysonic-ssdd-k2")
-            wins = sliding_window_view(th, window)
-            wins2 = sliding_window_view(th2, window)
-            with np.errstate(over="ignore"):
-                docs.append(np.full(n, int(d), dtype=np.int64))
-                starts.append(np.arange(n, dtype=np.int32))
-                # bit-reinterpret to int64: Arrow/pandas stages downstream
-                # (groupby blocks, membership indexes) mishandle uint64
-                w1s.append((wins * p1).sum(axis=1, dtype=np.uint64).view(np.int64))
-                w2s.append((wins2 * p2).sum(axis=1, dtype=np.uint64).view(np.int64))
-        if not docs:
-            return pa.table(
-                {
-                    id_col: pa.array([], pa.int64()),
-                    "__i": pa.array([], pa.int32()),
-                    "__w1": pa.array([], pa.int64()),
-                    "__w2": pa.array([], pa.int64()),
-                }
-            )
+        n_win = n_flat - window + 1
+        w1 = np.zeros(n_win, dtype=np.uint64)
+        w2 = np.zeros(n_win, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(window):
+                w1 += th[j : j + n_win] * p1[j]
+                w2 += th2[j : j + n_win] * p2[j]
+        # a window is real only when it lies inside ONE document
+        valid = parent[:n_win] == parent[window - 1 :]
+        if not valid.any():
+            return empty
+        vpar = parent[:n_win][valid]
+        ids_np = np.asarray([int(d) for d in ids], dtype=np.int64)
         return pa.table(
             {
-                id_col: pa.array(np.concatenate(docs)),
-                "__i": pa.array(np.concatenate(starts)),
-                "__w1": pa.array(np.concatenate(w1s)),
-                "__w2": pa.array(np.concatenate(w2s)),
+                id_col: pa.array(ids_np[vpar]),
+                "__i": pa.array(
+                    (np.flatnonzero(valid) - doc_off[vpar]).astype(np.int32)
+                ),
+                # bit-reinterpret to int64: Arrow/pandas stages downstream
+                # (groupby blocks, membership indexes) mishandle uint64
+                "__w1": pa.array(w1[valid].view(np.int64)),
+                "__w2": pa.array(w2[valid].view(np.int64)),
             }
         )
 

@@ -625,3 +625,28 @@ def test_bpe_merge_application_greedy_edges(ray_session):
     got = bpe_train_merges(rd.from_arrow(tbl), "text", n_merges=1).to_pandas()
     exp = _bpe_reference(["x a b a b x", "a a a", "a a a a"], 1)
     assert [tuple(r) for r in got.itertuples(index=False)] == exp
+
+
+def test_plan_shuffle_rank_node(ray_session, tmp_path):
+    """shuffle_rank plan node == ops.global_shuffle_rank directly."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from supersonic_ray.pipelines import run_plan_json
+    from supersonic_ray.stages.ops import global_shuffle_rank
+
+    t = pa.table({"id": list(range(80)), "v": [i % 9 for i in range(80)]})
+    pq.write_table(t, str(tmp_path / "docs.parquet"))
+    plan = """
+    {"steps": [
+      {"op": "scan", "table": "docs", "columns": ["id", "v"]},
+      {"op": "shuffle_rank", "keys": ["id"], "seed": 9, "rank_col": "r"}
+    ]}"""
+    got = run_plan_json(plan, str(tmp_path)).to_pandas().sort_values("id")
+    exp = (
+        global_shuffle_rank(rd.from_arrow(t), ["id"], seed=9, rank_col="r")
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+    assert sorted(got["r"]) == list(range(80))
