@@ -692,16 +692,20 @@ def global_shuffle_rank(
     seed: int = 0,
     rank_col: str = "shuffle_rank",
     num_buckets: int | None = None,
+    fanout_mode: str = "recompute",
 ):
     """Deterministic seeded GLOBAL shuffle with an exact dense rank —
     the shuffle-before-training op (every epoch of a training run wants
     the corpus in a reproducible pseudo-random order).  Row order is
-    ``(md5_number_lower('shuf{seed}|' || canonical_key), canonical_key)``
-    so a SQL oracle reproduces every rank verbatim via
-    ``row_number() OVER (ORDER BY md5_number_lower(...), key)`` and the
-    result is identical under ANY partitioning, block layout or cluster
-    shape (unlike ray.data.Dataset.random_shuffle, whose layout-derived
-    order cannot be oracle-checked).
+    ``(md5_number_lower('shuf{seed}|' || canonical_key), canonical_key,
+    row_md5)`` — with UNIQUE keys (a row id, the intended use) a SQL
+    oracle reproduces every rank verbatim via ``row_number() OVER
+    (ORDER BY md5_number_lower(...), key)``; with duplicate keys the
+    row-md5 tiebreak keeps the result layout-independent up to
+    identical full rows (interchangeable by definition — the
+    dedup_by_key convention), though SQL can no longer replay the
+    tie order.  Unlike ray.data.Dataset.random_shuffle, whose
+    layout-derived order cannot be oracle-checked at all.
 
     Scale shape (no global sort): the 64-bit key is uniform, so its
     HIGH bits are a range partition in key order.  Pass 1 touches only
@@ -714,34 +718,57 @@ def global_shuffle_rank(
     construction (post-md5 keys), so there is no skew to salt.
     ``num_buckets`` must scale with the corpus (default 4 x cluster
     CPUs — pass explicitly for trillion-row runs so a bucket's rows fit
-    a task heap: rows/buckets ~ 2-8 M is comfortable)."""
+    a task heap: rows/buckets ~ 2-8 M is comfortable).
+
+    The two passes consume the input twice, routed through
+    ``ops.fanout`` (default ``recompute``: zero pinned bytes and the
+    count pass re-reads only the key columns, but the upstream lineage
+    executes twice and MUST be deterministic — fanout's documented
+    contract; pass ``fanout_mode="materialize"`` when upstream compute
+    dominates a second source read)."""
     import numpy as np
     import ray
 
-    from supersonic_ray.functions.dhash import md5_u64
+    from supersonic_ray.functions.dhash import md5_hex, md5_u64
 
     from ._shard import stringify_key_cols
 
-    ds = decode_dictionary_columns(ds)
+    ds = fanout(decode_dictionary_columns(ds), n_consumers=2, mode=fanout_mode)
     if num_buckets is None:
         num_buckets = max(4, int(ray.cluster_resources().get("CPU", 4))) * 4
     bbits = max(1, (int(num_buckets) - 1).bit_length())
     n_buckets = 1 << bbits
+    reserved = ("__ck", "__gk", "__bucket", rank_col)
 
-    def _keyed(t: pa.Table) -> pa.Table:
+    def _keyed(t: pa.Table, full: bool) -> pa.Table:
+        clash = set(reserved) & set(t.column_names)
+        if clash:
+            raise ValueError(
+                f"global_shuffle_rank: input columns {sorted(clash)} collide "
+                f"with the op's work columns {reserved} — rename them first"
+            )
         ck = stringify_key_cols([t.column(c) for c in keys], t.num_rows)
         gk = md5_u64(ck, prefix=f"shuf{int(seed)}|")
         if isinstance(gk, pa.ChunkedArray):
             gk = gk.combine_chunks()
         bucket = pc.shift_right(gk, pa.scalar(64 - bbits, pa.uint64()))
-        return (
-            t.append_column("__ck", ck)
-            .append_column("__gk", gk)
-            .append_column("__bucket", pc.cast(bucket, pa.int64()))
+        t = t.append_column("__ck", ck).append_column(
+            "__bucket", pc.cast(bucket, pa.int64())
         )
+        if not full:
+            return t
+        # full-row md5 tiebreak: equal-key rows order by content, never
+        # by arrival (layout) — only computed for the rank pass
+        rk = md5_hex(
+            stringify_key_cols(
+                [t.column(c) for c in t.column_names if c not in ("__ck", "__bucket")],
+                t.num_rows,
+            )
+        )
+        return t.append_column("__gk", gk).append_column("__rk", rk)
 
     def _count_partial(t: pa.Table) -> pa.Table:
-        vc = _keyed(t).column("__bucket").combine_chunks().value_counts()
+        vc = _keyed(t, full=False).column("__bucket").combine_chunks().value_counts()
         return pa.table(
             {
                 "__bucket": vc.field("values"),
@@ -765,16 +792,20 @@ def global_shuffle_rank(
         b = int(g.column("__bucket")[0].as_py())
         idx = pc.sort_indices(
             g,
-            sort_keys=[("__gk", "ascending"), ("__ck", "ascending")],
+            sort_keys=[
+                ("__gk", "ascending"),
+                ("__ck", "ascending"),
+                ("__rk", "ascending"),
+            ],
         )
         g = g.take(idx)
         ranks = offsets[b] + np.arange(g.num_rows, dtype=np.int64)
-        return g.drop_columns(["__ck", "__gk", "__bucket"]).append_column(
+        return g.drop_columns(["__ck", "__gk", "__rk", "__bucket"]).append_column(
             rank_col, pa.array(ranks, pa.int64())
         )
 
     return (
-        ds.map_batches(_keyed, batch_format="pyarrow")
+        ds.map_batches(lambda t: _keyed(t, full=True), batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(_assign, batch_format="pyarrow")
     )

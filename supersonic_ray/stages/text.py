@@ -1302,9 +1302,10 @@ def substring_span_dedup(
         # anti-pattern in the hot stage of the corpus's biggest map.)
         from itertools import chain
 
+        id_type = batch.column(id_col).type
         empty = pa.table(
             {
-                id_col: pa.array([], pa.int64()),
+                id_col: pa.array([], id_type),
                 "__i": pa.array([], pa.int32()),
                 "__w1": pa.array([], pa.int64()),
                 "__w2": pa.array([], pa.int64()),
@@ -1337,10 +1338,14 @@ def substring_span_dedup(
         if not valid.any():
             return empty
         vpar = parent[:n_win][valid]
-        ids_np = np.asarray([int(d) for d in ids], dtype=np.int64)
+        # take through Arrow: NULL doc ids survive (they just never
+        # match the span join later) instead of crashing int(None)
+        id_arr = batch.column(id_col)
+        if isinstance(id_arr, pa.ChunkedArray):
+            id_arr = id_arr.combine_chunks()
         return pa.table(
             {
-                id_col: pa.array(ids_np[vpar]),
+                id_col: id_arr.take(pa.array(vpar)),
                 "__i": pa.array(
                     (np.flatnonzero(valid) - doc_off[vpar]).astype(np.int32)
                 ),
@@ -1525,8 +1530,16 @@ def bpe_train_merges(ds, text_col: str = "text", n_merges: int = 3):
                 "n": pa.array(cnt[parents[:-1][same]], pa.int64()),
             }
         )
+        # select by NAME: group_by().aggregate() column order is
+        # pyarrow-version-specific (keys-first vs aggregates-first)
         agg = pairs.group_by(["lhs", "rhs"]).aggregate([("n", "sum")])
-        return agg.rename_columns(["lhs", "rhs", "n"])
+        return pa.table(
+            {
+                "lhs": agg.column("lhs"),
+                "rhs": agg.column("rhs"),
+                "n": agg.column("n_sum"),
+            }
+        )
 
     merges: list[dict] = []
     for r in range(1, int(n_merges) + 1):

@@ -650,3 +650,64 @@ def test_plan_shuffle_rank_node(ray_session, tmp_path):
     )
     assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
     assert sorted(got["r"]) == list(range(80))
+
+
+def test_global_shuffle_rank_duplicate_keys_layout_independent(ray_session):
+    """Equal-key rows order by full-row md5, never by arrival: permuted
+    input row order must give the same payload->rank pairing."""
+    import ray.data as rd
+
+    from supersonic_ray.stages.ops import global_shuffle_rank
+
+    t = pa.table(
+        {
+            "k": [1, 1, 1, 2, 2, 3] * 10,
+            "payload": [f"p{i}" for i in range(60)],
+        }
+    )
+    perm = list(reversed(range(60)))
+    t_rev = t.take(pa.array(perm))
+    a = (
+        global_shuffle_rank(rd.from_arrow(t).repartition(4), ["k"], seed=3)
+        .to_pandas()
+        .sort_values("payload")
+        .reset_index(drop=True)
+    )
+    b = (
+        global_shuffle_rank(rd.from_arrow(t_rev).repartition(7), ["k"], seed=3)
+        .to_pandas()
+        .sort_values("payload")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert sorted(a["shuffle_rank"]) == list(range(60))
+
+
+def test_global_shuffle_rank_rejects_colliding_columns(ray_session):
+    import ray.data as rd
+
+    from supersonic_ray.stages.ops import global_shuffle_rank
+
+    t = pa.table({"k": [1, 2], "__bucket": [0, 0]})
+    with pytest.raises(Exception, match="collide"):
+        global_shuffle_rank(rd.from_arrow(t), ["k"]).to_pandas()
+
+
+def test_substring_dedup_null_doc_id_survives(ray_session):
+    """NULL doc ids must not crash the rolling explode (they simply
+    never match the span join) — regression for the int(None) path."""
+    import ray.data as rd
+
+    from supersonic_ray.stages.text import substring_span_dedup
+
+    long = " ".join(f"w{i}" for i in range(20))
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, None, 2], pa.int64()),
+            "text": ["short text", long, long],
+        }
+    )
+    out = substring_span_dedup(rd.from_arrow(t), "text", "doc_id", window=5).to_pandas()
+    assert len(out) == 3
+    # the two long docs share every 5-token window -> all tokens dropped
+    assert set(out.loc[out["doc_id"] == 2, "kept_tokens"]) == {0}
