@@ -21,9 +21,9 @@ AUDITED = {
     "stages/joins.py": 7,  # asof broadcast RHS build (once/actor), asof per-batch Arrow take, rowid gather, indexed-broadcast gather x2, range-join per-batch take + band-boundary take (all worker-side Arrow takes; hash-join + asof probes are Arrow-native)
     "stages/skew.py": 1,  # sampled hot-key histogram (bounded by sample)
     "stages/vectors.py": 5,  # IVF training sample (limit N), md5 seed-centroid pick (worker-side partial take + driver sort+limit(n_centroids) — bounded by the centroid count), PQ codebook pick (same shape, bounded by ksub)
-    "stages/text.py": 3,  # tfidf: per-batch worker Arrow take (parent indices), GUARDED to_pandas of the DF table (TFIDF_VOCAB_LIMIT, vocabulary-sized not corpus-sized), per-batch worker tf.to_pandas
+    "stages/text.py": 5,  # tfidf: per-batch worker Arrow take (parent indices), GUARDED to_pandas of the DF table (TFIDF_VOCAB_LIMIT, vocabulary-sized not corpus-sized), per-batch worker tf.to_pandas; bpe_train_merges take(1) (ONE argmax row per round, after a top_k partial prune); substring explode per-batch worker Arrow id take (bounded by the batch)
     "stages/graph.py": 0,  # label sums are scalar aggregates; labels stay a Dataset
-    "stages/ops.py": 1,  # unnest: per-batch worker-side Arrow take (parent indices) — bounded by the batch
+    "stages/ops.py": 3,  # unnest: per-batch worker-side Arrow take (parent indices) — bounded by the batch; global_shuffle_rank take_all (<= num_buckets count rows, never O(rows)) + per-bucket worker Arrow sort take
     "stages/stateful.py": 0,
     "stages/windows.py": 0,
     "stages/multimodal.py": 0,
