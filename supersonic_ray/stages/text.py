@@ -1271,22 +1271,70 @@ def substring_span_dedup(
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
         if key_mode == "md5":
-            docs, starts, wtexts = [], [], []
-            for d, t in zip(ids, texts):
-                toks = (t or "").split()
-                n = len(toks) - window + 1
-                for i in range(max(0, n)):
-                    docs.append(d)
-                    starts.append(i)
-                    wtexts.append(" ".join(toks[i : i + window]))
-            out = pa.table(
+            # whole-batch (round-5 late): tokenize per doc (C-speed
+            # str.split keeps Python whitespace semantics), then ONE
+            # DuckDB pass builds every window string AND its md5 via a
+            # windowed string_agg frame — all C++, and the W-fold
+            # window-string materialization never enters the Python
+            # heap (the old shape ran a per-row/per-window join loop).
+            from itertools import chain
+
+            from supersonic_ray.functions.dhash import _con
+
+            id_arr = batch.column(id_col)
+            if isinstance(id_arr, pa.ChunkedArray):
+                id_arr = id_arr.combine_chunks()
+            toks_per_doc = [(t or "").split() for t in texts]
+            lens = np.fromiter(
+                map(len, toks_per_doc), dtype=np.int64, count=len(toks_per_doc)
+            )
+            n_flat = int(lens.sum())
+            if n_flat < window:
+                return pa.table(
+                    {
+                        id_col: pa.array([], id_arr.type),
+                        "__i": pa.array([], pa.int32()),
+                        "__w": pa.array([], pa.string()),
+                    }
+                )
+            parent = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            pos = np.arange(n_flat, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+            )
+            con = _con()
+            con.register(
+                "__ssdd_toks",
+                pa.table(
+                    {
+                        "r": pa.array(parent),
+                        "p": pa.array(pos),
+                        "tok": pa.array(
+                            list(chain.from_iterable(toks_per_doc)), pa.string()
+                        ),
+                    }
+                ),
+            )
+            try:
+                out = con.execute(
+                    f"""
+                    SELECT r, p, md5(string_agg(tok, ' ') OVER w) AS w,
+                           count(*) OVER w AS n
+                    FROM __ssdd_toks
+                    WINDOW w AS (PARTITION BY r ORDER BY p
+                                 ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)
+                    QUALIFY n = {window}
+                    """
+                ).arrow()
+            finally:
+                con.unregister("__ssdd_toks")
+            rix = out.column("r").combine_chunks()
+            return pa.table(
                 {
-                    id_col: pa.array(docs, pa.int64()),
-                    "__i": pa.array(starts, pa.int32()),
-                    "__w": pa.array(wtexts, pa.string()),
+                    id_col: id_arr.take(rix),
+                    "__i": pc.cast(out.column("p"), pa.int32()),
+                    "__w": pc.cast(out.column("w"), pa.string()),
                 }
             )
-            return out.set_column(2, "__w", md5_hex(out.column("__w")))
         # rolling mode — the 10^12-doc shape: NO window strings are ever
         # built (the md5 path amplifies memory W-fold); two independent
         # 64-bit polynomial rolls over per-token SipHashes give a
